@@ -1,0 +1,991 @@
+"""Relational inventory B1–B6: scans, scalar functions, joins, aggregation,
+windows, sort/limit/set ops.
+
+All Catalyst built-ins — no Python in the data path. The hard part is
+oracle parity (DuckDB semantic drift); see module docstring of
+``queries/__init__``.
+
+Reference parity notes: the reference engine has *no* relational
+operators at all (SURVEY.md §2 Part A, verified over
+``lib/job_processor.rb`` + ``bin/job.rb``); this module is the
+north-star extension mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from . import Registry
+
+Q = Registry()
+
+# ---------------------------------------------------------------------------
+# shared exact-aggregation helpers (Spark side: F.expr; oracle: same SQL text)
+# ---------------------------------------------------------------------------
+
+# Scale 6: the testdata money/rate columns carry <=2 decimal digits, so
+# products of three of them carry <=6 — a DECIMAL(18,6) cast is exact
+# (no rounding, hence no HALF_UP-vs-double-rounding drift between Spark
+# and DuckDB at tie points, which scale 4 hits systematically).
+DEC = "DECIMAL(18,6)"
+
+
+def dsum(expr: str, alias: str) -> str:
+    """Order-independent sum of a double expression: per-row exact cast to
+    DECIMAL(18,6) (deterministic given identical input bits), exact
+    decimal summation, deterministic cast back to double."""
+    return f"CAST(SUM(CAST(({expr}) AS {DEC})) AS DOUBLE) AS {alias}"
+
+
+def davg(expr: str, alias: str) -> str:
+    """Exact-sum / count — one double division, no accumulation order."""
+    return f"ROUND(CAST(SUM(CAST(({expr}) AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS {alias}"
+
+
+# ===========================================================================
+# B1 — scans / sources / sinks (sink/jsonl variants live in queries/llm.py)
+# ===========================================================================
+
+
+@Q.add(
+    "scan_parquet",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+           l_returnflag
+    FROM lineitem
+    """,
+    doc="full parquet scan + column-pruned projection",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+    )
+
+
+# ===========================================================================
+# B2 — projection / filter / scalar functions
+# ===========================================================================
+
+
+@Q.add(
+    "filter_pred",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE (l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R'))
+       OR (l_discount > 0.09 AND l_shipdate IS NOT NULL AND l_tax <= 0.02)
+    """,
+    doc="conjunctive/disjunctive predicates, BETWEEN, IN, IS NOT NULL",
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    cond = (
+        F.col("l_quantity").between(10, 20) & F.col("l_returnflag").isin("A", "R")
+    ) | (
+        (F.col("l_discount") > 0.09)
+        & F.col("l_shipdate").isNotNull()
+        & (F.col("l_tax") <= 0.02)
+    )
+    return l.filter(cond).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@Q.add(
+    "project_expr",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE) AS revenue,
+           CASE WHEN l_quantity > 40 THEN 'bulk'
+                WHEN l_quantity > 20 THEN 'mid'
+                ELSE 'small' END AS qty_class
+    FROM lineitem
+    """,
+    doc="arithmetic projection + CASE WHEN",
+)
+def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(f"CAST(CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE)").alias(
+            "revenue"
+        ),
+        F.when(F.col("l_quantity") > 40, "bulk")
+        .when(F.col("l_quantity") > 20, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+    )
+
+
+@Q.add(
+    "string_funcs",
+    r"""
+    SELECT doc_id,
+           upper(lang) AS lang_u,
+           lower(source) AS src_l,
+           substr(text, 1, 20) AS head,
+           length(text) AS n_len,
+           concat(lang, ':', source) AS tag,
+           trim(concat(' ', lang, ' ')) AS trimmed,
+           lpad(lang, 5, '_') AS padded,
+           regexp_replace(text, '(the|data)', 'X', 'g') AS masked
+    FROM documents
+    """,
+    doc="upper/lower/substr/length/concat/trim/lpad/regexp_replace",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        F.lower("source").alias("src_l"),
+        F.substring("text", 1, 20).alias("head"),
+        F.length("text").alias("n_len"),
+        F.concat_ws(":", "lang", "source").alias("tag"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("trimmed"),
+        F.lpad("lang", 5, "_").alias("padded"),
+        F.regexp_replace("text", "(the|data)", "X").alias("masked"),
+    )
+
+
+@Q.add(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    """,
+    doc="year/month/day/date_trunc/datediff on naive timestamps",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+@Q.add(
+    "math_funcs",
+    """
+    SELECT p_partkey,
+           round(p_retailprice, 1) AS price_r,
+           abs(p_size - 25) AS size_dev,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           round(ln(p_retailprice), 4) AS price_ln,
+           round(sqrt(CAST(p_size AS DOUBLE)), 4) AS size_sqrt,
+           round(pow(CAST(p_size AS DOUBLE), 2.0), 4) AS size_sq,
+           p_partkey % 7 AS key_mod
+    FROM part
+    """,
+    doc="round/abs/floor/ceil/ln/sqrt/pow/modulo",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.round(F.log(F.col("p_retailprice")), 4).alias("price_ln"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 4).alias("size_sqrt"),
+        F.round(F.pow(F.col("p_size").cast("double"), F.lit(2.0)), 4).alias("size_sq"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+    )
+
+
+@Q.add(
+    "array_funcs",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(list_contains(string_split(text, ' '), 'data') AS BOOLEAN) AS has_data,
+           list_sort(string_split(text, ' '))[1] AS first_token,
+           list_sort(string_split(text, ' '))[len(string_split(text, ' '))] AS last_token
+    FROM documents
+    """,
+    doc="split/size/array_contains/sort_array",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_sort(toks)[0].alias("first_token"),
+        F.element_at(F.array_sort(toks), -1).alias("last_token"),
+    )
+
+
+@Q.add(
+    "array_explode",
+    """
+    SELECT doc_id, tok, COUNT(*) AS n
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id, tok
+    """,
+    doc="explode tokens + per-doc token frequency",
+)
+def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@Q.add(
+    "map_funcs",
+    """
+    SELECT doc_id,
+           lang AS lang_v,
+           source AS src_v,
+           CAST(n_chars AS VARCHAR) AS extra_v
+    FROM documents
+    """,
+    doc="create_map/map_concat/element_at, value-checked via scalar projection",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source"))
+    m2 = F.map_concat(m, F.create_map(F.lit("extra"), F.col("n_chars").cast("string")))
+    return d.select(
+        "doc_id",
+        F.element_at(m2, "lang").alias("lang_v"),
+        F.element_at(m2, "src").alias("src_v"),
+        F.element_at(m2, "extra").alias("extra_v"),
+    )
+
+
+@Q.add(
+    "json_funcs",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS miss_null
+    FROM events
+    """,
+    doc="get_json_object / from_json-style extraction on events.props",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").isNull().alias("miss_null"),
+    )
+
+
+# ===========================================================================
+# B3 — joins
+# ===========================================================================
+
+
+@Q.add(
+    "join_inner_hash",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, round(o.o_totalprice, 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="equi inner join orders x customer (shuffled hash / SMJ, Catalyst's pick)",
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@Q.add(
+    "join_broadcast",
+    f"""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+           CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > 20
+    """,
+    doc="broadcast join of bounded dim (part) into lineitem — no shuffle of the fact side",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") > 20)
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        F.expr(f"CAST(CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE)").alias(
+            "revenue"
+        ),
+    )
+
+
+@Q.add(
+    "join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS total
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    doc="left outer join with null extension for orderless customers",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@Q.add(
+    "join_full",
+    """
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+    FROM nation n FULL JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="full outer join with null extension on both sides",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@Q.add(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    doc="left-semi join (EXISTS)",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@Q.add(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left-anti join (NOT EXISTS)",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@Q.add(
+    "join_theta_range",
+    """
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+    doc="non-equi range join: same-user event pairs within 5 minutes "
+    "(equi user_id key keeps it a hash join + residual range filter, not BNLJ)",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTE")),
+        )
+        .select(
+            F.col("a.event_id").alias("eid_a"),
+            F.col("b.event_id").alias("eid_b"),
+            F.col("a.user_id").alias("user_id"),
+        )
+    )
+
+
+@Q.add(
+    "join_multiway",
+    f"""
+    SELECT r.r_name,
+           {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+    doc="5-table chain join (TPC-H Q5 shape) with broadcast dims",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)").alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@Q.add(
+    "join_asof",
+    """
+    SELECT o_orderkey, o_custkey, event_id AS last_event_id
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey, e.event_id, e.ts,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM orders o
+      JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate + INTERVAL 30 YEAR
+    ) WHERE rn = 1
+    """,
+    doc="as-of join: latest event at-or-before (orderdate + 30y aligns the "
+    "1995-2001 orders onto the 2024 events stream) per order; window rewrite "
+    "of ASOF since Spark SQL has no native ASOF join",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_cutoff", F.expr("o_orderdate + INTERVAL 30 YEAR")
+    )
+    e = load(spark, sf_dir, "events")
+    res = asof_join(
+        left=o,
+        right=e,
+        left_on="o_custkey",
+        right_on="user_id",
+        left_time="o_cutoff",
+        right_time="ts",
+        right_tiebreak="event_id",
+        left_key="o_orderkey",
+    )
+    return res.select(
+        "o_orderkey", "o_custkey", F.col("event_id").alias("last_event_id")
+    )
+
+
+# ===========================================================================
+# B4 — aggregation
+# ===========================================================================
+
+
+@Q.add(
+    "agg_global",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_partkey) AS n_part,
+           {dsum('l_quantity', 'sum_qty')},
+           {davg('l_extendedprice', 'avg_price')},
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_returnflag) AS min_flag
+    FROM lineitem
+    """,
+    doc="global aggregate: count/sum/avg/min/max",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_partkey").alias("n_part"),
+        F.expr(f"CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
+        F.expr(
+            f"ROUND(CAST(SUM(CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+        ).alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_returnflag").alias("min_flag"),
+    )
+
+
+@Q.add(
+    "agg_group",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity', 'sum_qty')},
+           {dsum('l_extendedprice', 'sum_base_price')},
+           {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {davg('l_quantity', 'avg_qty')},
+           {davg('l_extendedprice', 'avg_price')},
+           {davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="FLAGSHIP: TPC-H Q1-style pricing summary (also entry())",
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(f"CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
+            F.expr(f"CAST(SUM(CAST((l_extendedprice) AS {DEC})) AS DOUBLE)").alias(
+                "sum_base_price"
+            ),
+            F.expr(
+                f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)"
+            ).alias("sum_disc_price"),
+            F.expr(
+                f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS {DEC})) AS DOUBLE)"
+            ).alias("sum_charge"),
+            F.expr(
+                f"ROUND(CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+            ).alias("avg_qty"),
+            F.expr(
+                f"ROUND(CAST(SUM(CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+            ).alias("avg_price"),
+            F.expr(
+                f"ROUND(CAST(SUM(CAST((l_discount) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@Q.add(
+    "agg_distinct",
+    f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(SUM(DISTINCT CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_dist_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="COUNT(DISTINCT) / SUM(DISTINCT)",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.expr(f"CAST(SUM(DISTINCT CAST(l_quantity AS {DEC})) AS DOUBLE)").alias(
+            "sum_dist_qty"
+        ),
+    )
+
+
+@Q.add(
+    "agg_having",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum('o_totalprice', 'total_spend')}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 12
+    """,
+    doc="post-aggregation filter (HAVING)",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(f"CAST(SUM(CAST((o_totalprice) AS {DEC})) AS DOUBLE)").alias(
+                "total_spend"
+            ),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@Q.add(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="hierarchical totals with GROUPING() disambiguation",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"),
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+    ).select("r_name", "n_name", "n_cust", "g_region", "g_nation")
+
+
+@Q.add(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="cube over two low-cardinality dims",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    ).select("l_returnflag", "l_linestatus", "n", "g_flag", "g_status")
+
+
+@Q.add(
+    "agg_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {dsum('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit grouping sets",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST((o_totalprice) AS {DEC})) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@Q.add(
+    "agg_approx_distinct",
+    None,  # HLL estimate is engine-specific -> rows-only; exact twin: agg_distinct
+    doc="approx_count_distinct (HLL) of users per event_type",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+@Q.add(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="stddev/variance/corr/exact interpolated median",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+    )
+
+
+# ===========================================================================
+# B5 — window functions
+# ===========================================================================
+
+
+@Q.add(
+    "win_rank",
+    """
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS quart
+    FROM orders
+    """,
+    doc="row_number/rank/dense_rank/ntile; rank uses a genuinely tied key",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w_det = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_tied = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w_det).alias("rn"),
+        F.rank().over(w_tied).alias("rnk"),
+        F.dense_rank().over(w_tied).alias("drnk"),
+        F.ntile(4).over(w_det).alias("quart"),
+    )
+
+
+@Q.add(
+    "win_lag_lead",
+    """
+    SELECT event_id, user_id,
+           lag(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id,
+           lag(event_type, 1, 'none') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+    """,
+    doc="lag/lead per user over time (sessionization precursor)",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+    )
+
+
+@Q.add(
+    "win_frame_rows",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           COUNT(*) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM orders
+    """,
+    doc="running sum with ROWS frame (decimal-exact)",
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+@Q.add(
+    "win_frame_range",
+    f"""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_s
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min,
+           CAST(SUM(CAST(value AS {DEC})) OVER (
+               PARTITION BY user_id ORDER BY epoch_s
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_10min
+    FROM (SELECT event_id, user_id, value,
+                 epoch_us(ts) // 1000000 AS epoch_s
+          FROM events)
+    """,
+    doc="RANGE frame over epoch seconds: trailing-10-minute counts/sums",
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.expr("ts_ns DIV 1000000000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_10min"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("val_10min"),
+    )
+
+
+@Q.add(
+    "win_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="top-3 orders per customer (rank + filter)",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# ===========================================================================
+# B6 — sort / limit / set ops
+# ===========================================================================
+
+
+@Q.add(
+    "sort_multi",
+    """
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_orderpriority ASC NULLS LAST, o_totalprice DESC, o_orderkey
+    """,
+    doc="multi-key sort with explicit null ordering (hash is order-insensitive; "
+    "values checked under deterministic keys)",
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.orderBy(
+        F.col("o_orderpriority").asc_nulls_last(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    ).select("o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("total"))
+
+
+@Q.add(
+    "topk",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    doc="global top-k (TakeOrderedAndProject), fully tie-broken",
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@Q.add(
+    "set_union",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="UNION (distinct) of two key sets",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@Q.add(
+    "set_union_all",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="UNION ALL (bag semantics)",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.unionAll(b)
+
+
+@Q.add(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct) of nation-key sets",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@Q.add(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="EXCEPT ALL (bag difference)",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

@@ -1,0 +1,133 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every query in ``__spark_entry__.queries()`` at a given sf dir and
+compares it with ``oracle_sql()`` via DuckDB: row count, column names,
+and an order-insensitive exact value comparison (strict superset of any
+reasonable value-hash — if this passes, the driver's hash passes).
+
+Usage:
+    python tools/selfcheck.py [--sf /root/testdata/sf0.01] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr round-trips doubles exactly
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_df(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        rows.append(tuple(canon_cell(v if not pd.isna(v) else None) if not isinstance(v, (list, tuple)) else str(v) for v in tup))
+    rows.sort()
+    return rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--rows-only-too", action="store_true", help="also run rows-only queries")
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+    from llm_batch_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="selfcheck")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    only = {s for s in args.only.split(",") if s}
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            spdf = sdf.toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL  {name}: oracle raised")
+            traceback.print_exc()
+            n_fail += 1
+            failures.append(name)
+            continue
+        ok = True
+        msgs = []
+        if sorted(spdf.columns) != sorted(odf.columns):
+            ok = False
+            msgs.append(f"columns differ: spark={sorted(spdf.columns)} oracle={sorted(odf.columns)}")
+        if len(spdf) != len(odf):
+            ok = False
+            msgs.append(f"row count: spark={len(spdf)} oracle={len(odf)}")
+        if ok:
+            a, b = canon_df(spdf), canon_df(odf)
+            if a != b:
+                ok = False
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                msgs.append(f"values differ; first diffs: {diff}")
+        if ok:
+            n_pass += 1
+            print(f"PASS  {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+        else:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: " + " | ".join(msgs))
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if failures:
+        print("failures:", ",".join(failures))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
