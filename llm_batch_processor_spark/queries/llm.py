@@ -1,7 +1,194 @@
-"""B7 — reference-parity LLM pipeline queries (filled in milestone 2)."""
+"""B7 — reference-parity LLM pipeline queries over ``documents``.
+
+Records are formed exactly as FIXTURES.md specifies:
+``id = cast(doc_id as string)``, ``texts = map('content', text)``,
+``images = array()`` — so oracle tables and reference-parity records
+share one source.
+
+``llm_map_mock`` runs the FULL pipeline (template render -> mock chat
+-> think-strip -> enrich) through the real pandas_udf path; because the
+mock response is a pure SQL-expressible function of the prompt
+(md5 digest), the oracle covers the whole pipeline — stronger than the
+rows-only check the driver would otherwise record.
+"""
 
 from __future__ import annotations
 
+import tempfile
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import duckdb_think_strip, think_strip
+from ..tables import load
 from . import Registry
 
 Q = Registry()
+
+_PROMPT_PREFIX = "Summarize: "
+
+
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.create_map(F.lit("content"), F.col("text")).alias("texts"),
+        F.array().cast("array<string>").alias("images"),
+    )
+
+
+@Q.add(
+    "llm_map_mock",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           text AS content,
+           'MOCK ' || substr(md5('{_PROMPT_PREFIX}' || text), 1, 8) AS summary
+    FROM documents
+    """,
+    doc="full A4+A7+A9+A10 pipeline with deterministic mock backend; "
+    "oracle replicates the mock as a pure SQL function of the prompt",
+)
+def llm_map_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..job.backend import MockChatBackend
+    from ..job.pipeline import llm_map
+    from ..job.spec import JobSpec
+
+    spec = JobSpec.from_dict(
+        {
+            "id": "mock-summarize",
+            "erb_source": _PROMPT_PREFIX + "{{ texts['content'] }}",
+            "backend_endpoint": "mock://local",
+            "model": "mock-model",
+            "output_label": "summary",
+        }
+    )
+    result = llm_map(_records(spark, sf_dir), spec, MockChatBackend())
+    out = result.ok()
+    return out.select(
+        "id",
+        F.element_at("texts", "content").alias("content"),
+        F.element_at("texts", "summary").alias("summary"),
+    )
+
+
+_LACED_SQL = (
+    "'  <think>' || lang || '</think> ' || text || ' <think>tail' || chr(10) || 'reason</think>'"
+)
+_THINK_ORACLE = f"""
+    SELECT doc_id,
+           {duckdb_think_strip(_LACED_SQL)} AS cleaned,
+           '<think>' || text AS unclosed_kept
+    FROM documents
+    """
+
+
+@Q.add(
+    "think_strip",
+    _THINK_ORACLE,
+    doc="A9 alone: multi-block + multiline strip; unclosed tag untouched",
+)
+def think_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    laced = F.concat(
+        F.lit("  <think>"),
+        F.col("lang"),
+        F.lit("</think> "),
+        F.col("text"),
+        F.lit(" <think>tail\nreason</think>"),
+    )
+    return d.select(
+        "doc_id",
+        think_strip(laced).alias("cleaned"),
+        F.concat(F.lit("<think>"), F.col("text")).alias("unclosed_kept"),
+    )
+
+
+@Q.add(
+    "enrich_label",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           text AS content,
+           upper(lang) AS label
+    FROM documents
+    """,
+    doc="A10 map_concat enrichment projected back to scalars",
+)
+def enrich_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..job.pipeline import enrich
+
+    recs = _records(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), F.upper("lang").alias("_lab")
+    )
+    j = recs.join(d, "id")
+    out = j.select(
+        "id", enrich(F.col("texts"), "label", F.col("_lab")).alias("texts")
+    )
+    return out.select(
+        "id",
+        F.element_at("texts", "content").alias("content"),
+        F.element_at("texts", "label").alias("label"),
+    )
+
+
+def _tmp_dir(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"llm_bps_{name}_{tag}")
+
+
+@Q.add(
+    "scan_jsonl",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, text AS content FROM documents
+    """,
+    doc="A1/A2 parity: JSONL scan in PERMISSIVE mode; corrupt + blank lines "
+    "routed out, record contract defaults applied",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources.jsonl import read_records, to_jsonl_column
+
+    out_dir = _tmp_dir("scan_jsonl", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    to_jsonl_column(_records(spark, sf_dir)).write.mode("overwrite").text(out_dir)
+    # inject corrupt + blank lines the scan must tolerate (skip, not fail)
+    with open(os.path.join(out_dir, "zz_corrupt.txt"), "w", encoding="utf-8") as f:
+        f.write('{"id": "bad1", "texts": not valid json}\n')
+        f.write("\n")
+        f.write("{trailing garbage\n")
+    good, _corrupt = read_records(spark, out_dir + "/*.txt")
+    return good.select("id", F.element_at("texts", "content").alias("content"))
+
+
+@Q.add(
+    "sink_jsonl",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, text AS content, lang AS tag
+    FROM documents
+    """,
+    doc="A10 parity: enrich-project -> distributed JSONL sink -> re-read",
+)
+def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..job.pipeline import enrich
+    from ..sources.jsonl import read_records, write_records
+
+    recs = _records(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), F.col("lang").alias("_tag")
+    )
+    enriched = recs.join(d, "id").select(
+        "id", enrich(F.col("texts"), "tag", F.col("_tag")).alias("texts"), "images"
+    )
+    out_dir = _tmp_dir("sink_jsonl", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_records(enriched, out_dir)
+    good, _ = read_records(spark, out_dir)
+    return good.select(
+        "id",
+        F.element_at("texts", "content").alias("content"),
+        F.element_at("texts", "tag").alias("tag"),
+    )
