@@ -28,3 +28,108 @@ def think_strip(col: Column) -> Column:
 def duckdb_think_strip(col_sql: str) -> str:
     inner = DUCKDB_THINK.format(col=col_sql)
     return DUCKDB_TRIM.format(col=inner)
+
+
+# ---------------------------------------------------------------------------
+# text-analysis kernels, defined once with Spark + DuckDB twins so the
+# oracle can never drift from the implementation
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: letter runs | single digits | non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+# language marker stopword sets for the n-gram/stopword lang-id heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]  # deterministic tie order
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(text, " "))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count (letter runs / digits / symbols)."""
+    return F.regexp_count(text, F.lit(BPE_RE))
+
+
+def _marker_score(text: Column, markers: list[str]) -> Column:
+    toks = F.split(text, " ")
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-stopword language ID: argmax of per-language marker token
+    counts, first-in-LANG_ORDER tie-break, 'und' when all scores are 0."""
+    scores = {lang: _marker_score(text, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    # chained CASE: a language wins if score>0, strictly beats every
+    # earlier language, and is >= every later one (stable tie-break)
+    out = None
+    for lang in LANG_ORDER:
+        later = [o for o in LANG_ORDER if o != lang]
+        cond = scores[lang] > 0
+        for o in later:
+            if LANG_ORDER.index(o) < LANG_ORDER.index(lang):
+                cond = cond & (scores[lang] > scores[o])
+            else:
+                cond = cond & (scores[lang] >= scores[o])
+        out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def duckdb_lang_id(col: str) -> str:
+    def score(lang: str) -> str:
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return (
+            f"len(list_filter(string_split({col}, ' '), t -> list_contains([{lst}], t)))"
+        )
+
+    whens = []
+    for lang in LANG_ORDER:
+        conds = [f"{score(lang)} > 0"]
+        for o in LANG_ORDER:
+            if o == lang:
+                continue
+            op = ">" if LANG_ORDER.index(o) < LANG_ORDER.index(lang) else ">="
+            conds.append(f"{score(lang)} {op} {score(o)}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / mean-token-length features for
+    quality scoring. All ratios rounded to 4 decimals."""
+    n_chars = F.length(text)
+    toks = F.split(text, " ")
+    n_toks = F.size(toks)
+    n_punct = F.regexp_count(text, F.lit(PUNCT_RE))
+    en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_toks,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_toks, F.lit(1)), 4),
+        "mean_token_len": F.round(
+            (n_chars - (n_toks - 1)) / F.greatest(n_toks, F.lit(1)), 4
+        ),
+    }
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 over the sorted distinct token set —
+    invariant to token order/multiplicity (bag-of-words identity)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(text, " "))), " "))
+
+
+DUCKDB_FINGERPRINT = (
+    "md5(array_to_string(list_sort(list_distinct(string_split({col}, ' '))), ' '))"
+)

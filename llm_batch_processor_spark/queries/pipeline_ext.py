@@ -1,7 +1,408 @@
-"""B8 — LLM-data-pipeline extension queries (filled in milestone 3)."""
+"""B8 — LLM-data-pipeline extension queries (dedup, similarity, text
+analysis, sessionization, tumbling windows, multimodal plumbing).
+
+Oracle coverage policy: everything with engine-independent semantics
+gets full DuckDB SQL; hash-seeded approximations (MinHashLSH, SimHash
+via xxhash64, hyperplane LSH) are rows-only for the driver but pinned
+by pytest golden/property tests instead.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    DUCKDB_FINGERPRINT,
+    duckdb_lang_id,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+)
+from ..tables import load
 from . import Registry
 
 Q = Registry()
+
+
+# ===========================================================================
+# dedup family
+# ===========================================================================
+
+
+@Q.add(
+    "dedup_exact",
+    """
+    SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY text
+    """,
+    doc="exact dedup: canonical (min doc_id) per distinct text + group size",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id").select("text", "doc_id", "n_dups")
+
+
+@Q.add(
+    "dedup_minhash",
+    None,  # LSH candidate set depends on hash seeds -> rows-only + pytest
+    doc="MinHash-LSH near-dup clusters (shingle->minhash->band->join), fixed seed",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, minhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_pairs(d, shingle_n=3, jaccard_max_distance=0.5)
+    ids = d.select(F.col("doc_id").alias("id"))
+    clusters = connected_components(
+        pairs.select("id_a", "id_b"), ids, id_col="id", max_iter=5
+    )
+    return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@Q.add(
+    "dedup_simhash",
+    None,  # xxhash64-seeded -> rows-only + pytest golden tests
+    doc="64-bit SimHash banded near-dup pairs, pure built-in expressions",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=16)
+
+
+@Q.add(
+    "dedup_ngram_jaccard",
+    """
+    WITH grams AS (
+      SELECT doc_id, DISTINCT_G.g
+      FROM (
+        SELECT doc_id,
+               list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                              FOR i IN range(1, len(string_split(text,' ')))]) AS gs
+        FROM documents
+      ), unnest(gs) AS DISTINCT_G(g)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+    """,
+    doc="exact token-bigram Jaccard pairs via inverted-index blocking",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@Q.add(
+    "dedup_embed_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+    doc="semantic near-dup: embedding cosine >= 0.4 pairs",
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_pairs(e, min_cosine=0.4)
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+
+@Q.add(
+    "sim_topk",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                        v.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+    doc="exact brute-force cosine top-5 for 10 query vectors "
+    "(ranks returned, not float sims — rank gaps >> float32/64 drift)",
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, queries, k=5)
+
+
+@Q.add(
+    "sim_ann_lsh",
+    None,  # approximate (plane-seeded) -> rows-only + pytest recall test
+    doc="ANN: random-hyperplane LSH buckets + exact in-bucket rerank",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_bucket_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(e, k=5, n_planes=6, seed=42)
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+
+@Q.add(
+    "text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="per-language corpus stats: docs, tokens, chars",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("__t", token_count_ws(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("__t").cast("double") / F.count("*"), 4).alias("avg_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@Q.add(
+    "lang_filter",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'fr')
+    GROUP BY source, lang
+    """,
+    doc="language partition filter + per-source counts",
+)
+def lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("en", "fr"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@Q.add(
+    "lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {duckdb_lang_id('text')} AS predicted_lang
+    FROM documents
+    """,
+    doc="marker-stopword language-ID heuristic vs the labeled lang",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@Q.add(
+    "quality_score",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) /
+                 GREATEST(length(text), 1), 4) AS punct_ratio,
+           ROUND(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','and','of','to','in','is','a'], t))) /
+                 GREATEST(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+           ROUND((length(text) - (len(string_split(text, ' ')) - 1)) /
+                 GREATEST(len(string_split(text, ' ')), 1), 4) AS mean_token_len
+    FROM documents
+    """,
+    doc="quality features: length/punct/stopword/token-shape ratios",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+@Q.add(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+    FROM documents
+    """,
+    doc="whitespace + BPE-ish regex token counting",
+)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("ws_tokens"),
+        token_count_bpe(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@Q.add(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           {DUCKDB_FINGERPRINT.format(col='text')} AS fingerprint
+    FROM documents
+    """,
+    doc="bag-of-words md5 fingerprint (order/multiplicity-invariant)",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ===========================================================================
+# event-time windows (batch analogues of the streaming ops)
+# ===========================================================================
+
+
+@Q.add(
+    "session_window",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS epoch_s
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, epoch_s,
+             CASE WHEN epoch_s - lag(epoch_s) OVER w > 1800
+                  OR lag(epoch_s) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, epoch_s,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(epoch_s) AS sess_start, MAX(epoch_s) AS sess_end
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="gap-based sessionization (30 min) per user, batch form",
+)
+def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import session_aggregate, sessionize
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.expr("ts_ns DIV 1000000000")
+    )
+    sess = sessionize(e, gap_seconds=1800)
+    return session_aggregate(sess).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "sess_start",
+        "sess_end",
+    )
+
+
+@Q.add(
+    "tumbling_window",
+    """
+    SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 600) AS bucket_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="10-minute tumbling window counts (epoch-aligned, = streaming window())",
+)
+def tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import tumbling_window
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.expr("ts_ns DIV 1000000000")
+    )
+    return tumbling_window(e, width_seconds=600)
+
+
+# ===========================================================================
+# multimodal plumbing
+# ===========================================================================
+
+
+@Q.add(
+    "multimodal_meta",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           'fake/jpeg' AS format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
+    doc="binary payload + mapInPandas decode plumbing (deterministic fake "
+    "decoder; real codec stubbed — container has no image libs)",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, decode_media
+
+    d = load(spark, sf_dir, "documents")
+    media = attach_payload(d, "doc_id", "text")
+    return decode_media(media)

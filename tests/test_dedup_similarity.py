@@ -1,0 +1,121 @@
+"""Operator-level tests for dedup + similarity with constructed
+duplicates (the synthetic corpus has no exact dups, so behavior is
+pinned on purpose-built fixtures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_batch_processor_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    token_ngrams,
+)
+from llm_batch_processor_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+
+DOCS = [
+    # 0/1: identical; 2: one-token edit of 0; 3: unrelated; 4: near of 3
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3, "spark shuffles partitions across executors with adaptive query execution"),
+    (4, "spark shuffles partitions across executors with adaptive query planning"),
+    (5, "completely different content about embeddings and vector search stuff"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+def test_token_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",)], "text STRING")
+    got = df.select(token_ngrams(F.col("text"), 2).alias("g")).first()["g"]
+    assert got == ["a b", "b c", "c d"]
+    got3 = df.select(token_ngrams(F.col("text"), 3).alias("g")).first()["g"]
+    assert got3 == ["a b c", "b c d"]
+
+
+def test_exact_dedup_min_id_survives(spark):
+    res = exact_dedup(_docs(spark), ["text"], "doc_id").collect()
+    by_id = {r["doc_id"]: r["n_dups"] for r in res}
+    assert by_id[0] == 2  # docs 0 and 1 collapse, min id 0 survives
+    assert 1 not in by_id
+    assert by_id[2] == 1
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = minhash_pairs(
+        _docs(spark), shingle_n=2, jaccard_max_distance=0.6, num_hash_tables=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # identical
+    assert (0, 2) in got or (1, 2) in got  # one-token edit
+    assert all(5 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_hamming_orders_similarity(spark):
+    pairs = simhash_pairs(_docs(spark), max_hamming=20)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0  # identical text -> identical simhash
+    assert (0, 2) in got and got[(0, 2)] <= 20
+    # deterministic across runs
+    again = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark), max_hamming=20).collect()
+    }
+    assert got == again
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), n=1, min_jaccard=0.1)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    # docs 0 vs 2: distinct unigrams 11 each (12 tokens, 'again' dup +
+    # 'the' dup -> wait: compute directly instead of hand-counting)
+    a = set(DOCS[0][1].split())
+    c = set(DOCS[2][1].split())
+    expected = len(a & c) / len(a | c)
+    assert abs(got[(0, 2)] - expected) < 1e-12
+
+
+def test_connected_components_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a LONG, id_b LONG"
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9]], "id LONG")
+    labels = {r["id"]: r["cluster_id"] for r in connected_components(pairs, ids).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1  # chain collapses to min
+    assert labels[7] == labels[8] == 7
+    assert labels[9] == 9  # singleton maps to itself
+
+
+def _embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.normal(size=16).astype("float32")  # planted NN
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_brute_force_topk_finds_planted_neighbor(spark):
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = brute_force_topk(e, q, k=3).collect()
+    assert res[0]["neighbor_id"] == 1 and res[0]["rank"] == 1
+    assert len(res) == 3
+
+
+def test_lsh_bucket_recall_of_close_pair(spark):
+    e = _embeddings(spark)
+    res = lsh_bucket_topk(e, k=3, n_planes=4, seed=42, dim=16).collect()
+    mine = [r for r in res if r["query_id"] == 0]
+    # the planted near-identical vector lands in the same bucket
+    assert any(r["neighbor_id"] == 1 for r in mine)

@@ -1,0 +1,80 @@
+"""Sessionization boundary cases + multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_batch_processor_spark.operators.multimodal import (
+    attach_payload,
+    decode_image,
+    decode_media,
+    fake_decode,
+)
+from llm_batch_processor_spark.operators.sessionize import (
+    session_aggregate,
+    sessionize,
+    tumbling_window,
+)
+
+
+def _events(spark):
+    rows = [
+        # user 1: two sessions (gap 3000 > 1800 between e3 and e4)
+        (1, 1, 1000), (2, 1, 1500), (3, 1, 2000), (4, 1, 5000), (5, 1, 5100),
+        # user 2: single event
+        (6, 2, 1000),
+        # user 2... boundary: gap exactly 1800 stays in-session
+        (7, 2, 2800),
+    ]
+    return spark.createDataFrame(rows, "event_id LONG, user_id LONG, epoch_s LONG")
+
+
+def test_sessionize_gap_semantics(spark):
+    sess = sessionize(_events(spark), gap_seconds=1800)
+    got = {r["event_id"]: r["session_seq"] for r in sess.collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == 2
+    assert got[6] == 1
+    assert got[7] == 1  # gap == 1800 is NOT a new session (strict >)
+
+
+def test_session_aggregate(spark):
+    agg = session_aggregate(sessionize(_events(spark), gap_seconds=1800))
+    rows = {(r["user_id"], r["session_seq"]): r for r in agg.collect()}
+    assert rows[(1, 1)]["n_events"] == 3
+    assert rows[(1, 1)]["sess_start"] == 1000 and rows[(1, 1)]["sess_end"] == 2000
+    assert rows[(1, 2)]["n_events"] == 2
+    assert rows[(2, 1)]["n_events"] == 2
+
+
+def test_tumbling_window_alignment(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 0, 1.0), (2, 1, 599, 1.0), (3, 2, 600, 2.5), (4, 2, 1310, 0.5)],
+        "event_id LONG, user_id LONG, epoch_s LONG, value DOUBLE",
+    )
+    got = {r["bucket_start"]: r for r in tumbling_window(df, 600).collect()}
+    assert got[0]["n_events"] == 2 and got[0]["sum_value"] == 2.0
+    assert got[600]["n_events"] == 1
+    assert got[1200]["n_events"] == 1 and got[1200]["n_users"] == 1
+
+
+def test_multimodal_decode_roundtrip(spark):
+    df = spark.createDataFrame([("m1", "abcdef"), ("m2", "xy")], "id STRING, content STRING")
+    media = attach_payload(df, "id", "content")
+    out = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert out["m1"]["n_bytes"] == 6
+    assert out["m1"]["width"] == 6 % 640 + 16
+    assert out["m1"]["height"] == (6 * 7) % 480 + 16
+    assert out["m2"]["n_frames"] == 2 % 16 + 1
+    assert out["m1"]["format"] == "fake/jpeg"
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"\xff\xd8\xff")
+
+
+def test_fake_decode_is_pure():
+    assert fake_decode(b"abc") == fake_decode(b"abc")
+    assert fake_decode(b"abc")["width"] == 3 % 640 + 16
