@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared query inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query time = full plan execution via count() (no driver-side value
+transfer skews), measured after one warmup query to absorb JVM/codegen
+first-run cost. ``--explain name`` dumps a query's formatted physical
+plan instead (the optimization feedback loop).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=DEFAULT_SF_DIR)
+    ap.add_argument("--only", default="", help="comma-separated query subset")
+    ap.add_argument("--explain", default="", help="print formatted plan for one query")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    from llm_batch_processor_spark.queries import all_queries
+    from llm_batch_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = all_queries()
+
+    if args.explain:
+        df = qs[args.explain].fn(spark, args.sf)
+        df.explain("formatted")
+        return 0
+
+    only = {s for s in args.only.split(",") if s}
+    names = [n for n in qs if not only or n in only]
+
+    # warmup: absorb JVM startup + first-codegen cost outside the measurement
+    qs["agg_group"].fn(spark, args.sf).count()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(args.repeat):
+            t0 = time.time()
+            qs[name].fn(spark, args.sf).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf_label = os.path.basename(os.path.normpath(args.sf))
+    print(
+        json.dumps(
+            {
+                "metric": "full_inventory_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_label,
+                "n_queries": len(per_query),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
