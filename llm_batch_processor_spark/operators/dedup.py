@@ -22,8 +22,13 @@ suffice; falls to deterministic star-collapse if not converged).
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # exact
@@ -102,37 +107,39 @@ def minhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit SimHash of the token multiset, all JVM-side:
-    per-token xxhash64 -> per-bit +-1 votes -> sign -> packed BIGINT."""
-    toks = F.split(text_col, " ")
+def _simhash_pack_fn(hash_arrays: pd.Series) -> pd.Series:
+    """Vectorized SimHash vote+pack over per-token hash arrays.
 
-    # votes[b] = sum over tokens of (bit b of xxhash64(token) ? 1 : -1);
-    # bit positions are Python ints (shiftright requires literal numBits)
-    def bit_votes(t):
-        return F.array(
-            *[
-                F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for b in range(bits)
-            ]
+    bit b of simhash = sign of sum over tokens of (bit b of hash ? +1 : -1).
+    numpy does the 64-lane vote in one shot per doc; the token hashing
+    itself stays JVM-side (xxhash64) so results are engine-deterministic.
+    """
+    out = np.zeros(len(hash_arrays), dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, h in enumerate(hash_arrays):
+        if h is None or len(h) == 0:
+            continue
+        a = np.asarray(h, dtype=np.int64).view(np.uint64)
+        votes = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0).astype(
+            np.int64
+        ) * 2 - len(a)
+        out[i] = np.bitwise_or.reduce(
+            np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
         )
+    return pd.Series(out.view(np.int64))
 
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v),
-    )
-    packed = F.lit(0).cast("long")
-    for b in range(bits):
-        packed = packed.bitwiseOR(
-            F.when(
-                F.element_at(votes, b + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return packed
+
+def simhash_col(text_col):
+    """64-bit SimHash of the token multiset: JVM xxhash64 per token
+    (split -> transform), then one Arrow-batched numpy vote+pack.
+
+    An all-expression formulation (64 whens per token folded through
+    aggregate/zip_with) is possible but runs interpreted (higher-order
+    functions don't codegen) at ~10x the cost — the hybrid keeps the
+    scan/shuffle JVM-side and the O(tokens x 64) math vectorized."""
+    # pandas_udf is built lazily: decorating at import time needs a session
+    pack = F.pandas_udf(_simhash_pack_fn, "long")
+    return pack(F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t)))
 
 
 def simhash_pairs(
@@ -191,32 +198,166 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _dense_jaccard_pairs(
+    grams: DataFrame, vocab: int, t: float, id_dtype: str, block_size: int
+) -> DataFrame:
+    """Exact all-pairs Jaccard via blocked binary GEMM (small-vocab path).
+
+    ``grams``: (id, g) distinct postings. Grams get dense integer ids
+    (a tiny dimension table, broadcast), docs become gid arrays, blocks
+    of ~block_size docs each; every unordered block pair is one task
+    multiplying two {0,1} matrices."""
+    gid = (
+        grams.select("g")
+        .distinct()
+        .coalesce(1)
+        .select("g", (F.row_number().over(Window.orderBy("g")) - 1).alias("gid"))
+    )
+    per_doc = (
+        grams.join(F.broadcast(gid), "g")
+        .groupBy("id")
+        .agg(F.collect_list("gid").alias("gids"), F.count("*").alias("sz"))
+    )
+    n_blocks = max(1, math.ceil(per_doc.count() / block_size))
+    packed = (
+        per_doc.select(
+            F.pmod(F.xxhash64("id"), F.lit(n_blocks)).alias("b"),
+            F.struct("id", "gids", "sz").alias("r"),
+        )
+        .groupBy("b")
+        .agg(F.collect_list("r").alias("rows"))
+    )
+    block_pairs = (
+        packed.alias("A")
+        .join(packed.alias("B"), F.col("A.b") <= F.col("B.b"))
+        .select(
+            F.col("A.b").alias("ba"),
+            F.col("B.b").alias("bb"),
+            F.col("A.rows").alias("rows_a"),
+            F.col("B.rows").alias("rows_b"),
+        )
+    )
+
+    def unpack(rows):
+        ids = np.array([r["id"] for r in rows])
+        sz = np.array([r["sz"] for r in rows], dtype=np.float64)
+        M = np.zeros((len(rows), vocab), dtype=np.float32)
+        row_idx = np.repeat(
+            np.arange(len(rows)), [len(r["gids"]) for r in rows]
+        )
+        col_idx = np.concatenate([np.asarray(r["gids"]) for r in rows])
+        M[row_idx, col_idx] = 1.0
+        return ids, sz, M
+
+    def score(batches):
+        for pdf in batches:
+            out = {"id_a": [], "id_b": [], "jaccard": []}
+            for ba, bb, rows_a, rows_b in zip(
+                pdf["ba"], pdf["bb"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a, sz_a, A = unpack(rows_a)
+                ids_b, sz_b, B = unpack(rows_b)
+                inter = (A @ B.T).astype(np.float64)  # exact 0/1 counts
+                jacc = inter / (sz_a[:, None] + sz_b[None, :] - inter)
+                ii, jj = np.nonzero(jacc >= t)
+                ia, ib, jv = ids_a[ii], ids_b[jj], jacc[ii, jj]
+                keep = (ia < ib) if ba == bb else (ia != ib)
+                ia, ib, jv = ia[keep], ib[keep], jv[keep]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                out["id_a"].append(lo)
+                out["id_b"].append(hi)
+                out["jaccard"].append(jv)
+            if out["id_a"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in out.items()}
+                )
+
+    return block_pairs.mapInPandas(
+        score, schema=f"id_a {id_dtype}, id_b {id_dtype}, jaccard double"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
     min_jaccard: float = 0.5,
+    dense_vocab_limit: int = 16384,
+    block_size: int = 1024,
 ) -> DataFrame:
-    """Exact Jaccard over distinct token n-gram sets. Candidates are
-    pairs sharing >=1 gram (inverted-index self-join); exact at corpus
-    scale when paired with a doc-frequency cap on blocking grams."""
+    """Exact Jaccard over distinct token n-gram sets — adaptive strategy.
+
+    Small vocabulary (<= dense_vocab_limit distinct grams): blocked
+    dense GEMM. Each doc is a binary gram-incidence vector; pairwise
+    intersection counts are one matrix multiply per block pair
+    (|a n b| = A @ B.T), jaccard = inter/(sz_a+sz_b-inter). When the
+    vocabulary is tiny every doc pair shares grams, so ANY join-based
+    candidate scheme degenerates to ~n^2/2 shuffled rows — the GEMM
+    does the same n^2 work as a BLAS kernel with zero shuffle beyond
+    n_blocks^2 block sends. Counts are exact (0/1 sums << fp32 ulp).
+
+    Large vocabulary: AllPairs-style prefix filtering
+    (Bayardo/Ma/Srikant, WWW'07 — public). Order every doc's gram set
+    by GLOBAL rarity (doc-frequency asc, gram asc — a total order) and
+    index only the first ``|d| - ceil(t*|d|) + 1`` grams: any pair with
+    Jaccard >= t must share a prefix gram, so candidates shrink to
+    rare-gram collisions while staying EXACT. A size filter
+    (``t*|a| <= |b| <= |a|/t``) prunes further before verification
+    against the full gram arrays (array_intersect)."""
+    t = float(min_jaccard)
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
     )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    id_dtype = [
+        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
+    ][0]
+
+    vocab = grams.select("g").distinct().count()
+    if vocab <= dense_vocab_limit:
+        return _dense_jaccard_pairs(grams, vocab, t, id_dtype, block_size)
+    gram_df = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+    per_doc = (
+        grams.join(gram_df, "g")
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("gdf", "g"))).alias("ordered"),
+            F.count("*").alias("sz"),
+        )
+        .withColumn("gset", F.transform("ordered", lambda x: x["g"]))
+        .withColumn(
+            "prefix",
+            F.slice(
+                F.col("gset"),
+                1,
+                (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int"),
+            ),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    posts = per_doc.select("id", "sz", F.explode("prefix").alias("g"))
+    a, b = posts.alias("a"), posts.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets_a = per_doc.select(
+        F.col("id").alias("id_a"), F.col("gset").alias("gs_a"), F.col("sz").alias("sz_a")
+    )
+    sets_b = per_doc.select(
+        F.col("id").alias("id_b"), F.col("gset").alias("gs_b"), F.col("sz").alias("sz_b")
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("gs_a", "gs_b")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
@@ -236,19 +377,79 @@ def embedding_pairs(
     min_cosine: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 2048,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine >= threshold, id_a < id_b.
-    Brute-force scoring (small/medium corpora); at scale swap the
-    candidate generator for lsh buckets (operators.similarity)."""
-    from ..functions.vectors import cosine
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", cosine("__a", "__b"))
-        .filter(F.col("__cos") >= min_cosine)
-        .select("id_a", "id_b")
+    Blocked matrix-multiply: vectors are hashed into ~block_size blocks,
+    each unordered block pair becomes one task computing a normalized
+    GEMM (numpy, Arrow-batched) and emitting only above-threshold pairs.
+    All-pairs is inherently O(n^2) — blocking makes the constant a BLAS
+    kernel and shards the work into n_blocks^2/2 independent tasks, each
+    O(block_size^2) memory. Row-level expression math on 2 M+ joined
+    pairs (the naive join) is ~100x slower and shuffles every pair.
+
+    For corpora where even a sharded n^2 is too much, generate
+    candidates with LSH buckets first (operators.similarity) and verify
+    those — same verify kernel."""
+    n = df.count()
+    n_blocks = max(1, math.ceil(n / block_size))
+
+    packed = (
+        df.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("b"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .groupBy("b")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    )
+    block_pairs = (
+        packed.alias("A")
+        .join(packed.alias("B"), F.col("A.b") <= F.col("B.b"))
+        .select(
+            F.col("A.b").alias("ba"),
+            F.col("B.b").alias("bb"),
+            F.col("A.rows").alias("rows_a"),
+            F.col("B.rows").alias("rows_b"),
+        )
+    )
+    thresh = float(min_cosine)
+    id_dtype = [f.dataType.simpleString() for f in df.schema.fields if f.name == id_col][0]
+
+    def score_blocks(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ba, bb, rows_a, rows_b in zip(
+                pdf["ba"], pdf["bb"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a = np.array([r["id"] for r in rows_a])
+                ids_b = np.array([r["id"] for r in rows_b])
+                A = np.array([r["v"] for r in rows_a], dtype=np.float64)
+                B = np.array([r["v"] for r in rows_b], dtype=np.float64)
+                A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+                B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+                sims = A @ B.T
+                ii, jj = np.nonzero(sims >= thresh)
+                ia, ib = ids_a[ii], ids_b[jj]
+                keep = ia != ib
+                ia, ib = ia[keep], ib[keep]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                if ba == bb:  # self pair: each (i,j) appears twice, keep one
+                    dedup_mask = ia < ib
+                    lo, hi = lo[dedup_mask], hi[dedup_mask]
+                out_a.append(lo)
+                out_b.append(hi)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                    }
+                )
+
+    return block_pairs.mapInPandas(
+        score_blocks, schema=f"id_a {id_dtype}, id_b {id_dtype}"
     )
 
 
@@ -268,13 +469,25 @@ def connected_components(
     Returns (id, cluster_id) for every id in ``all_ids`` (singletons map
     to themselves). Each round joins labels across edges and keeps the
     min — one shuffle per round; near-dup components are tiny/shallow,
-    so rounds ~ component diameter (bounded by max_iter)."""
+    so rounds ~ component diameter (bounded by max_iter, with an
+    early-stop when a round changes no label).
+
+    The edge set is materialized ONCE up front (eager localCheckpoint):
+    pairs usually arrive from an expensive generator (an LSH join), and
+    an iterative consumer would otherwise re-execute that whole lineage
+    every round — at sf0.1 that was 3x the pair-generation cost itself.
+    Per-round labels are likewise checkpointed so the plan stays O(1)
+    deep instead of O(rounds). On a cluster use spark.checkpoint dirs;
+    localCheckpoint keeps the same semantics in local mode."""
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = all_ids.select(F.col(id_col).alias("u"), F.col(id_col).alias("cluster_id"))
+    labels = all_ids.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v2"), edges.v == F.col("v2"))
@@ -288,9 +501,14 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (F.coalesce(F.col("nmin"), F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "__changed"
+                ),
             )
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        # local mode: cut the growing lineage; on a cluster, checkpointing
-        labels = labels.localCheckpoint(eager=False) if hasattr(labels, "localCheckpoint") else labels
+        changed = new_labels.filter("__changed").limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
     return labels.select(F.col("u").alias(id_col), "cluster_id")

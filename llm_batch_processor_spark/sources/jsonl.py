@@ -38,10 +38,10 @@ RECORD_STRUCT = StructType(
 )
 
 
-def read_records(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    """Return (good, corrupt): parsed records + dead-letter raw lines."""
+def parse_record_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared batch/streaming parse: raw ``value`` lines -> (good, corrupt)."""
     parsed = (
-        spark.read.text(path)
+        lines
         .filter(F.regexp_replace("value", r"^\s+|\s+$", "") != "")  # blank: silent skip
         .select(
             F.col("value").alias("raw"),
@@ -65,6 +65,11 @@ def read_records(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         F.col("rec").isNull() | F.col(f"rec.{CORRUPT}").isNotNull()
     ).select("raw")
     return good, corrupt
+
+
+def read_records(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Return (good, corrupt): parsed records + dead-letter raw lines."""
+    return parse_record_lines(spark.read.text(path))
 
 
 def to_jsonl_column(df: DataFrame) -> DataFrame:
