@@ -75,13 +75,14 @@ def make_session_fn(gap_seconds: int):
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
+        # unit-safe epoch micros (pandas may hand us datetime64[ns] or [us])
+        ts_us = rows["ts"].values.astype("datetime64[us]").astype("int64")
         vals = rows["value"].fillna(0.0)
 
         if state.exists:
             start_us, last_us, n, vsum = state.get
         else:
-            t0 = int(ts_us.iloc[0])
+            t0 = int(ts_us[0])
             start_us, last_us, n, vsum = t0, t0, 0, 0.0
 
         closed = []

@@ -1,0 +1,210 @@
+"""Structured Streaming smoke tests: the LLM job under readStream
+(file-source micro-batches, availableNow), watermarked tumbling
+windows, and the applyInPandasWithState sessionizer.
+
+The reference's "stream" is blocking stdin (lib/job_processor.rb:16);
+these pin that the SAME operators run incrementally with checkpointed
+state and that late data beyond the watermark is bounded out.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from llm_batch_processor_spark.job.backend import MockChatBackend
+from llm_batch_processor_spark.job.spec import JobSpec
+from llm_batch_processor_spark.streaming.job import run_stream_job
+from llm_batch_processor_spark.streaming.stateful import sessionize_stateful
+from llm_batch_processor_spark.streaming.windows import tumbling_counts_stream
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("user_id", StringType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _await(query, timeout_s: int = 120) -> None:
+    assert query.awaitTermination(timeout_s), "stream did not finish in time"
+
+
+def test_stream_job_matches_batch_and_routes_errors(spark, tmp_path):
+    inp, out, errs, ckpt = (
+        tmp_path / "in",
+        tmp_path / "out",
+        tmp_path / "errs",
+        tmp_path / "ckpt",
+    )
+    inp.mkdir()
+    recs = [{"id": f"r{i}", "texts": {"input": f"msg {i}"}} for i in range(6)]
+    (inp / "a.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs[:3]) + "\n{not json}\n"
+    )
+    (inp / "b.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs[3:]) + "\n\n"  # blank: silent skip
+    )
+
+    spec = JobSpec.from_dict(
+        dict(
+            id="s",
+            erb_source="Say: {{ texts['input'] }}",
+            backend_endpoint="mock://x",
+            model="m1",
+            output_label="resp",
+        )
+    )
+    q = run_stream_job(
+        spark,
+        spec,
+        str(inp),
+        str(out),
+        str(ckpt),
+        MockChatBackend(),
+        error_path=str(errs),
+        max_files_per_trigger=1,  # force 2 micro-batches
+    )
+    _await(q)
+
+    got = {
+        r["id"]: r["texts"]["resp"]
+        for r in spark.read.json(str(out)).collect()
+    }
+    # every good record enriched, exactly once (checkpointed, no dupes)
+    import hashlib
+
+    want = {
+        r["id"]: "MOCK " + hashlib.md5(f"Say: {r['texts']['input']}".encode()).hexdigest()[:8]
+        for r in recs
+    }
+    assert got == want
+    # corrupt line landed in the dead-letter sink; job did not die (A2/A3)
+    err_lines = [json.loads(r["value"]) for r in spark.read.text(str(errs)).collect()]
+    assert any("corrupt record" in e["error"] for e in err_lines)
+
+
+def _write_events(path, rows):
+    path.mkdir(exist_ok=True)
+    name = f"{len(list(path.iterdir())):03d}.json"
+    (path / name).write_text(
+        "\n".join(
+            json.dumps(
+                {"ts": ts, "user_id": u, "event_type": et, "value": v}
+            )
+            for ts, u, et, v in rows
+        )
+    )
+    time.sleep(1.1)  # file-source ordering is by mod time; keep it strict
+
+
+def test_tumbling_stream_emits_closed_windows_and_drops_late(spark, tmp_path):
+    src, ckpt = tmp_path / "events", tmp_path / "ckpt"
+    # batch 1: two 10-min windows starting 00:00 and 00:10
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:01:00", "u1", "click", 1.0),
+            ("2026-01-01 00:05:00", "u2", "click", 1.0),
+            ("2026-01-01 00:11:00", "u1", "view", 1.0),
+        ],
+    )
+    # batch 2: advances the watermark far past both batch-1 windows
+    _write_events(src, [("2026-01-01 06:00:00", "u3", "click", 1.0)])
+    # batch 3: the advanced watermark takes effect (Spark applies the
+    # updated watermark to the batch AFTER the one that moved max event
+    # time); both batch-1 windows are emitted here
+    _write_events(src, [("2026-01-01 06:30:00", "u3", "click", 1.0)])
+    # batch 4: a late event for the (already emitted) 00:00 window, now
+    # beyond the in-effect watermark -> must be DROPPED, not re-emitted
+    _write_events(src, [("2026-01-01 00:02:00", "u9", "click", 1.0)])
+
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    counts = tumbling_counts_stream(events, "10 minutes", "30 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (str(r["win_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    # both batch-1 windows were closed by the watermark jump and emitted
+    # exactly once, WITHOUT the late u9 event
+    assert got[("2026-01-01 00:00:00", "click")] == 2
+    assert got[("2026-01-01 00:10:00", "view")] == 1
+    # the 06:00 window is still open (nothing after it) -> not emitted
+    assert not any(k[0].startswith("2026-01-01 06") for k in got)
+
+
+def test_stateful_sessionizer_gap_close_and_timeout(spark, tmp_path):
+    src, ckpt = tmp_path / "events", tmp_path / "ckpt"
+    # batch 1: one session for u1 (2 events, 10 min apart)
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:00:00", "u1", "click", 1.0),
+            ("2026-01-01 00:10:00", "u1", "click", 2.0),
+        ],
+    )
+    # batch 2: u1 event 2h later -> gap-closes session 1 in-stream;
+    # far-future u2 event pushes the watermark past session 2's timeout
+    _write_events(
+        src,
+        [
+            ("2026-01-01 02:10:00", "u1", "click", 4.0),
+            ("2026-01-01 08:00:00", "u2", "click", 1.0),
+        ],
+    )
+    # batch 3: lets the state-store fire session 2's event-time timeout
+    _write_events(src, [("2026-01-01 09:00:00", "u2", "click", 1.0)])
+
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sessions = sessionize_stateful(events, gap_seconds=1800, watermark="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    rows = spark.sql(
+        "SELECT * FROM sessions_test WHERE user_id = 'u1' ORDER BY sess_start"
+    ).collect()
+    # session 1: closed by the in-stream gap (batch 2)
+    assert len(rows) >= 1
+    s1 = rows[0]
+    assert str(s1["sess_start"]) == "2026-01-01 00:00:00"
+    assert str(s1["sess_end"]) == "2026-01-01 00:10:00"
+    assert s1["n_events"] == 2 and s1["value_sum"] == pytest.approx(3.0)
+    if len(rows) > 1:  # session 2 emitted via event-time timeout in batch 3
+        s2 = rows[1]
+        assert str(s2["sess_start"]) == "2026-01-01 02:10:00"
+        assert s2["n_events"] == 1 and s2["value_sum"] == pytest.approx(4.0)
