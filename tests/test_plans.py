@@ -1,0 +1,93 @@
+"""Plan-shape assertions: the 100 TB posture, pinned.
+
+Row-correctness is the driver oracle's job; these tests pin HOW the
+hot queries execute — filter pushdown into parquet, column pruning,
+broadcast dims, map-side partial aggregation, TakeOrdered top-k. A
+regression here is a silent 10-100x at scale even with green results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from llm_batch_processor_spark.plans import (
+    broadcast_join_count,
+    formatted_plan,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+    recommend_conf,
+    shuffle_count,
+    whole_stage_codegen_count,
+)
+from llm_batch_processor_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def _df(qs, name, spark):
+    return qs[name].fn(spark, SF)
+
+
+def test_filter_pushdown_reaches_parquet(spark, qs):
+    df = _df(qs, "filter_pred", spark)
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f or "l_shipdate" in f or "l_discount" in f for f in pf), pf
+
+
+def test_column_pruning_on_projection(spark, qs):
+    df = _df(qs, "project_expr", spark)
+    schemas = read_schemas(df)
+    assert schemas, "no file scan found"
+    # lineitem has 16 columns; the projection needs only a handful —
+    # the scan schema must not contain unreferenced wide columns
+    assert all("l_comment" not in s for s in schemas), schemas
+
+
+def test_dim_join_broadcasts(spark, qs):
+    # part is a small dim: the join must ship part, not shuffle lineitem
+    df = _df(qs, "join_broadcast", spark)
+    assert broadcast_join_count(df) >= 1
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_agg_is_partial_then_final(spark, qs):
+    # map-side combine before the shuffle: exactly one data shuffle, and
+    # HashAggregate appears both below (partial) and above (final) it
+    df = _df(qs, "agg_group", spark)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    # one shuffle for the groupBy — the orderBy rides AQE/TakeOrdered or
+    # a range exchange; the groupBy itself must not double-shuffle
+    assert shuffle_count(df) <= 2
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, qs):
+    assert has_take_ordered(_df(qs, "topk", spark))
+
+
+def test_multiway_join_broadcasts_all_dims(spark, qs):
+    # region/nation/customer are all tiny vs lineitem: every hop should
+    # broadcast rather than shuffle the fact table repeatedly
+    df = _df(qs, "join_multiway", spark)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_scan_stays_in_codegen(spark, qs):
+    df = _df(qs, "string_funcs", spark)
+    assert whole_stage_codegen_count(df) >= 1
+
+
+def test_recommend_conf_scales():
+    small = recommend_conf(10 * 1024**3, executors=1, cores_per_executor=8)
+    large = recommend_conf(100 * 1024**4, executors=1000, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) <= 64
+    # 100 TB / 1000 execs: capped at 8x cores, far below bytes/128MiB
+    assert int(large["spark.sql.shuffle.partitions"]) == 32000
+    assert large["spark.sql.adaptive.enabled"] == "true"
