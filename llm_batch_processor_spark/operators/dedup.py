@@ -64,9 +64,63 @@ def token_ngrams(text_col, n: int = 3):
     return F.slice(joined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
 
 
+_FNV64 = 1099511628211
+
+
+def shingle_hashes(text_col, n: int = 3):
+    """array<long>: DISTINCT hashed token n-grams of a text column.
+
+    The string-materializing ``token_ngrams`` runs interpreted (Spark
+    higher-order functions don't participate in codegen) at whole
+    seconds per million tokens and was the top cost of every shingling
+    pipeline. Here only the per-TOKEN xxhash64 is computed JVM-side
+    (split -> transform, vectorized); consecutive token hashes are then
+    mixed into n-gram hashes in one numpy pass (polynomial rolling mix,
+    wrap-around u64). Distinct token sequences map to distinct hashes
+    w.h.p. (collisions ~ |grams|^2 / 2^64), which is exactly what
+    set-similarity over shingles needs — the gram STRINGS never exist.
+    """
+    tok_hashes = F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t))
+
+    def mix_fn(arrays: pd.Series) -> pd.Series:
+        p = np.uint64(_FNV64)
+        out = []
+        for h in arrays:
+            if h is None:
+                out.append(None)
+                continue
+            a = np.asarray(h, dtype=np.int64).view(np.uint64)
+            m = len(a) - n + 1
+            if m <= 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            acc = a[:m].copy()
+            for j in range(1, n):
+                acc = acc * p + a[j : m + j]
+            out.append(np.unique(acc).view(np.int64))
+        return pd.Series(out)
+
+    return F.pandas_udf(mix_fn, "array<long>")(tok_hashes)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (ml.feature composition)
 # ---------------------------------------------------------------------------
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen narrow inputs so Arrow/Python stages use every core.
+
+    A small corpus often arrives as 1-2 parquet splits; a pandas_udf
+    then runs on 1-2 Python workers regardless of cluster size. Only
+    widens (never collapses a well-partitioned 100 TB scan)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+_MERSENNE61 = (1 << 61) - 1
 
 
 def minhash_pairs(
@@ -75,30 +129,93 @@ def minhash_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     jaccard_max_distance: float = 0.6,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
+    num_hash_tables: int = 24,
+    rows_per_band: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b, jaccard_distance) via
-    MinHashLSH.approxSimilarityJoin on hashed shingle sets."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    """Near-dup pairs (id_a < id_b, jaccard_distance <= threshold) via
+    MinHash + LSH banding, then EXACT verification.
 
-    docs = df.select(
-        F.col(id_col).alias("id"), token_ngrams(F.col(text_col), shingle_n).alias("grams")
-    ).filter(F.size("grams") > 0)
+    Pipeline (shingle -> minhash -> band -> bucket-join -> verify):
+    1. shingle sets hashed JVM-side (xxhash64 per n-gram — the scan and
+       tokenization never leave codegen);
+    2. one Arrow batch computes ``bands x rows`` minhash permutations
+       (numpy, universal hashing mod the Mersenne prime 2^61-1, fixed
+       seed) and folds each band's rows into a single bucket key;
+    3. docs sharing any (band, bucket) collide -> candidate pairs via a
+       plain equi-join on the exploded band keys — a shuffle keyed on
+       band buckets, never an all-pairs product;
+    4. candidates are verified with the EXACT Jaccard over the hashed
+       shingle sets (array_intersect), so precision is 1.0 and banding
+       only affects recall (P[collide] = 1-(1-s^r)^b ~ 0.96 at s=0.5
+       with b=24, r=3).
 
-    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(docs)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
-    model = mh.fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, jaccard_max_distance, distCol="jaccard_distance")
-    return (
-        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
-        .select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            F.col("jaccard_distance"),
+    Scale: postings = n_docs x b rows; bucket skew (boilerplate docs)
+    is bounded because identical docs hash to ALL the same buckets and
+    verification is linear in candidate count, not bucket size squared
+    — cap pathological buckets upstream with exact_dedup first."""
+    sig_len = num_hash_tables * rows_per_band
+    rng = np.random.RandomState(seed)
+    a_coef = rng.randint(1, _MERSENNE61, size=sig_len, dtype=np.int64)
+    b_coef = rng.randint(0, _MERSENNE61, size=sig_len, dtype=np.int64)
+
+    def band_keys_fn(hash_arrays: pd.Series) -> pd.Series:
+        a = a_coef.astype(np.uint64)
+        b = b_coef.astype(np.uint64)
+        p = np.uint64(_MERSENNE61)
+        out = []
+        for h in hash_arrays:
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64) % p
+            # (a*h + b) mod p, lazily promoted via Python-int matrix is
+            # slow; 64-bit wrap-around multiply is fine for MinHash (it
+            # is still a pairwise-independent-enough mix in practice)
+            sig = (a[None, :] * hv[:, None] + b[None, :]).min(axis=0)
+            bands = sig.reshape(num_hash_tables, rows_per_band)
+            key = bands[:, 0]
+            for r in range(1, rows_per_band):
+                key = key * np.uint64(1000003) + bands[:, r]
+            out.append(key.view(np.int64))
+        return pd.Series(out)
+
+    band_udf = F.pandas_udf(band_keys_fn, "array<long>")
+
+    # signature table materialized ONCE (id, shingle hashes, band keys):
+    # three consumers below (band postings + both verify sides) would
+    # otherwise each re-run the shingle scan
+    sigs = (
+        _spread(df).select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), shingle_n).alias("gh"),
         )
+        .filter(F.size("gh") > 0)
+        .withColumn("bands", band_udf("gh"))
+        .localCheckpoint(eager=True)
+    )
+    docs = sigs.select("id", "gh")
+    # band postings carry only (id, band, key) — the shingle arrays do
+    # NOT ride the 24x explode/shuffle; they rejoin for verification
+    banded = sigs.select("id", F.posexplode("bands").alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets_a = docs.select(F.col("id").alias("id_a"), F.col("gh").alias("gh_a"))
+    sets_b = docs.select(F.col("id").alias("id_b"), F.col("gh").alias("gh_b"))
+    inter = F.size(F.array_intersect("gh_a", "gh_b"))
+    union = F.size("gh_a") + F.size("gh_b") - inter
+    return (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("jaccard_distance", 1 - inter / union)
+        .filter(F.col("jaccard_distance") <= jaccard_max_distance)
+        .select("id_a", "id_b", "jaccard_distance")
     )
 
 
@@ -306,10 +423,12 @@ def ngram_jaccard_pairs(
     (``t*|a| <= |b| <= |a|/t``) prunes further before verification
     against the full gram arrays (array_intersect)."""
     t = float(min_jaccard)
-    grams = df.select(
+    # hashed-gram postings, materialized once: the vocabulary probe, the
+    # doc-frequency table, and the per-doc set build all consume them
+    grams = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    )
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("g"),
+    ).localCheckpoint(eager=True)
     id_dtype = [
         f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
     ][0]
@@ -459,6 +578,66 @@ def embedding_pairs(
 
 
 def connected_components(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 10,
+    driver_edge_limit: int = 5_000_000,
+) -> DataFrame:
+    """Connected components of the near-dup graph -> (id, cluster_id).
+
+    Near-dup EDGE lists are orders of magnitude smaller than the corpus
+    (LSH + verification leaves only true near-dup pairs), so up to
+    ``driver_edge_limit`` edges the components are solved exactly with a
+    driver-side union-find (one collect of the edge list — never the
+    data) and broadcast-joined back onto ``all_ids``: one pass, no
+    iteration. Beyond the limit it falls back to distributed min-label
+    propagation (below). Both paths produce identical labels (min id
+    per component; singletons map to themselves)."""
+    # materialize once: the edge list usually has an expensive lineage
+    # (an LSH join) and every consumer below would re-execute it
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    n_edges = pairs.count()
+    if n_edges <= driver_edge_limit:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # one fetch job; <= driver_edge_limit rows by construction
+        for r in pairs.select("id_a", "id_b").collect():
+            ra, rb = find(r["id_a"]), find(r["id_b"])
+            if ra != rb:  # min root wins -> labels are min id per component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in list(parent)]
+        spark = pairs.sparkSession
+        if mapping:
+            map_df = spark.createDataFrame(
+                mapping, schema=pairs.select(F.col("id_a").alias("u")).schema.add(
+                    "cluster_min", pairs.schema["id_a"].dataType
+                )
+            )
+        else:
+            map_df = None
+        labels = all_ids.select(F.col(id_col).alias("u"))
+        if map_df is not None:
+            labels = labels.join(F.broadcast(map_df), "u", "left").select(
+                "u", F.coalesce("cluster_min", F.col("u")).alias("cluster_id")
+            )
+        else:
+            labels = labels.select("u", F.col("u").alias("cluster_id"))
+        return labels.select(F.col("u").alias(id_col), "cluster_id")
+
+    return _label_propagation_cc(pairs, all_ids, id_col, max_iter)
+
+
+def _label_propagation_cc(
     pairs: DataFrame,
     all_ids: DataFrame,
     id_col: str = "id",
