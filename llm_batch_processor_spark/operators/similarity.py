@@ -19,11 +19,12 @@ Two strategies, per the scale playbook:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import dot, norm
 
 
 def brute_force_topk(
@@ -61,6 +62,81 @@ def brute_force_topk(
     )
 
 
+def _grouped_topk(
+    queries: DataFrame,
+    members: DataFrame,
+    k: int,
+    id_dtype: str,
+    dedup_pairs: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k WITHIN buckets, pairs never materialized.
+
+    ``queries``: (bucket, query_id, __q); ``members``: (bucket,
+    neighbor_id, __v). Each bucket becomes one cogrouped-pandas task
+    doing a normalized GEMM and emitting only that bucket's top-k per
+    query — rows out are n_queries x k per bucket, never |Q|x|M| pair
+    rows. The global top-k over all probed buckets is then a window
+    over a tiny frame. The global result is exact over the candidate
+    set: any global top-k neighbor is top-k within its own bucket.
+    ``dedup_pairs``: set when a pair can co-occur in several buckets
+    (multi-table LSH) so the window doesn't rank duplicates."""
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "__sim": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        Q = np.array(left["__q"].tolist(), dtype=np.float64)
+        V = np.array(right["__v"].tolist(), dtype=np.float64)
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        S = Q @ V.T
+        qids = left["query_id"].values
+        nids = right["neighbor_id"].values
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qids)):
+            mask = nids != qids[i]
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            svals = S[i, idx]
+            order = np.lexsort((nids[idx], -svals))[:k]  # sim desc, id asc
+            sel = idx[order]
+            out_q.append(np.full(len(sel), qids[i]))
+            out_n.append(nids[sel])
+            out_s.append(S[i, sel])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "__sim": np.concatenate(out_s),
+            }
+        )
+
+    per_bucket = (
+        queries.groupBy("bucket")
+        .cogroup(members.groupBy("bucket"))
+        .applyInPandas(
+            score, f"query_id {id_dtype}, neighbor_id {id_dtype}, __sim double"
+        )
+    )
+    if dedup_pairs:
+        per_bucket = per_bucket.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        per_bucket.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _id_dtype(df: DataFrame, id_col: str) -> str:
+    return [f.dataType.simpleString() for f in df.schema.fields if f.name == id_col][0]
+
+
 def _planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).astype(float).tolist()
@@ -83,6 +159,80 @@ def signature_col(vec_col: str, planes: list[list[float]]):
     return out
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs approximate top-k via an IVF (inverted-file) index.
+
+    1. Train a coarse quantizer: seeded KMeans on a sample (here: the
+       column itself; at 100 TB train on ~1M sampled rows — centroids
+       are tiny either way).
+    2. Assign every vector to its nearest centroid (one broadcast of
+       the centroid matrix inside a numpy pandas_udf — no shuffle).
+    3. Probe: each query searches its ``n_probe`` nearest cells; the
+       candidate join is an equi-join on cell id, so shuffle volume is
+       sum of cell sizes x n_probe, not n^2.
+    4. Exact cosine rerank inside the probed cells.
+
+    Recall rises with n_probe (n_probe == n_cells -> exact). Returns
+    (query_id, neighbor_id, rank)."""
+    feats = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("arr"),
+    )
+    # Train the coarse quantizer on a bounded driver-side SAMPLE (the
+    # FAISS recipe): centroids only need the density shape, and a numpy
+    # Lloyd loop on <=64k rows costs ms where an iterative distributed
+    # KMeans costs a full job round per Lloyd step. Assignment of the
+    # full corpus stays distributed below.
+    train = np.array(
+        feats.select("arr").limit(65536).toPandas()["arr"].tolist(),
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(seed)
+    centroids = train[rng.choice(len(train), size=min(n_cells, len(train)), replace=False)]
+    for _ in range(10):
+        d2 = ((train[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    def probe_fn(arrs: pd.Series) -> pd.Series:
+        C = centroids  # (n_cells, dim), shipped with the task closure
+        out = []
+        for a in arrs:
+            v = np.asarray(a, dtype=np.float64)
+            d = ((C - v) ** 2).sum(axis=1)
+            out.append(np.argsort(d, kind="stable")[:n_probe].astype(np.int32))
+        return pd.Series(out)
+
+    probe_udf = F.pandas_udf(probe_fn, "array<int>")
+
+    # one probe pass serves both sides: cell = nearest centroid
+    # (first probe), queries explode their n_probe nearest cells
+    sig = feats.withColumn("cells", probe_udf("arr")).localCheckpoint(eager=True)
+    assigned = sig.select(
+        F.element_at("cells", 1).alias("bucket"),
+        F.col("id").alias("neighbor_id"),
+        F.col("arr").alias("__v"),
+    )
+    queries = sig.select(
+        F.explode("cells").alias("bucket"),
+        F.col("id").alias("query_id"),
+        F.col("arr").alias("__q"),
+    )
+    # a neighbor lives in exactly one cell -> no cross-bucket duplicates
+    return _grouped_topk(queries, assigned, k, _id_dtype(vectors, id_col))
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     k: int,
@@ -97,25 +247,13 @@ def lsh_bucket_topk(
     (query_id, neighbor_id, rank)."""
     planes = _planes(n_planes, dim, seed)
     sig = vectors.select(
-        F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("__bucket")
-    )
+        F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("bucket")
+    ).localCheckpoint(eager=True)
     a = sig.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__q"),
-        F.col("__bucket"),
+        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
     )
     b = sig.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__v"),
-        F.col("__bucket"),
+        "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
     )
-    cand = a.join(b, "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.withColumn("__sim", cosine("__q", "__v"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    # single signature table -> one bucket per vector, no duplicates
+    return _grouped_topk(a, b, k, _id_dtype(vectors, id_col))

@@ -172,6 +172,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, k=5, n_planes=6, seed=42)
 
 
+@Q.add(
+    "sim_ann_ivf",
+    None,  # approximate (kmeans-seeded) -> rows-only + pytest recall test
+    doc="ANN: IVF coarse quantizer (seeded kmeans cells) + multi-probe "
+    "+ exact in-cell rerank",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(e, k=5, n_cells=16, n_probe=2, seed=42)
+
+
 # ===========================================================================
 # text analysis
 # ===========================================================================

@@ -119,3 +119,21 @@ def test_lsh_bucket_recall_of_close_pair(spark):
     mine = [r for r in res if r["query_id"] == 0]
     # the planted near-identical vector lands in the same bucket
     assert any(r["neighbor_id"] == 1 for r in mine)
+
+
+def test_ivf_recall_of_close_pair_and_exact_at_full_probe(spark):
+    from llm_batch_processor_spark.operators.similarity import ivf_topk
+
+    e = _embeddings(spark)
+    res = ivf_topk(e, k=3, n_cells=4, n_probe=1, seed=42).collect()
+    mine = [r for r in res if r["query_id"] == 0]
+    # near-identical vectors quantize to the same cell even at 1 probe
+    assert any(r["neighbor_id"] == 1 for r in mine)
+
+    # probing every cell degenerates to exact brute force
+    full = ivf_topk(e, k=3, n_cells=4, n_probe=4, seed=42)
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(e, q, k=3)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    assert got == want
