@@ -106,3 +106,116 @@ def decode_media(
             yield out
 
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: truncate/cycle payload to w*h bytes
+    (a real kernel decodes, scales, re-encodes — codec library needed)."""
+    target = width * height
+    if not payload:
+        return b"\x00" * target
+    reps = target // len(payload) + 1
+    return (payload * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """1:1 payload transform stage (the resize/transcode shape).
+
+    Partition flow: bytes in, bytes out, one Arrow hop — no shuffle; at
+    100 TB this pipelines with the scan and any downstream inference."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [resizer(p, width, height) for p in pdf["payload"]],
+                    "format": pdf["format"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def fake_frames(payload: bytes) -> list[bytes]:
+    """Deterministic fake framing: n_frames slices of the payload (the
+    real kernel demuxes a video container — codec library needed)."""
+    n = fake_decode(payload)["n_frames"]
+    if not payload:
+        return [b""] * n
+    step = max(1, len(payload) // n)
+    return [payload[i * step : (i + 1) * step] for i in range(n)]
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 1,
+    framer: Callable[[bytes], list[bytes]] = fake_frames,
+) -> DataFrame:
+    """1:N fan-out stage (video -> sampled frames), the batch shape a
+    frame sampler needs: each input row yields multiple output rows
+    inside the same Arrow batch, no explode of materialized arrays."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in enumerate(framer(payload)):
+                    if i % every_n == 0:
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Payload -> embedding stage (the CLIP/audio-embedding shape).
+
+    Deterministic fake featurizer: a rolling byte histogram projected to
+    ``dim`` floats in [-1, 1] — real models are inference services or
+    local weights (stubbed; not in this container). Output feeds the
+    similarity operators directly (array<float> embedding column)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                a = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                hist = np.bincount(a % dim, weights=a.astype(np.float64), minlength=dim)
+                denom = max(float(np.abs(hist).max()), 1.0)
+                feats.append((hist[:dim] / denom).astype(np.float32))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": feats})
+
+    return media.mapInPandas(run, "media_id string, embedding array<float>")

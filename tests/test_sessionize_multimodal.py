@@ -78,3 +78,37 @@ def test_real_decoder_is_explicit_stub():
 def test_fake_decode_is_pure():
     assert fake_decode(b"abc") == fake_decode(b"abc")
     assert fake_decode(b"abc")["width"] == 3 % 640 + 16
+
+
+def test_resize_and_frame_sample_and_features(spark):
+    from llm_batch_processor_spark.operators.multimodal import (
+        extract_features,
+        fake_frames,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("m1", "abcdefghij"), ("m2", "xy")], "id STRING, content STRING"
+    )
+    media = attach_payload(df, "id", "content")
+
+    # 1:1 transform: payload re-shaped to exactly width*height bytes
+    resized = {r["media_id"]: r for r in resize_media(media, 4, 3).collect()}
+    assert len(resized["m1"]["payload"]) == 12
+    assert resized["m2"]["width"] == 4 and resized["m2"]["height"] == 3
+
+    # 1:N fan-out: one row per sampled frame, deterministic frame count
+    frames = sample_frames(media, every_n=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    n1 = len(fake_frames(b"abcdefghij"))
+    assert sorted(by_id["m1"]) == list(range(0, n1, 2))
+
+    # featurizer: fixed-dim embedding, deterministic, similarity-ready
+    feats = {r["media_id"]: r["embedding"] for r in extract_features(media, dim=8).collect()}
+    assert len(feats["m1"]) == 8
+    again = {r["media_id"]: r["embedding"] for r in extract_features(media, dim=8).collect()}
+    assert feats["m1"] == again["m1"]  # deterministic
+    assert all(abs(x) <= 1.0 for x in feats["m1"])
