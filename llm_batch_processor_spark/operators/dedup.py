@@ -316,30 +316,22 @@ def simhash_pairs(
 
 
 def _dense_jaccard_pairs(
-    grams: DataFrame, vocab: int, t: float, id_dtype: str, block_size: int
+    sets_df: DataFrame, vocab: np.ndarray, t: float, id_dtype: str, block_size: int, n_docs: int
 ) -> DataFrame:
     """Exact all-pairs Jaccard via blocked binary GEMM (small-vocab path).
 
-    ``grams``: (id, g) distinct postings. Grams get dense integer ids
-    (a tiny dimension table, broadcast), docs become gid arrays, blocks
-    of ~block_size docs each; every unordered block pair is one task
+    ``sets_df``: (id, gh: array<long>) distinct hashed gram sets.
+    ``vocab``: the SORTED distinct gram hashes (tiny by definition of
+    this path — it was collected to the driver and ships with the task
+    closures; no dimension-table join, no posting explode/shuffle).
+    Docs map to {0,1} vectors with ``np.searchsorted``; blocks of
+    ~block_size docs each; every unordered block pair is one task
     multiplying two {0,1} matrices."""
-    gid = (
-        grams.select("g")
-        .distinct()
-        .coalesce(1)
-        .select("g", (F.row_number().over(Window.orderBy("g")) - 1).alias("gid"))
-    )
-    per_doc = (
-        grams.join(F.broadcast(gid), "g")
-        .groupBy("id")
-        .agg(F.collect_list("gid").alias("gids"), F.count("*").alias("sz"))
-    )
-    n_blocks = max(1, math.ceil(per_doc.count() / block_size))
+    n_blocks = max(1, math.ceil(n_docs / block_size))
     packed = (
-        per_doc.select(
+        sets_df.select(
             F.pmod(F.xxhash64("id"), F.lit(n_blocks)).alias("b"),
-            F.struct("id", "gids", "sz").alias("r"),
+            F.struct("id", "gh").alias("r"),
         )
         .groupBy("b")
         .agg(F.collect_list("r").alias("rows"))
@@ -357,12 +349,11 @@ def _dense_jaccard_pairs(
 
     def unpack(rows):
         ids = np.array([r["id"] for r in rows])
-        sz = np.array([r["sz"] for r in rows], dtype=np.float64)
-        M = np.zeros((len(rows), vocab), dtype=np.float32)
-        row_idx = np.repeat(
-            np.arange(len(rows)), [len(r["gids"]) for r in rows]
-        )
-        col_idx = np.concatenate([np.asarray(r["gids"]) for r in rows])
+        lens = [len(r["gh"]) for r in rows]
+        sz = np.array(lens, dtype=np.float64)
+        M = np.zeros((len(rows), len(vocab)), dtype=np.float32)
+        row_idx = np.repeat(np.arange(len(rows)), lens)
+        col_idx = np.searchsorted(vocab, np.concatenate([np.asarray(r["gh"]) for r in rows]))
         M[row_idx, col_idx] = 1.0
         return ids, sz, M
 
@@ -423,19 +414,32 @@ def ngram_jaccard_pairs(
     (``t*|a| <= |b| <= |a|/t``) prunes further before verification
     against the full gram arrays (array_intersect)."""
     t = float(min_jaccard)
-    # hashed-gram postings, materialized once: the vocabulary probe, the
-    # doc-frequency table, and the per-doc set build all consume them
-    grams = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(F.col(text_col), n)).alias("g"),
-    ).localCheckpoint(eager=True)
+    # hashed gram sets, materialized once: the vocabulary probe and both
+    # downstream strategies consume them
+    sets_df = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), n).alias("gh"),
+        )
+        .filter(F.size("gh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    n_docs = sets_df.count()
     id_dtype = [
         f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
     ][0]
 
-    vocab = grams.select("g").distinct().count()
-    if vocab <= dense_vocab_limit:
-        return _dense_jaccard_pairs(grams, vocab, t, id_dtype, block_size)
+    vocab_rows = (
+        sets_df.select(F.explode("gh").alias("g"))
+        .distinct()
+        .limit(dense_vocab_limit + 1)
+        .collect()
+    )
+    if len(vocab_rows) <= dense_vocab_limit:
+        vocab = np.sort(np.array([r["g"] for r in vocab_rows], dtype=np.int64))
+        return _dense_jaccard_pairs(sets_df, vocab, t, id_dtype, block_size, n_docs)
+    grams = sets_df.select("id", F.explode("gh").alias("g"))
     gram_df = grams.groupBy("g").agg(F.count("*").alias("gdf"))
     per_doc = (
         grams.join(gram_df, "g")

@@ -50,10 +50,9 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def partial_agg_count(df: DataFrame) -> int:
-    """Map-side (partial) hash aggregates — evidence of pre-shuffle combine."""
-    return len(re.findall(r"HashAggregate.*\bkeys=", formatted_plan(df))) // 2 + len(
-        re.findall(r"partial_", formatted_plan(df))
-    )
+    """Map-side (partial) aggregate functions — evidence of pre-shuffle
+    combine (``partial_sum``, ``partial_count``, ... in the plan)."""
+    return len(re.findall(r"\bpartial_\w+", formatted_plan(df)))
 
 
 def has_take_ordered(df: DataFrame) -> bool:
