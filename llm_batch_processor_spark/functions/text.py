@@ -12,13 +12,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 THINK_RE = r"(?s)<think>.*?</think>"
-# Ruby String#strip trims all leading/trailing whitespace incl. newlines;
-# SQL trim() only trims spaces, so use an anchored regex on both engines.
-TRIM_RE = r"^\s+|\s+$"
+# Ruby String#strip (the reference's post-clean, job_processor.rb:209)
+# trims exactly " \0\t\n\v\f\r" from both ends; SQL trim() only trims
+# spaces, so use an anchored regex on both engines. Java \s is
+# [ \t\n\x0B\f\r] (add \x00); RE2's \s lacks \x0B (add both).
+TRIM_RE = r"^[\s\x00]+|[\s\x00]+$"
 
 # DuckDB dialect twins (for oracle SQL builders)
 DUCKDB_THINK = "regexp_replace({col}, '<think>.*?</think>', '', 'gs')"
-DUCKDB_TRIM = r"regexp_replace({col}, '^\s+|\s+$', '', 'g')"
+DUCKDB_TRIM = r"regexp_replace({col}, '^[\s\x00\x0B]+|[\s\x00\x0B]+$', '', 'g')"
 
 
 def think_strip(col: Column) -> Column:
