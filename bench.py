@@ -5,10 +5,13 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Per-query time = full plan execution via count() (no driver-side value
-transfer skews), measured after one warmup query to absorb JVM/codegen
-first-run cost. ``--explain name`` dumps a query's formatted physical
-plan instead (the optimization feedback loop).
+Per-query time = full plan execution into the ``noop`` sink: every row
+is produced and serialized by the executors but nothing is collected —
+unlike ``count()``, Catalyst cannot prune the projection away, so scan
+and projection queries are charged for the work they claim. Measured
+after one warmup query to absorb JVM/codegen first-run cost.
+``--explain name`` dumps a query's formatted physical plan instead
+(the optimization feedback loop).
 """
 
 from __future__ import annotations
@@ -47,15 +50,18 @@ def main() -> int:
     only = {s for s in args.only.split(",") if s}
     names = [n for n in qs if not only or n in only]
 
+    def run_full(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # warmup: absorb JVM startup + first-codegen cost outside the measurement
-    qs["agg_group"].fn(spark, args.sf).count()
+    run_full(qs["agg_group"].fn(spark, args.sf))
 
     per_query: dict[str, float] = {}
     for name in names:
         best = None
         for _ in range(args.repeat):
             t0 = time.time()
-            qs[name].fn(spark, args.sf).count()
+            run_full(qs[name].fn(spark, args.sf))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         per_query[name] = round(best, 3)
