@@ -40,9 +40,10 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle) operators in the initial plan.
-    Broadcast exchanges are excluded — they ship a dim, not the data."""
+    Broadcast exchanges are excluded — they ship a dim, not the data.
+    Formatted plans render operators as ``(N) Exchange`` headers."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
