@@ -8,6 +8,7 @@ left untouched — pinned by spec/reasoning_removal_spec.rb:34-148.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -62,29 +63,37 @@ def token_count_bpe(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_RE))
 
 
-def _marker_score(text: Column, markers: list[str]) -> Column:
-    toks = F.split(text, " ")
-    arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
-
 def lang_id(text: Column) -> Column:
     """Marker-stopword language ID: argmax of per-language marker token
-    counts, first-in-LANG_ORDER tie-break, 'und' when all scores are 0."""
-    scores = {lang: _marker_score(text, LANG_MARKERS[lang]) for lang in LANG_ORDER}
-    # chained CASE: a language wins if score>0, strictly beats every
-    # earlier language, and is >= every later one (stable tie-break)
-    out = None
-    for lang in LANG_ORDER:
-        later = [o for o in LANG_ORDER if o != lang]
-        cond = scores[lang] > 0
-        for o in later:
-            if LANG_ORDER.index(o) < LANG_ORDER.index(lang):
-                cond = cond & (scores[lang] > scores[o])
-            else:
-                cond = cond & (scores[lang] >= scores[o])
-        out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
-    return out.otherwise(F.lit("und"))
+    counts, first-in-LANG_ORDER tie-break, 'und' when all scores are 0.
+
+    Arrow-batched kernel rather than expressions: the argmax CASE chain
+    references each per-language score ~2n times, and the score itself
+    is a higher-order ``filter`` that runs interpreted (no codegen, no
+    reliable subexpression elimination) — the expression form cost ~20
+    interpreted passes per row. Semantics are pinned against the DuckDB
+    twin (``duckdb_lang_id``) by the oracle."""
+    marker_sets = [(lang, frozenset(LANG_MARKERS[lang])) for lang in LANG_ORDER]
+
+    def f(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            counts = [0] * len(marker_sets)
+            for tok in t.split(" "):
+                for i, (_, ms) in enumerate(marker_sets):
+                    if tok in ms:
+                        counts[i] += 1
+            best_i, best = -1, 0
+            for i, c in enumerate(counts):  # first argmax == stable tie-break
+                if c > best:
+                    best, best_i = c, i
+            out.append(marker_sets[best_i][0] if best_i >= 0 else "und")
+        return pd.Series(out)
+
+    return F.pandas_udf(f, "string")(text)
 
 
 def duckdb_lang_id(col: str) -> str:
