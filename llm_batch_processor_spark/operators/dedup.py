@@ -287,26 +287,28 @@ def simhash_pairs(
         ).alias("bk"),
     ).select("id", "sh", "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
+    # the Hamming predicate rides the join itself: far fewer rows reach
+    # the dedup shuffle (a pair sharing several bands still collides
+    # several times, but non-near pairs never leave the join)
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+                <= F.lit(max_hamming)
+            ),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])  # a pair can share several bands
     )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return cand.select("id_a", "id_b", "hamming")
 
 
 # ---------------------------------------------------------------------------
