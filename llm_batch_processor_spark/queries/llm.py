@@ -31,6 +31,12 @@ _PROMPT_PREFIX = "Summarize: "
 
 def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # size inference batches upstream (pipeline.py contract): the test
+    # table is a single parquet split, which would serialize the whole
+    # corpus through one Python worker
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
     return d.select(
         F.col("doc_id").cast("string").alias("id"),
         F.create_map(F.lit("content"), F.col("text")).alias("texts"),
