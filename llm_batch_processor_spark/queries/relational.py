@@ -318,6 +318,26 @@ def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @Q.add(
+    "join_salted",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, round(o.o_totalprice, 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="skew-salted equi join (deterministic row-hash salt scatters hot "
+    "keys over 8 reducers, small side replicated) — oracle is the PLAIN "
+    "join: salting must be result-invariant",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    return salted_join(o, c, "custkey", salt=8).select(
+        "o_orderkey", "c_name", "c_mktsegment", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@Q.add(
     "join_broadcast",
     f"""
     SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
