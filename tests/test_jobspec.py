@@ -127,3 +127,54 @@ def test_inline_erb_source_skips_file_requirement():
              model="m", output_label="o")
     )
     assert spec.user_template_source() == "{{ texts['a'] }}"
+
+
+class _FakeResp:
+    def __init__(self, body):
+        self._body = body
+
+    def raise_for_status(self):
+        pass
+
+    def json(self):
+        return self._body
+
+
+class _FakeSession:
+    def __init__(self, body):
+        self.body = body
+        self.calls = []
+
+    def post(self, url, data=None, headers=None, timeout=None):
+        self.calls.append({"url": url, "data": data, "headers": headers, "timeout": timeout})
+        return _FakeResp(self.body)
+
+
+def test_openai_backend_request_payload_and_response_extraction():
+    # mirrors spec/json_mode_spec.rb:350-370 (request payload assertion)
+    import json as _json
+
+    be = OpenAIChatBackend("http://h:8080/v1", api_key="sk-test")
+    fake = _FakeSession({"choices": [{"message": {"content": "hi"}}]})
+    be._session = fake
+    out = be.chat(
+        [{"role": "user", "content": "q"}],
+        model="m1",
+        params={"temperature": 0.3, "max_tokens": 5},
+        response_format={"type": "json_object"},
+        timeout=123.0,
+    )
+    assert out == "hi"
+    call = fake.calls[0]
+    assert call["url"] == "http://h:8080/v1/chat/completions"
+    assert call["timeout"] == 123.0
+    assert call["headers"]["Authorization"] == "Bearer sk-test"
+    payload = _json.loads(call["data"])
+    assert payload["model"] == "m1"
+    assert payload["temperature"] == 0.3 and payload["max_tokens"] == 5
+    assert payload["response_format"] == {"type": "json_object"}
+
+    # empty choices -> '' (job_processor.rb:173 default)
+    be2 = OpenAIChatBackend("http://h:8080")
+    be2._session = _FakeSession({"choices": []})
+    assert be2.chat([{"role": "user", "content": "q"}], "m", {}, None, 1.0) == ""
