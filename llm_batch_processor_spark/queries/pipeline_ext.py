@@ -325,6 +325,86 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@Q.add(
+    "split_train_val",
+    """
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  BETWEEN '0' AND 'c' THEN 'train' ELSE 'val' END AS split,
+             n_chars
+      FROM documents
+    )
+    GROUP BY split
+    """,
+    doc="deterministic content-hash train/val split (md5 hex prefix; "
+    "13/16 ~ 81% train) — stable across runs, engines, and partitionings; "
+    "the standard leakage-safe dataset split",
+)
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).between("0", "c"),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@Q.add(
+    "pack_sequences",
+    """
+    SELECT lang, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM (
+      SELECT lang, n_tokens,
+             CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS bin
+      FROM (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               SUM(len(string_split(text, ' '))) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents
+      )
+    )
+    GROUP BY lang, bin
+    """,
+    doc="token-budget sequence packing: prefix-sum binning of docs into "
+    "4096-token training bins per language (cumulative window, "
+    "deterministic doc_id order) — the batch-shaping step before "
+    "example packing",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count_ws(F.col("text"))
+    return (
+        d.withColumn("n_tokens", toks)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(4096.0)).cast("bigint"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+    )
+
+
 # ===========================================================================
 # event-time windows (batch analogues of the streaming ops)
 # ===========================================================================
