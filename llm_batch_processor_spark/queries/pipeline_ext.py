@@ -325,6 +325,80 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+@Q.add(
+    "pii_redact",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(laced, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(laced, '{_URL_RE}')) AS n_urls,
+           regexp_replace(regexp_replace(laced, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_URL_RE}', '[URL]', 'g') AS redacted
+    FROM (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com via https://ex.org/' || CAST(doc_id AS VARCHAR)
+                  AS laced
+      FROM documents
+    )
+    """,
+    doc="PII scrub stage: email/URL detection counts + redaction "
+    "(C4/Dolma-style cleaning rule; deterministic laced inputs so the "
+    "kernel does real work on the synthetic corpus)",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    laced = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.org/"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(laced, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(laced, F.lit(_URL_RE), 0)).alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(laced, _EMAIL_RE, "[EMAIL]"), _URL_RE, "[URL]"
+        ).alias("redacted"),
+    )
+
+
+@Q.add(
+    "quality_filter",
+    r"""
+    SELECT lang, kept, COUNT(*) AS n_docs
+    FROM (
+      SELECT lang,
+             (len(string_split(text, ' ')) >= 10
+              AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) <=
+                  0.3 * GREATEST(length(text), 1)) AS kept
+      FROM documents
+    )
+    GROUP BY lang, kept
+    """,
+    doc="C4-style keep/drop filter (min tokens, max punctuation ratio) "
+    "with per-language keep counts — the gate stage of a cleaning "
+    "pipeline",
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    kept = (feats["n_tokens"] >= 10) & (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")))
+        <= 0.3 * F.greatest(F.length("text"), F.lit(1))
+    )
+    return (
+        d.withColumn("kept", kept)
+        .groupBy("lang", "kept")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 @Q.add(
     "split_train_val",
     """
