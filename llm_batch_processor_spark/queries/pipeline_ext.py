@@ -573,3 +573,36 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = attach_payload(d, "doc_id", "text")
     return decode_media(media)
+
+
+@Q.add(
+    "multimodal_frames",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(GREATEST(0, LEAST(n, (i + 1) * stp) - i * stp) AS BIGINT) AS frame_bytes
+    FROM (
+      SELECT doc_id, n, GREATEST(1, n // nf) AS stp, nf
+      FROM (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               octet_length(encode(text)) % 16 + 1 AS nf
+        FROM documents
+      )
+    ), unnest(range(nf)) AS t(i)
+    """,
+    doc="video-frame fan-out plumbing: 1 row in -> n_frames rows out "
+    "inside the Arrow batch (mapInPandas), deterministic fake demuxer "
+    "replicated arithmetically by the oracle",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, sample_frames
+
+    d = load(spark, sf_dir, "documents")
+    media = attach_payload(d, "doc_id", "text")
+    frames = sample_frames(media, every_n=1)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+    )
