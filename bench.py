@@ -53,8 +53,14 @@ def main() -> int:
     def run_full(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # warmup: absorb JVM startup + first-codegen cost outside the measurement
+    # warmup: absorb JVM startup + first-codegen cost outside the
+    # measurement, and fork the Python/Arrow worker pool (otherwise the
+    # first pandas_udf query is charged for ~32 interpreter startups)
     run_full(qs["agg_group"].fn(spark, args.sf))
+    from pyspark.sql import functions as F
+
+    warm = F.pandas_udf(lambda s: s, "long")
+    run_full(spark.range(0, 10_000, 1, 32).select(warm("id").alias("x")))
 
     per_query: dict[str, float] = {}
     for name in names:
