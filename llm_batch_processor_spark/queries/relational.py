@@ -760,6 +760,62 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@Q.add(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="pivot (crosstab): linestatus values become columns with count "
+    "and sum measures per returnflag (explicit value list — the only "
+    "scale-sane pivot; value discovery is a driver-side collect)",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is invalid inside pivot
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("F_qty"), F.lit(0)).cast("double").alias("qty_f"),
+        F.coalesce(F.col("O_qty"), F.lit(0)).cast("double").alias("qty_o"),
+    )
+
+
+@Q.add(
+    "agg_string_agg",
+    """
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="ordered string aggregation (collect_set -> sort -> join; "
+    "DuckDB string_agg DISTINCT ... ORDER BY twin)",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
 # ===========================================================================
 # B5 — window functions
 # ===========================================================================
@@ -792,6 +848,30 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w_tied).alias("rnk"),
         F.dense_rank().over(w_tied).alias("drnk"),
         F.ntile(4).over(w_det).alias("quart"),
+    )
+
+
+@Q.add(
+    "win_distribution",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(percent_rank() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey), 4) AS pct_rank,
+           ROUND(cume_dist() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey), 4) AS cume
+    FROM orders
+    """,
+    doc="distribution window functions: percent_rank / cume_dist per "
+    "customer by order value (fully tie-broken ordering)",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
 
 
