@@ -33,7 +33,9 @@ def main() -> int:
     ap.add_argument("--sf", default=DEFAULT_SF_DIR)
     ap.add_argument("--only", default="", help="comma-separated query subset")
     ap.add_argument("--explain", default="", help="print formatted plan for one query")
-    ap.add_argument("--repeat", type=int, default=1)
+    # per-query minimum over 2 passes by default: the measurement floor,
+    # robust to background load on a shared machine
+    ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
 
     from llm_batch_processor_spark.queries import all_queries
