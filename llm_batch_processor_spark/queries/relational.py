@@ -454,6 +454,53 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @Q.add(
+    "join_range_banded",
+    """
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b,
+           ROUND(ABS(a.value - b.value), 4) AS vdiff
+    FROM events a JOIN events b
+      ON a.event_type = 'purchase' AND b.event_type = 'purchase'
+     AND a.event_id < b.event_id
+     AND ABS(a.value - b.value) <= 0.1
+    """,
+    doc="PURE range join (no equi key -> Catalyst would BNLJ at O(n^2)) "
+    "rewritten as a banded equi-join: bin values by the band width, "
+    "probe side explodes +-2 neighbor bins, exact residual filter "
+    "decides membership. Shuffle is keyed on bins — the interval-join "
+    "binning rewrite that survives 100x scale. Oracle is the plain "
+    "non-equi SQL.",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps = 0.1
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    bin_col = F.floor(F.col("value") / F.lit(eps)).cast("long")
+    build = e.select(
+        F.col("event_id").alias("eid_b"), F.col("value").alias("vb"), bin_col.alias("bin")
+    )
+    probe = e.select(
+        F.col("event_id").alias("eid_a"),
+        F.col("value").alias("va"),
+        F.explode(
+            F.array(*[(bin_col + F.lit(d)).alias(f"b{d}") for d in range(-2, 3)])
+        ).alias("bin"),
+    )
+    return (
+        probe.join(build, "bin")
+        .filter(
+            (F.col("eid_a") < F.col("eid_b"))
+            & (F.abs(F.col("va") - F.col("vb")) <= eps)
+        )
+        .select(
+            "eid_a", "eid_b", F.round(F.abs(F.col("va") - F.col("vb")), 4).alias("vdiff")
+        )
+    )
+
+
+@Q.add(
     "join_multiway",
     f"""
     SELECT r.r_name,
