@@ -79,6 +79,15 @@ def test_multiway_join_broadcasts_all_dims(spark, qs):
     assert broadcast_join_count(df) >= 3
 
 
+def test_banded_range_join_avoids_nested_loop(spark, qs):
+    # the pure range join is written as bin-banded equi join: the plan
+    # must contain a hash/merge join on the bin key, never a BNLJ
+    df = _df(qs, "join_range_banded", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_scan_stays_in_codegen(spark, qs):
     df = _df(qs, "string_funcs", spark)
     assert whole_stage_codegen_count(df) >= 1
