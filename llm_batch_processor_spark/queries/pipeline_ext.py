@@ -325,6 +325,38 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@Q.add(
+    "text_fragments",
+    """
+    SELECT doc_id, CAST(i AS INT) AS frag_idx, parts[i + 1] AS fragment,
+           CAST(length(parts[i + 1]) AS INT) AS frag_chars
+    FROM (
+      SELECT doc_id, string_split(text, '. ') AS parts FROM documents
+    ), unnest(range(len(parts))) AS t(i)
+    """,
+    doc="sentence-fragment fan-out via a Python UDTF (lateral table "
+    "function — the Spark 4 UDTF registration path, distinct from "
+    "mapInPandas): one row per '. '-delimited fragment with position",
+)
+def text_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="frag_idx int, fragment string, frag_chars int")
+    class Fragments:
+        def eval(self, text: str):
+            for i, frag in enumerate((text or "").split(". ")):
+                yield i, frag, len(frag)
+
+    spark.udtf.register("fragments", Fragments)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.frag_idx, f.fragment, f.frag_chars
+        FROM __docs_for_udtf d, LATERAL fragments(d.text) f
+        """
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _URL_RE = r"https?://[^\s]+"
 
