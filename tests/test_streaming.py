@@ -208,3 +208,45 @@ def test_stateful_sessionizer_gap_close_and_timeout(spark, tmp_path):
         s2 = rows[1]
         assert str(s2["sess_start"]) == "2026-01-01 02:10:00"
         assert s2["n_events"] == 1 and s2["value_sum"] == pytest.approx(4.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from llm_batch_processor_spark.streaming.dedup import dedup_stream
+
+    src, ckpt = tmp_path / "events", tmp_path / "ckpt"
+    # batch 1: e1 twice (in-batch dup) + e2
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:01:00", "e1", "click", 1.0),
+            ("2026-01-01 00:01:00", "e1", "click", 1.0),
+            ("2026-01-01 00:02:00", "e2", "click", 1.0),
+        ],
+    )
+    # batch 2: e1 again (cross-batch dup within watermark) + e3
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:03:00", "e1", "click", 1.0),
+            ("2026-01-01 00:04:00", "e3", "click", 1.0),
+        ],
+    )
+
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    # user_id doubles as the record key in this fixture schema
+    deduped = dedup_stream(events, ["user_id"], watermark="30 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = [r["user_id"] for r in spark.sql("SELECT user_id FROM dedup_test").collect()]
+    assert sorted(got) == ["e1", "e2", "e3"]  # each key exactly once
