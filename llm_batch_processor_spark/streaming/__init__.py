@@ -12,8 +12,10 @@ Modules:
 - ``job``     — the A4-A10 LLM map as a streaming job (file in/out)
 - ``windows`` — watermarked tumbling + session windows over events
 - ``stateful``— custom stateful sessionizer via applyInPandasWithState
+- ``dedup``   — exact dedup with watermark-bounded state
 """
 
+from .dedup import dedup_stream
 from .job import run_stream_job
 from .source import read_record_stream
 from .windows import session_counts_stream, tumbling_counts_stream
@@ -23,4 +25,5 @@ __all__ = [
     "run_stream_job",
     "tumbling_counts_stream",
     "session_counts_stream",
+    "dedup_stream",
 ]
