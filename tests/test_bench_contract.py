@@ -1,0 +1,42 @@
+"""bench.py is executed by the correctness driver every round — a
+broken flag, import, or output line silently zeroes the BENCH record.
+Run it for real (subprocess, tiny sf + query subset) and validate the
+one-JSON-line contract."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_driver_contract_json():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "bench.py"),
+            "--sf",
+            "/root/testdata/sf0.001",
+            "--only",
+            "scan_parquet,agg_global",
+            "--repeat",
+            "1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # contract: ONE JSON line on stdout
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")]
+    assert len(lines) == 1, proc.stdout
+    rec = json.loads(lines[0])
+    assert rec["unit"] == "sec"
+    assert isinstance(rec["value"], (int, float))
+    assert set(rec["queries"]) == {"scan_parquet", "agg_global"}
+    assert all(isinstance(v, (int, float)) for v in rec["queries"].values())
+    assert "metric" in rec and "sf" in rec

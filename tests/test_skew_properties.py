@@ -97,3 +97,40 @@ def test_shingle_hashes_cardinality_matches_string_shingles(spark, texts, n):
     # distinct hashed shingles == distinct string shingles (no collisions
     # at these sizes) — the two formulations define the same sets
     assert hashed == strings
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=50_000),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=60, max_value=3600),
+)
+def test_sessionize_partition_invariants(spark, events, gap):
+    """Sessions partition each user's events; intra-session gaps are
+    <= gap, consecutive sessions are separated by > gap."""
+    from llm_batch_processor_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(u, i, s) for i, (u, s) in enumerate(events)],
+        "user_id STRING, event_id LONG, epoch_s LONG",
+    )
+    rows = sessionize(df, gap_seconds=gap).collect()
+    assert len(rows) == len(events)  # partition: every event labeled
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["epoch_s"], r["session_seq"])
+        )
+    for seq in by_user.values():
+        seq.sort()
+        for (t0, s0), (t1, s1) in zip(seq, seq[1:]):
+            if s0 == s1:
+                assert t1 - t0 <= gap  # inside a session: gap bound holds
+            else:
+                assert s1 == s0 + 1 and t1 - t0 > gap  # new session iff gap exceeded
