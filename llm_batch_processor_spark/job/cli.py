@@ -48,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
+    from pyspark.sql import functions as F
+
     from ..session import get_spark
     from ..sources.jsonl import read_records, to_jsonl_column, write_records
     from .backend import MockChatBackend, OpenAIChatBackend
@@ -76,15 +78,24 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Error: skipping malformed JSON line: {row['raw'][:200]}", file=sys.stderr)
 
         result = llm_map(good, spec, backend)
-        ok, errs = result.ok(), result.errors()
+        # cache before the ok/errors split: each sink would otherwise
+        # re-execute the nondeterministic inference UDF over every
+        # record (2x real LLM calls, and a transiently failing backend
+        # could drop a record from BOTH outputs or emit it twice)
+        out = result.df.cache()
+        try:
+            ok = out.filter(F.col("error").isNull()).drop("error")
+            errs = out.filter(F.col("error").isNotNull())
 
-        if args.output:
-            write_records(ok, args.output)
-        else:
-            for row in to_jsonl_column(ok).toLocalIterator():
-                print(row["line"])
-        for row in errs.select("id", "error").toLocalIterator():
-            print(f"Error: record id={row['id']}: {row['error']}", file=sys.stderr)
+            if args.output:
+                write_records(ok, args.output)
+            else:
+                for row in to_jsonl_column(ok).toLocalIterator():
+                    print(row["line"])
+            for row in errs.select("id", "error").toLocalIterator():
+                print(f"Error: record id={row['id']}: {row['error']}", file=sys.stderr)
+        finally:
+            out.unpersist()
         return 0
     finally:
         spark.stop()

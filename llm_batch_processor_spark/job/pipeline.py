@@ -185,9 +185,7 @@ def llm_map(records: DataFrame, spec: JobSpec, backend: ChatBackend) -> LLMMapRe
             F.col("id"),
             F.when(
                 F.col("__r.error").isNull(),
-                F.map_concat(
-                    texts_col, F.create_map(F.lit(spec.output_label), F.col("__resp"))
-                ),
+                enrich(texts_col, spec.output_label, F.col("__resp")),
             )
             .otherwise(texts_col)
             .alias("texts"),
@@ -199,5 +197,14 @@ def llm_map(records: DataFrame, spec: JobSpec, backend: ChatBackend) -> LLMMapRe
 
 
 def enrich(texts: Column, label: str, value: Column) -> Column:
-    """Reference A10's kernel: texts + {label: value} (map_concat)."""
-    return F.map_concat(texts, F.create_map(F.lit(label), value))
+    """Reference A10's kernel: texts + {label: value}.
+
+    The reference OVERWRITES an existing label (job_processor.rb:50 —
+    Ruby Hash#merge semantics, last wins); a bare map_concat would
+    instead abort the whole job with DUPLICATED_MAP_KEY under Spark's
+    default mapKeyDedupPolicy=EXCEPTION, so the old key is dropped
+    before concatenation."""
+    return F.map_concat(
+        F.map_filter(texts, lambda k, _: k != F.lit(label)),
+        F.create_map(F.lit(label), value),
+    )

@@ -15,9 +15,13 @@ Five strategies, each with a distinct scale/recall profile:
   (semantic near-dup); pairs via LSH bucketing or brute force.
 
 Pair outputs canonicalize as (id_a < id_b). :func:`connected_components`
-turns pairs into cluster ids (min-label propagation, bounded rounds —
-each round is one shuffle; near-dup graphs are shallow so few rounds
-suffice; falls to deterministic star-collapse if not converged).
+turns pairs into cluster ids: exact driver-side union-find up to a
+bounded edge count, else distributed min-label propagation with an
+early stop on convergence. The propagation fallback is bounded at
+``max_iter`` rounds (one shuffle each): a component whose diameter
+exceeds ``max_iter`` — only reachable on >5 M-edge graphs — is split
+into several stable labels rather than iterated indefinitely; raise
+``max_iter`` if such chain-shaped near-dup graphs are expected.
 """
 
 from __future__ import annotations
@@ -107,16 +111,36 @@ def shingle_hashes(text_col, n: int = 3):
 # ---------------------------------------------------------------------------
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Widen narrow inputs so Arrow/Python stages use every core.
+def _spread(
+    df: DataFrame, n_rows: int, rows_per_task: int = 256, big_threshold: int = 4_000_000
+) -> DataFrame:
+    """Right-size partitioning for the Arrow/Python signature stages.
 
     A small corpus often arrives as 1-2 parquet splits; a pandas_udf
-    then runs on 1-2 Python workers regardless of cluster size. Only
-    widens (never collapses a well-partitioned 100 TB scan)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    then runs on 1-2 Python workers regardless of cluster size. But the
+    opposite is as costly at check scale: blind-widening 500 docs to
+    defaultParallelism schedules 32 Python workers for ~16 rows each
+    (worker startup dominated the whole minhash pipeline). So:
+
+    - small/medium corpora (<= big_threshold rows) repartition to
+      ``ceil(n / rows_per_task)`` capped at defaultParallelism — enough
+      rows per task to amortize the Arrow worker, every core busy once
+      there's real work;
+    - bigger corpora keep their scan partitioning untouched — a 100 TB
+      parquet scan is already thousands of splits wide, and a blanket
+      repartition would be a full shuffle of the text payload (or worse,
+      a collapse to core count).
+
+    ``n_rows`` is passed in by callers that already count the corpus
+    (they all do, for strategy selection) — no ``df.rdd`` hop, which
+    forces full physical planning just to read a partition count."""
+    if n_rows > big_threshold:
+        return df
+    target = min(
+        df.sparkSession.sparkContext.defaultParallelism,
+        max(1, -(-n_rows // rows_per_task)),
+    )
+    return df.repartition(target)
 
 
 _MERSENNE61 = (1 << 61) - 1
@@ -180,16 +204,20 @@ def minhash_pairs(
 
     # signature table materialized ONCE (id, shingle hashes, band keys):
     # three consumers below (band postings + both verify sides) would
-    # otherwise each re-run the shingle scan
+    # otherwise each re-run the shingle scan. Small corpora use a lazy
+    # persist (first consumer fills the cache — no extra job); big ones
+    # cut lineage with an eager localCheckpoint so the downstream joins
+    # replan from materialized blocks.
+    n_docs = df.count()
     sigs = (
-        _spread(df).select(
+        _spread(df, n_docs).select(
             F.col(id_col).alias("id"),
             shingle_hashes(F.col(text_col), shingle_n).alias("gh"),
         )
         .filter(F.size("gh") > 0)
         .withColumn("bands", band_udf("gh"))
-        .localCheckpoint(eager=True)
     )
+    sigs = sigs.persist() if n_docs <= 1_000_000 else sigs.localCheckpoint(eager=True)
     docs = sigs.select("id", "gh")
     # band postings carry only (id, band, key) — the shingle arrays do
     # NOT ride the 24x explode/shuffle; they rejoin for verification
@@ -265,8 +293,20 @@ def simhash_pairs(
     max_hamming: int = 8,
     n_bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band equi-join (any shared 16-bit band)
-    -> exact Hamming distance filter. Returns (id_a, id_b, hamming)."""
+    """Near-dup pairs by SimHash: band equi-join (any shared band)
+    -> exact Hamming distance filter. Returns (id_a, id_b, hamming).
+
+    Recall bound (pigeonhole): a pair at Hamming distance h is
+    GUARANTEED to share a band only when ``h <= n_bands - 1``; beyond
+    that, candidates require the h flipped bits to happen to cluster
+    away from one band, so recall decays with h (precision stays 1.0 —
+    every emitted pair is exactly verified). Guaranteeing recall at
+    ``max_hamming = 8`` would need 9+ bands of ~7 bits, whose tiny
+    bucket keyspace degenerates toward all-pairs (the standard
+    Manku et al. trade-off); the 4x16-bit default is the conventional
+    high-precision operating point. Set ``n_bands = max_hamming + 1``
+    explicitly if guaranteed recall matters more than candidate volume.
+    """
     band_bits = 64 // n_bands
     sh = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh"))
     banded = sh.select(
@@ -416,15 +456,19 @@ def ngram_jaccard_pairs(
     against the full gram arrays (array_intersect)."""
     t = float(min_jaccard)
     # hashed gram sets, materialized once: the vocabulary probe and both
-    # downstream strategies consume them
+    # downstream strategies consume them (lazy persist below 1 M rows —
+    # the count right after fills the cache in the same job)
+    n_input = df.count()
     sets_df = (
-        _spread(df)
+        _spread(df, n_input)
         .select(
             F.col(id_col).alias("id"),
             shingle_hashes(F.col(text_col), n).alias("gh"),
         )
         .filter(F.size("gh") > 0)
-        .localCheckpoint(eager=True)
+    )
+    sets_df = (
+        sets_df.persist() if n_input <= 1_000_000 else sets_df.localCheckpoint(eager=True)
     )
     n_docs = sets_df.count()
     id_dtype = [
@@ -496,27 +540,139 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _hyperplane_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = 12,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing a random-hyperplane bucket
+    in ANY of ``n_tables`` independent tables.
+
+    One Arrow batch computes all ``n_tables x n_planes`` projections as
+    a single GEMM and bit-packs each table's signs into a bucket key;
+    candidates come from a (table, key) self-equi-join — shuffle volume
+    is n x n_tables posting rows, never n^2 pairs.
+
+    Recall math (Charikar hyperplane LSH): P[bit agrees] = 1 - theta/pi
+    for angle theta between the pair; P[same bucket in one table] =
+    p^n_planes; recall = 1 - (1 - p^n_planes)^n_tables. The defaults
+    (8 planes x 12 tables) give >0.99 recall at cosine >= 0.9 and ~0.9
+    at cosine 0.8 — tune n_planes DOWN / n_tables UP for lower
+    similarity targets (at cosine ~0.4 candidate generation approaches
+    all-pairs and the blocked-GEMM kernel is the honest choice)."""
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables * n_planes, dim))
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def keys_fn(arrs: pd.Series) -> pd.Series:
+        V = np.array(arrs.tolist(), dtype=np.float64)
+        bits = (V @ planes.T) >= 0.0
+        keys = (bits.reshape(len(V), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(keys.astype(np.int64)))
+
+    keys_udf = F.pandas_udf(keys_fn, "array<long>")
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        keys_udf(F.col(vec_col).cast("array<double>")).alias("keys"),
+    )
+    banded = sig.select("id", F.posexplode("keys").alias("tbl", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _verify_cosine_pairs(
+    cand: DataFrame,
+    vectors: DataFrame,
+    thresh: float,
+    id_col: str,
+    vec_col: str,
+    id_dtype: str,
+) -> DataFrame:
+    """Exact cosine verification of candidate pairs (the GEMM kernel at
+    row-pair granularity): join the two vectors onto each candidate and
+    batch-evaluate normalized dot products in numpy — only pairs at or
+    above ``thresh`` are emitted, so precision is 1.0 regardless of how
+    the candidates were generated."""
+    va = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va")
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb")
+    )
+    joined = cand.join(va, "id_a").join(vb, "id_b")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["__va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["__vb"].tolist(), dtype=np.float64)
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            sims = np.einsum("ij,ij->i", A, B)
+            m = sims >= thresh
+            if m.any():
+                yield pdf.loc[m, ["id_a", "id_b"]]
+
+    return joined.mapInPandas(score, schema=f"id_a {id_dtype}, id_b {id_dtype}")
+
+
 def embedding_pairs(
     df: DataFrame,
     min_cosine: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 2048,
+    strategy: str = "auto",
+    brute_force_limit: int = 200_000,
+    n_tables: int = 12,
+    n_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine >= threshold, id_a < id_b.
 
-    Blocked matrix-multiply: vectors are hashed into ~block_size blocks,
-    each unordered block pair becomes one task computing a normalized
-    GEMM (numpy, Arrow-batched) and emitting only above-threshold pairs.
-    All-pairs is inherently O(n^2) — blocking makes the constant a BLAS
-    kernel and shards the work into n_blocks^2/2 independent tasks, each
-    O(block_size^2) memory. Row-level expression math on 2 M+ joined
-    pairs (the naive join) is ~100x slower and shuffles every pair.
+    Size-gated dispatch (``strategy='auto'``):
 
-    For corpora where even a sharded n^2 is too much, generate
-    candidates with LSH buckets first (operators.similarity) and verify
-    those — same verify kernel."""
+    - up to ``brute_force_limit`` rows: blocked matrix-multiply.
+      Vectors are hashed into ~block_size blocks, each unordered block
+      pair becomes one task computing a normalized GEMM (numpy,
+      Arrow-batched) and emitting only above-threshold pairs. All-pairs
+      is inherently O(n^2) — blocking makes the constant a BLAS kernel
+      and shards the work into n_blocks^2/2 independent tasks, each
+      O(block_size^2) memory. This is the EXACT kernel (recall 1.0).
+    - beyond the limit: hyperplane-LSH candidate generation
+      (:func:`_hyperplane_candidates` — shuffle scales with n x
+      n_tables postings, not n^2 block pairs) followed by the same
+      exact cosine verification, so precision stays 1.0 and only
+      recall is probabilistic (see the candidate docstring for the
+      Charikar bound; defaults target cosine >= ~0.8 dedup).
+
+    ``strategy='brute'`` / ``'lsh'`` force a path (the planted-dup
+    equivalence pytest runs both and compares)."""
     n = df.count()
+    if strategy == "auto":
+        strategy = "brute" if n <= brute_force_limit else "lsh"
+    id_dtype_s = [
+        f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
+    ][0]
+    if strategy == "lsh":
+        cand = _hyperplane_candidates(df, id_col, vec_col, n_tables, n_planes, seed)
+        return _verify_cosine_pairs(
+            cand, df, float(min_cosine), id_col, vec_col, id_dtype_s
+        )
     n_blocks = max(1, math.ceil(n / block_size))
 
     packed = (
@@ -539,7 +695,7 @@ def embedding_pairs(
         )
     )
     thresh = float(min_cosine)
-    id_dtype = [f.dataType.simpleString() for f in df.schema.fields if f.name == id_col][0]
+    id_dtype = id_dtype_s
 
     def score_blocks(batches):
         for pdf in batches:
@@ -600,8 +756,10 @@ def connected_components(
     propagation (below). Both paths produce identical labels (min id
     per component; singletons map to themselves)."""
     # materialize once: the edge list usually has an expensive lineage
-    # (an LSH join) and every consumer below would re-execute it
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    # (an LSH join) and every consumer below would re-execute it. The
+    # count doubles as the cache fill (persist is lazy — one job, not
+    # an eager-checkpoint job plus a count job).
+    pairs = pairs.select("id_a", "id_b").persist()
     n_edges = pairs.count()
     if n_edges <= driver_edge_limit:
         parent: dict = {}
@@ -620,6 +778,7 @@ def connected_components(
             if ra != rb:  # min root wins -> labels are min id per component
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
+        pairs.unpersist()
         mapping = [(x, find(x)) for x in list(parent)]
         spark = pairs.sparkSession
         if mapping:

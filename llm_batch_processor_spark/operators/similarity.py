@@ -190,9 +190,20 @@ def ivf_topk(
     # FAISS recipe): centroids only need the density shape, and a numpy
     # Lloyd loop on <=64k rows costs ms where an iterative distributed
     # KMeans costs a full job round per Lloyd step. Assignment of the
-    # full corpus stays distributed below.
+    # full corpus stays distributed below. The sample is a seeded
+    # UNIFORM one — a bare .limit() reads the first partitions in scan
+    # order, which biases the centroids toward whatever slice of the
+    # corpus those files hold (recall, not correctness: rerank is exact).
+    max_train = 65536
+    n_vecs = feats.count()
+    sampled = feats.select("arr")
+    if n_vecs > max_train:
+        # 1.2x oversample so the post-sample limit is actually met
+        sampled = sampled.sample(
+            fraction=min(1.0, 1.2 * max_train / n_vecs), seed=seed
+        )
     train = np.array(
-        feats.select("arr").limit(65536).toPandas()["arr"].tolist(),
+        sampled.limit(max_train).toPandas()["arr"].tolist(),
         dtype=np.float64,
     )
     rng = np.random.RandomState(seed)
@@ -217,8 +228,10 @@ def ivf_topk(
     probe_udf = F.pandas_udf(probe_fn, "array<int>")
 
     # one probe pass serves both sides: cell = nearest centroid
-    # (first probe), queries explode their n_probe nearest cells
-    sig = feats.withColumn("cells", probe_udf("arr")).localCheckpoint(eager=True)
+    # (first probe), queries explode their n_probe nearest cells.
+    # Lazy persist: the cogroup's two consumers share one materialization
+    # without the extra eager-checkpoint job.
+    sig = feats.withColumn("cells", probe_udf("arr")).persist()
     assigned = sig.select(
         F.element_at("cells", 1).alias("bucket"),
         F.col("id").alias("neighbor_id"),
@@ -241,19 +254,45 @@ def lsh_bucket_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """All-pairs approximate top-k: candidates share an LSH bucket,
     exact cosine rerank inside the bucket. Returns
-    (query_id, neighbor_id, rank)."""
+    (query_id, neighbor_id, rank).
+
+    Hot-bucket handling: each bucket becomes one ``applyInPandas``
+    cogroup task, so a skewed bucket (boilerplate/dominant-direction
+    corpora) would otherwise be one task holding the whole bucket in
+    memory. Buckets above ``bucket_cap`` MEMBERS are sub-split by a
+    secondary hash of the member id; queries probe every sub-bucket of
+    their bucket, so each (query, member) pair still meets exactly once
+    and the result set is IDENTICAL to the unsplit one — the hot bucket
+    just runs as ceil(n/bucket_cap) bounded tasks instead of one
+    unbounded task (query-side replication x n_sub is the price). The
+    bucket-size table is bounded by 2^n_planes rows — broadcastable by
+    construction."""
     planes = _planes(n_planes, dim, seed)
     sig = vectors.select(
         F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("bucket")
-    ).localCheckpoint(eager=True)
-    a = sig.select(
-        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+    ).persist()
+    n_sub = F.ceil(F.count("*") / F.lit(bucket_cap)).cast("int")
+    sizes = sig.groupBy("bucket").agg(n_sub.alias("__nsub"))
+    sig2 = sig.join(F.broadcast(sizes), "bucket")
+    # combined key: bucket in the high bits, sub-bucket in the low 20
+    members = sig2.select(
+        (F.col("bucket").cast("bigint") * F.lit(1 << 20)
+         + F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsub"))).alias("bucket"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
     )
-    b = sig.select(
-        "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    queries = sig2.withColumn(
+        "__s", F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1))
+    ).select(
+        (F.col("bucket").cast("bigint") * F.lit(1 << 20) + F.col("__s")).alias(
+            "bucket"
+        ),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q"),
     )
-    # single signature table -> one bucket per vector, no duplicates
-    return _grouped_topk(a, b, k, _id_dtype(vectors, id_col))
+    # a member lives in exactly one sub-bucket -> no duplicate pairs
+    return _grouped_topk(queries, members, k, _id_dtype(vectors, id_col))

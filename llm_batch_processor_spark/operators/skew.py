@@ -38,7 +38,19 @@ def salted_join(
     the fact side. For two big sides, isolate the hot keys (frequency
     count), join them separately with a broadcast of their dim rows,
     and union with the normal join of the cold keys.
+
+    Only joins that never emit an UNMATCHED small-side row are allowed:
+    the small side is replicated ``salt`` times, so right/full outer
+    would emit each unmatched small row once per replica — not the
+    unsalted result.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows under "
+            "right/full outer joins"
+        )
     big_salted = big.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),

@@ -10,6 +10,7 @@ scale (shuffle partitions, broadcast threshold, file split sizes).
 """
 
 from .introspect import (
+    broadcast_hint_count,
     broadcast_join_count,
     formatted_plan,
     has_take_ordered,
@@ -26,6 +27,7 @@ __all__ = [
     "pushed_filters",
     "read_schemas",
     "shuffle_count",
+    "broadcast_hint_count",
     "broadcast_join_count",
     "partial_agg_count",
     "has_take_ordered",

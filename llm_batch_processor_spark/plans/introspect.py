@@ -47,7 +47,27 @@ def shuffle_count(df: DataFrame) -> int:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", formatted_plan(df)))
+    """Broadcast joins in the plan. Counts only the numbered operator
+    detail headers — the formatted explain renders every operator twice
+    (once in the tree, once as a ``(N) Op`` detail section), so a bare
+    substring count would double each join."""
+    return len(
+        re.findall(
+            r"\(\d+\) (?:BroadcastHashJoin|BroadcastNestedLoopJoin)\b",
+            formatted_plan(df),
+        )
+    )
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Author-FORCED broadcasts: ResolvedHint nodes in the analyzed
+    logical plan. Distinct from ``broadcast_join_count`` — Catalyst also
+    broadcasts sides that merely happen to be under the size threshold
+    at the current scale factor, which is a runtime choice, not a
+    declared one. A hint on a table that grows with data size is a
+    broadcast OOM at scale even though small-sf plans look identical."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    return len(re.findall(r"ResolvedHint.*broadcast", analyzed, re.IGNORECASE))
 
 
 def partial_agg_count(df: DataFrame) -> int:

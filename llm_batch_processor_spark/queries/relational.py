@@ -513,7 +513,11 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
     GROUP BY r.r_name
     """,
-    doc="5-table chain join (TPC-H Q5 shape) with broadcast dims",
+    doc="5-table chain join (TPC-H Q5 shape); broadcast hints only on the "
+    "genuinely bounded dims (nation: 25 rows, region: 5 rows, fixed at every "
+    "scale factor) — customer GROWS with sf (hundreds of millions of rows at "
+    "100 TB), so its join strategy is left to Catalyst/AQE, which picks "
+    "broadcast at small sf and shuffle/sort-merge when it no longer fits",
 )
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
@@ -523,7 +527,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")

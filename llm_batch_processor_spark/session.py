@@ -23,15 +23,38 @@ _RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# Performance confs that are runtime-settable and safe at every scale.
+# The correctness harness hands us ITS session (stock confs: 200 shuffle
+# partitions, AQE per Spark default) — without AQE coalesce, every
+# multi-shuffle dedup/LSH query at check scale runs hundreds of empty
+# tasks per stage, which measured ~2x slower end-to-end.
+_PERF_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
 
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
-    """Idempotently apply runtime confs needed for correct reads."""
-    for k, v in _RUNTIME_CONF.items():
+    """Idempotently apply runtime confs needed for correct reads, plus
+    scale-neutral perf defaults (AQE, Arrow). A shuffle-partition count
+    left at Spark's stock 200 is right-sized to 2x the session's cores;
+    an explicitly configured value is respected."""
+    for k, v in {**_RUNTIME_CONF, **_PERF_CONF}.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             spark.conf.set(k, v)
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(2 * spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     return spark
 
 

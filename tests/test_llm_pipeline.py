@@ -48,6 +48,21 @@ def test_enrich_contract_and_golden_mock(spark):
     assert out["b"]["images"] == []
 
 
+def test_existing_output_label_is_overwritten_not_fatal(spark):
+    # the reference OVERWRITES an existing output_label key
+    # (job_processor.rb:50, Hash#merge last-wins); a bare map_concat
+    # under mapKeyDedupPolicy=EXCEPTION would abort the whole job on
+    # such a record instead
+    rows = [("a", {"input": "hello", "resp": "stale value"}, [])]
+    res = llm_map(_records(spark, rows), _spec(), MockChatBackend())
+    out = res.ok().collect()
+    assert len(out) == 1
+    texts = out[0]["texts"]
+    digest = hashlib.md5("Say: hello".encode()).hexdigest()[:8]
+    assert texts["resp"] == f"MOCK {digest}"  # overwritten, not duplicated
+    assert sorted(texts) == ["input", "resp"]
+
+
 def test_error_routing_keeps_job_alive(spark):
     rows = [("good", {"input": "fine"}, []), ("bad", {"input": "BOOM now"}, [])]
     res = llm_map(

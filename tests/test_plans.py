@@ -11,6 +11,7 @@ from __future__ import annotations
 import pytest
 
 from llm_batch_processor_spark.plans import (
+    broadcast_hint_count,
     broadcast_join_count,
     formatted_plan,
     has_take_ordered,
@@ -72,11 +73,23 @@ def test_topk_uses_take_ordered_not_global_sort(spark, qs):
     assert has_take_ordered(_df(qs, "topk", spark))
 
 
-def test_multiway_join_broadcasts_all_dims(spark, qs):
-    # region/nation/customer are all tiny vs lineitem: every hop should
-    # broadcast rather than shuffle the fact table repeatedly
+def test_multiway_join_broadcasts_bounded_dims_only(spark, qs):
+    # only nation (25 rows) and region (5 rows) are bounded at every
+    # scale factor; customer grows with sf, so it must NOT be hint-forced
     df = _df(qs, "join_multiway", spark)
-    assert broadcast_join_count(df) >= 3
+    assert broadcast_hint_count(df) == 2
+    # simulate customer outgrowing the threshold (as it does at real
+    # scale): with auto-broadcast off, the hinted dims still broadcast
+    # while customer falls back to a shuffled join — not an OOM'd bcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df2 = _df(qs, "join_multiway", spark)
+        assert broadcast_join_count(df2) == 2
+        plan = formatted_plan(df2)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_banded_range_join_avoids_nested_loop(spark, qs):
