@@ -65,12 +65,30 @@ def attach_payload(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real decoder stub — requires an image codec (Pillow/opencv),
-    not present in this container."""
-    raise NotImplementedError(
-        "image decode requires a codec library (e.g. Pillow); "
-        "use fake_decode for deterministic tests"
-    )
+    """Real image decode, import-guarded: uses Pillow when installed
+    (returns the same dict shape as :func:`fake_decode` — width/height
+    from the codec, n_frames for multi-frame formats like GIF/TIFF),
+    raises ``NotImplementedError`` otherwise. This container ships no
+    image libs, so the engine's oracle checks run on ``fake_decode``;
+    deployments with Pillow pass ``decoder=decode_image`` to
+    :func:`decode_media` unchanged — the plumbing is identical.
+    Reference parity: real-JPEG handling in spec/image_processing_spec.rb.
+    """
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires a codec library (pip install Pillow); "
+            "use fake_decode for deterministic tests"
+        ) from e
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "n_frames": int(getattr(im, "n_frames", 1)),
+        }
 
 
 def fake_decode(payload: bytes) -> dict:

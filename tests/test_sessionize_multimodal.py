@@ -70,9 +70,45 @@ def test_multimodal_decode_roundtrip(spark):
     assert out["m1"]["format"] == "fake/jpeg"
 
 
-def test_real_decoder_is_explicit_stub():
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed: stub path not reachable")
+def test_real_decoder_is_explicit_stub_without_pil():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_image(b"\xff\xd8\xff")
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed (container has no image libs)")
+def test_real_decoder_decodes_actual_image(spark):
+    # conditional tier: with Pillow present, decode_image plugs into the
+    # SAME decode_media plumbing and reads real dimensions
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    meta = decode_image(buf.getvalue())
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (7, 5, 1)
+
+    from llm_batch_processor_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame([("m1", bytearray(buf.getvalue()))], "id STRING, content BINARY")
+    media = df.select(
+        F.col("id").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.lit("image/png").alias("format"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    out = decode_media(media, decoder=decode_image).collect()
+    assert out[0]["width"] == 7 and out[0]["height"] == 5
 
 
 def test_fake_decode_is_pure():
