@@ -308,7 +308,12 @@ def simhash_pairs(
     explicitly if guaranteed recall matters more than candidate volume.
     """
     band_bits = 64 // n_bands
-    sh = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh"))
+    # persist: the banded self-join consumes this twice (probe + build),
+    # and the signature lineage re-runs the tokenize + Arrow vote/pack
+    # per consumer otherwise (ReuseExchange is not guaranteed pre-AQE)
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh")
+    ).persist()
     banded = sh.select(
         "id",
         "sh",
@@ -486,6 +491,8 @@ def ngram_jaccard_pairs(
         return _dense_jaccard_pairs(sets_df, vocab, t, id_dtype, block_size, n_docs)
     grams = sets_df.select("id", F.explode("gh").alias("g"))
     gram_df = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+    # persisted: three consumers (prefix postings + both verify sides)
+    # would each replay the doc-frequency join + per-doc sort otherwise
     per_doc = (
         grams.join(gram_df, "g")
         .groupBy("id")
@@ -502,6 +509,8 @@ def ngram_jaccard_pairs(
                 (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int"),
             ),
         )
+        .drop("ordered")
+        .persist()
     )
     posts = per_doc.select("id", "sz", F.explode("prefix").alias("g"))
     a, b = posts.alias("a"), posts.alias("b")

@@ -326,6 +326,86 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @Q.add(
+    "repetition_ratio",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(1 - len(list_distinct(string_split(text, ' '))) /
+                 GREATEST(len(string_split(text, ' ')), 1), 4) AS dup_token_frac,
+           CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
+                ELSE ROUND(1 - len(list_distinct(
+                       [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                        FOR i IN range(1, len(string_split(text,' ')))])) /
+                     (len(string_split(text, ' ')) - 1), 4) END AS dup_bigram_frac
+    FROM documents
+    """,
+    doc="Gopher-style repetition signals: duplicate-token and "
+    "duplicate-bigram fractions per document (the repetition gate of a "
+    "quality pipeline — high values mark boilerplate/spam)",
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import token_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = token_ngrams(F.col("text"), 2)
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            1 - F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 4
+        ).alias("dup_token_frac"),
+        F.when(n_tokens < 2, F.lit(0.0))
+        .otherwise(
+            F.round(1 - F.size(F.array_distinct(bigrams)) / (n_tokens - 1), 4)
+        )
+        .alias("dup_bigram_frac"),
+    )
+
+
+@Q.add(
+    "contamination_ngram",
+    """
+    WITH g AS (
+      SELECT doc_id, t.g
+      FROM (
+        SELECT doc_id,
+               list_distinct([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+                              FOR i IN range(1, len(sp) - 1)]) AS gs
+        FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+      ), unnest(gs) AS t(g)
+    ),
+    bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+    corpus AS (SELECT doc_id, g FROM g WHERE doc_id >= 20)
+    SELECT c.doc_id, COUNT(*) AS n_contaminated_grams
+    FROM corpus c JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """,
+    doc="benchmark decontamination: per-doc count of distinct token "
+    "3-grams shared with a held-out benchmark set (docs 0-19 stand in "
+    "for the eval suite). The PaLM/GPT-3 n-gram-overlap scrub shape: "
+    "the benchmark gram set is BOUNDED (eval suites are fixed size) so "
+    "it broadcasts, and the 100 TB corpus side streams one pass through "
+    "an equi-join — no shuffle of the corpus grams",
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import token_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(token_ngrams(F.col("text"), 3))).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") < 20).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 20)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+
+
+@Q.add(
     "text_fragments",
     """
     SELECT doc_id, CAST(i AS INT) AS frag_idx, parts[i + 1] AS fragment,

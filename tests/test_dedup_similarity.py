@@ -31,6 +31,22 @@ def _docs(spark):
     return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
 
 
+def test_spread_rightsizes_partitions(spark):
+    from llm_batch_processor_spark.operators.dedup import _spread
+
+    # small corpus: enough rows per task to amortize an Arrow worker,
+    # NOT one task per core (32 workers for 500 docs was the r1 cost)
+    small = spark.range(100)
+    assert _spread(small, 100).rdd.getNumPartitions() == 1
+    medium = spark.range(2000)
+    got = _spread(medium, 2000).rdd.getNumPartitions()
+    assert 1 < got <= spark.sparkContext.defaultParallelism
+    # big corpora keep their scan partitioning untouched (never collapse
+    # a wide 100 TB scan into core-count partitions)
+    wide = spark.range(10).repartition(3)
+    assert _spread(wide, 5_000_000).rdd.getNumPartitions() == 3
+
+
 def test_token_ngrams(spark):
     df = spark.createDataFrame([("a b c d",)], "text STRING")
     got = df.select(token_ngrams(F.col("text"), 2).alias("g")).first()["g"]

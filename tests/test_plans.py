@@ -106,6 +106,38 @@ def test_scan_stays_in_codegen(spark, qs):
     assert whole_stage_codegen_count(df) >= 1
 
 
+# Queries whose plan LEGITIMATELY contains a nested-loop/cartesian
+# operator, each with the reason it is bounded at scale:
+_NESTED_LOOP_ALLOWED = {
+    # broadcast cross join against a BOUNDED query set (top-k requests
+    # are small by definition); the big side streams once
+    "sim_topk",
+    # exact all-pairs kernels: the block-pair join is the documented
+    # O(n_blocks^2) sharding of an inherently quadratic computation,
+    # size-gated to corpora where that is the honest plan
+    "dedup_embed_cosine",
+    "dedup_ngram_jaccard",
+}
+
+
+def test_no_query_plans_unbounded_nested_loop(spark, qs):
+    # sweep EVERY declared query: an accidental BroadcastNestedLoopJoin
+    # or CartesianProduct is the classic silent 100x at scale. The
+    # allowlist above names the documented exact kernels.
+    offenders = {}
+    for name, qd in qs.items():
+        df = qd.fn(spark, SF)
+        plan = formatted_plan(df)
+        bad = [
+            op
+            for op in ("BroadcastNestedLoopJoin", "CartesianProduct")
+            if f") {op}" in plan
+        ]
+        if bad and name not in _NESTED_LOOP_ALLOWED:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_recommend_conf_scales():
     small = recommend_conf(10 * 1024**3, executors=1, cores_per_executor=8)
     large = recommend_conf(100 * 1024**4, executors=1000, cores_per_executor=4)
