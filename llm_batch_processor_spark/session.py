@@ -33,6 +33,9 @@ _PERF_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # UDTFs (text_fragments) evaluate via Arrow batches instead of
+    # row-at-a-time pickle round-trips (BatchEvalPythonUDTF)
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 

@@ -138,6 +138,18 @@ def test_no_query_plans_unbounded_nested_loop(spark, qs):
     assert not offenders, offenders
 
 
+def test_no_query_uses_row_at_a_time_python(spark, qs):
+    # BatchEvalPython = row-at-a-time Python UDF serialization — banned:
+    # the only Python in this engine is Arrow-batched (ArrowEvalPython /
+    # MapInPandas / cogroups) or the inherently-external LLM call
+    offenders = []
+    for name, qd in qs.items():
+        plan = formatted_plan(qd.fn(spark, SF))
+        if ") BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_recommend_conf_scales():
     small = recommend_conf(10 * 1024**3, executors=1, cores_per_executor=8)
     large = recommend_conf(100 * 1024**4, executors=1000, cores_per_executor=4)
