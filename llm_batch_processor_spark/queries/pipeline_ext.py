@@ -326,6 +326,40 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @Q.add(
+    "dedup_incremental",
+    """
+    SELECT d.doc_id,
+           CAST(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250) d
+    LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250) s
+      USING (h)
+    """,
+    doc="incremental-ingest dedup: flag each NEW document (doc_id >= 250 "
+    "stands in for the incoming batch) whose exact content was already "
+    "seen in the corpus (doc_id < 250). The continuous-pipeline shape: "
+    "the seen-set is a DIGEST table (16-byte md5 keys), never the "
+    "corpus text, so the join shuffles digests only; at 100 TB the "
+    "digest table is bucketed (sources/bucketed.py) or distilled to a "
+    "bloom filter for pre-join pruning",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    seen = (
+        d.filter(F.col("doc_id") < 250)
+        .select(F.md5(F.col("text")).alias("h"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    return new.join(seen, "h", "left").select(
+        "doc_id",
+        F.when(F.col("__seen").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_dup"),
+    )
+
+
+@Q.add(
     "repetition_ratio",
     """
     SELECT doc_id,

@@ -109,6 +109,29 @@ def test_connected_components_transitive(spark):
     assert labels[9] == 9  # singleton maps to itself
 
 
+def test_cc_distributed_fallback_matches_union_find(spark):
+    # the >5M-edge label-propagation path is never hit by real check
+    # data — force it (driver_edge_limit=0) on a random graph and pin
+    # that it produces EXACTLY the union-find labels
+    import random
+
+    rng = random.Random(5)
+    edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(30)})
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    ids = spark.createDataFrame([(i,) for i in range(40)], "id LONG")
+    exact = {
+        r["id"]: r["cluster_id"] for r in connected_components(pairs, ids).collect()
+    }
+    prop = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, ids, driver_edge_limit=0, max_iter=50
+        ).collect()
+    }
+    assert exact == prop
+
+
 def _embeddings(spark):
     import numpy as np
 
