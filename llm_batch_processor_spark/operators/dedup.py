@@ -766,11 +766,13 @@ def connected_components(
     per component; singletons map to themselves)."""
     # materialize once: the edge list usually has an expensive lineage
     # (an LSH join) and every consumer below would re-execute it. The
-    # count doubles as the cache fill (persist is lazy — one job, not
-    # an eager-checkpoint job plus a count job).
+    # size probe IS the fetch: collect limit+1 rows — if they all fit,
+    # that collect already holds the entire edge list (one Spark action,
+    # not a count job followed by a collect job); only an over-limit
+    # graph pays for the distributed fallback.
     pairs = pairs.select("id_a", "id_b").persist()
-    n_edges = pairs.count()
-    if n_edges <= driver_edge_limit:
+    head = pairs.limit(driver_edge_limit + 1).collect()
+    if len(head) <= driver_edge_limit:
         parent: dict = {}
 
         def find(x):
@@ -781,8 +783,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        # one fetch job; <= driver_edge_limit rows by construction
-        for r in pairs.select("id_a", "id_b").collect():
+        for r in head:
             ra, rb = find(r["id_a"]), find(r["id_b"])
             if ra != rb:  # min root wins -> labels are min id per component
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
