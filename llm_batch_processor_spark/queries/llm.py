@@ -33,9 +33,12 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # size inference batches upstream (pipeline.py contract): the test
     # table is a single parquet split, which would serialize the whole
-    # corpus through one Python worker
-    target = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < target:
+    # corpus through one Python worker; conversely one partition per
+    # core at check scale schedules 32 workers for ~16 rows each. Same
+    # row-count sizing rule as operators.dedup._spread.
+    n = d.count()
+    target = min(spark.sparkContext.defaultParallelism, max(1, -(-n // 256)))
+    if target > 1:
         d = d.repartition(target)
     return d.select(
         F.col("doc_id").cast("string").alias("id"),
@@ -76,6 +79,42 @@ def llm_map_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("texts", "content").alias("content"),
         F.element_at("texts", "summary").alias("summary"),
     )
+
+
+_JSON_PREFIX = "Extract: "
+
+
+@Q.add(
+    "llm_json_project",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           substr(md5('{_JSON_PREFIX}' || text), 1, 8) AS digest
+    FROM documents
+    """,
+    doc="A8 + typed-output extension: json_mode pins response_format on "
+    "the request, the mock returns a JSON object, and the engine "
+    "projects it into typed columns with from_json — the SURVEY §1.2 "
+    "mapping for schema-constrained LLM output (the reference stores "
+    "the raw string; this is the Spark-native step beyond it)",
+)
+def llm_json_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..job.backend import MockChatBackend
+    from ..job.pipeline import llm_map
+    from ..job.spec import JobSpec
+
+    spec = JobSpec.from_dict(
+        {
+            "id": "mock-json-extract",
+            "erb_source": _JSON_PREFIX + "{{ texts['content'] }}",
+            "backend_endpoint": "mock://local",
+            "model": "mock-model",
+            "output_label": "resp",
+            "json_mode": True,
+        }
+    )
+    result = llm_map(_records(spark, sf_dir), spec, MockChatBackend())
+    parsed = F.from_json(F.element_at("texts", "resp"), "digest string")
+    return result.ok().select("id", parsed["digest"].alias("digest"))
 
 
 _LACED_SQL = (
