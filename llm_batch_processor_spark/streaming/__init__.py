@@ -15,7 +15,7 @@ Modules:
 - ``dedup``   — exact dedup with watermark-bounded state
 """
 
-from .dedup import dedup_stream
+from .dedup import dedup_stream, dedup_stream_against_corpus
 from .job import run_stream_job
 from .source import read_record_stream
 from .windows import session_counts_stream, tumbling_counts_stream
@@ -26,4 +26,5 @@ __all__ = [
     "tumbling_counts_stream",
     "session_counts_stream",
     "dedup_stream",
+    "dedup_stream_against_corpus",
 ]

@@ -30,3 +30,30 @@ def dedup_stream(
     return records.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def dedup_stream_against_corpus(
+    records: DataFrame,
+    seen_digests: DataFrame,
+    content_col: str = "text",
+    digest_col: str = "h",
+) -> DataFrame:
+    """Drop incoming records whose content the static corpus already
+    holds — the streaming twin of the batch ``dedup_incremental`` query.
+
+    A STREAM-STATIC join: ``seen_digests`` is a bounded batch table of
+    content digests (16-byte md5 keys, never the corpus text) that
+    Spark re-resolves per micro-batch; the stream side anti-joins
+    against it, so state is ZERO (no watermark needed — the seen-set
+    lives in the static table, not in streaming state). At 100 TB the
+    digest table is a bucketed parquet table (sources/bucketed.py) so
+    each micro-batch joins without a shuffle of the static side.
+
+    Combine with :func:`dedup_stream` upstream to also drop
+    within-stream duplicates that are not yet in the corpus."""
+    from pyspark.sql import functions as F
+
+    keyed = records.withColumn(digest_col, F.md5(F.col(content_col)))
+    return keyed.join(
+        seen_digests.select(digest_col).distinct(), digest_col, "left_anti"
+    ).drop(digest_col)

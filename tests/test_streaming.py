@@ -250,3 +250,41 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _await(q)
     got = [r["user_id"] for r in spark.sql("SELECT user_id FROM dedup_test").collect()]
     assert sorted(got) == ["e1", "e2", "e3"]  # each key exactly once
+
+
+def test_streaming_dedup_against_static_corpus(spark, tmp_path):
+    # stream-static anti-join: zero streaming state, the seen-set lives
+    # in a batch digest table (streaming twin of dedup_incremental)
+    from llm_batch_processor_spark.streaming.dedup import dedup_stream_against_corpus
+
+    src, ckpt = tmp_path / "docs", tmp_path / "ckpt2"
+    src.mkdir()
+    schema = StructType(
+        [StructField("id", StringType()), StructField("text", StringType())]
+    )
+    rows = [
+        {"id": "n1", "text": "fresh content one"},
+        {"id": "n2", "text": "already seen content"},
+        {"id": "n3", "text": "fresh content two"},
+    ]
+    (src / "batch.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    seen = spark.createDataFrame(
+        [("already seen content",), ("some other corpus doc",)], "text STRING"
+    ).select(F.md5("text").alias("h"))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    fresh = dedup_stream_against_corpus(stream, seen, content_col="text")
+    q = (
+        fresh.writeStream.format("memory")
+        .queryName("corpus_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(
+        r["id"] for r in spark.sql("SELECT id FROM corpus_dedup_test").collect()
+    )
+    assert got == ["n1", "n3"]  # the already-seen record never reaches the sink
