@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from ..session import get_spark
-    from ..sources.jsonl import read_records, to_jsonl_column, write_records
+    from ..sources.jsonl import ORDER_COL, read_records, to_jsonl_column, write_records
     from .backend import MockChatBackend, OpenAIChatBackend
     from .pipeline import llm_map
 
@@ -73,7 +73,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"llm-job-{spec.id}", master=args.master)
     try:
-        good, corrupt = read_records(spark, in_path)
+        # stdout mode preserves INPUT ORDER (the reference's sequential
+        # loop emits in order, pinned by spec/bin_job_spec.rb:98-107);
+        # the distributed --output sink stays unordered, as a 100 TB
+        # directory sink should be
+        stdout_mode = not args.output
+        good, corrupt = read_records(spark, in_path, keep_order=stdout_mode)
         for row in corrupt.toLocalIterator():
             print(f"Error: skipping malformed JSON line: {row['raw'][:200]}", file=sys.stderr)
 
@@ -90,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.output:
                 write_records(ok, args.output)
             else:
-                for row in to_jsonl_column(ok).toLocalIterator():
+                for row in to_jsonl_column(ok.orderBy(ORDER_COL)).toLocalIterator():
                     print(row["line"])
             for row in errs.select("id", "error").toLocalIterator():
                 print(f"Error: record id={row['id']}: {row['error']}", file=sys.stderr)

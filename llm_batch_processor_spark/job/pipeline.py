@@ -178,6 +178,9 @@ def llm_map(records: DataFrame, spec: JobSpec, backend: ChatBackend) -> LLMMapRe
     )
     images_col = F.coalesce(F.col("images"), F.array().cast("array<string>"))
 
+    # passthrough columns (e.g. the source's input-order column) ride
+    # along unchanged — the reference copies the whole record through
+    passthrough = [c for c in records.columns if c not in ("id", "texts", "images")]
     enriched = (
         records.withColumn("__r", infer_nd(texts_col, images_col))
         .withColumn("__resp", think_strip(F.col("__r.result")))
@@ -191,6 +194,7 @@ def llm_map(records: DataFrame, spec: JobSpec, backend: ChatBackend) -> LLMMapRe
             .alias("texts"),
             images_col.alias("images"),
             F.col("__r.error").alias("error"),
+            *passthrough,
         )
     )
     return LLMMapResult(df=enriched)

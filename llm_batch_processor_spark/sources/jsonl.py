@@ -38,12 +38,28 @@ RECORD_STRUCT = StructType(
 )
 
 
-def parse_record_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared batch/streaming parse: raw ``value`` lines -> (good, corrupt)."""
+ORDER_COL = "__ord"
+
+
+def parse_record_lines(
+    lines: DataFrame, keep_order: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Shared batch/streaming parse: raw ``value`` lines -> (good, corrupt).
+
+    ``keep_order=True`` attaches an ``__ord`` column encoding the input
+    position (monotonically_increasing_id: split index in the high
+    bits, in-split row index below — sorting by it reproduces file
+    order, since a file's splits are created in offset order). The
+    reference emits output in input order (its loop is sequential;
+    pinned by spec/bin_job_spec.rb:98-107), so the CLI's stdout mode
+    sorts by this before emitting."""
+    if keep_order:
+        lines = lines.withColumn(ORDER_COL, F.monotonically_increasing_id())
     parsed = (
         lines
         .filter(F.regexp_replace("value", r"^\s+|\s+$", "") != "")  # blank: silent skip
         .select(
+            *([ORDER_COL] if keep_order else []),
             F.col("value").alias("raw"),
             F.from_json(
                 "value",
@@ -60,6 +76,7 @@ def parse_record_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
             "texts"
         ),
         F.coalesce(F.col("rec.images"), F.array().cast("array<string>")).alias("images"),
+        *([ORDER_COL] if keep_order else []),
     )
     corrupt = parsed.filter(
         F.col("rec").isNull() | F.col(f"rec.{CORRUPT}").isNotNull()
@@ -67,9 +84,11 @@ def parse_record_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, corrupt
 
 
-def read_records(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+def read_records(
+    spark: SparkSession, path: str, keep_order: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Return (good, corrupt): parsed records + dead-letter raw lines."""
-    return parse_record_lines(spark.read.text(path))
+    return parse_record_lines(spark.read.text(path), keep_order=keep_order)
 
 
 def to_jsonl_column(df: DataFrame) -> DataFrame:

@@ -63,6 +63,34 @@ def test_cli_end_to_end(tmp_path):
     assert "malformed JSON line" in proc.stderr
 
 
+def test_cli_stdout_preserves_input_order(tmp_path):
+    # the reference's sequential loop emits output lines in INPUT order
+    # (spec/bin_job_spec.rb:98-107: lines[0] is record 1, lines[1] is
+    # record 2) — the CLI's stdout mode must sort by input position even
+    # though the map itself runs partition-parallel
+    tmpl = tmp_path / "t.j2"
+    tmpl.write_text("Q: {{ texts['input'] }}", encoding="utf-8")
+    job = tmp_path / "job.yml"
+    job.write_text(
+        f"id: order-test\nerb_filepath: {tmpl}\nbackend_endpoint: mock://x\n"
+        "model: m\noutput_label: answer\n",
+        encoding="utf-8",
+    )
+    n = 40
+    stdin = "".join(
+        json.dumps({"id": f"r{i:03d}", "texts": {"input": f"msg {i}"}}) + "\n"
+        for i in range(n)
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "llm_batch_processor_spark.job.cli", str(job),
+         "--backend", "mock", "--master", "local[8]"],
+        input=stdin, capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = [json.loads(l)["id"] for l in proc.stdout.splitlines() if l.strip()]
+    assert got == [f"r{i:03d}" for i in range(n)]
+
+
 def test_cli_bad_args_and_missing_file(tmp_path):
     r1 = subprocess.run(
         [sys.executable, "-m", "llm_batch_processor_spark.job.cli"],

@@ -53,7 +53,6 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
-    ap.add_argument("--rows-only-too", action="store_true", help="also run rows-only queries")
     args = ap.parse_args()
 
     import __spark_entry__ as E
