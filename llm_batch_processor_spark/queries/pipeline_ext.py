@@ -185,6 +185,48 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, k=5, n_cells=16, n_probe=2, seed=42)
 
 
+@Q.add(
+    "embed_normalize",
+    """
+    SELECT vec_id, dim,
+           ROUND(l2, 4) AS l2_norm,
+           ROUND(s / l2, 4) AS unit_sum
+    FROM (
+      SELECT vec_id,
+             len(embedding) AS dim,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS l2,
+             list_sum(CAST(embedding AS DOUBLE[])) AS s
+      FROM embeddings
+    )
+    """,
+    doc="embedding L2 normalization entirely JVM-side: the dot product is "
+    "F.aggregate's double fold over the array (no Python, no shuffle — "
+    "the per-row vector-math pattern every similarity kernel feeds on); "
+    "unit_sum = sum(x)/||x|| checks the normalized vector itself. Oracle "
+    "casts FLOAT[] -> DOUBLE[] so both engines fold in double; ROUND(,4) "
+    "absorbs sub-ulp ordering drift",
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    s = F.aggregate(
+        "embedding", F.lit(0.0).cast("double"), lambda acc, x: acc + x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2, 4).alias("l2_norm"),
+        F.round(s / l2, 4).alias("unit_sum"),
+    )
+
+
 # ===========================================================================
 # text analysis
 # ===========================================================================
@@ -574,6 +616,36 @@ def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
+    )
+
+
+@Q.add(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang, rn
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 50
+    """,
+    doc="deterministic stratified subsample: top-50 docs per language in "
+    "content-hash order — the balanced-corpus downsampling step (unlike "
+    "sampleBy, identical across engines/partitionings/runs, and "
+    "leakage-safe because membership is a pure content function)",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang", "rn")
     )
 
 

@@ -65,6 +65,95 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tmp_dir(name: str, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"llm_bps_{name}_{tag}")
+
+
+@Q.add(
+    "scan_csv",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {dsum("l_quantity", "sum_qty")},
+           {dsum("l_extendedprice", "sum_price")},
+           strftime(CAST(MIN(l_shipdate) AS DATE), '%Y-%m-%d') AS min_ship,
+           strftime(CAST(MAX(l_shipdate) AS DATE), '%Y-%m-%d') AS max_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="CSV source round-trip fidelity: lineitem projected to "
+    "int/double/string/date columns, written as headered CSV, read back "
+    "with an explicit schema, aggregated — hash-equality with the oracle "
+    "running the same aggregate on the original parquet proves the text "
+    "round-trip is lossless (Java shortest-repr doubles, ISO dates)",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    out_dir = _tmp_dir("scan_csv", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    l.write.mode("overwrite").option("header", True).csv(out_dir)
+    back = (
+        spark.read.schema(
+            "l_orderkey bigint, l_linenumber int, l_quantity double, "
+            "l_extendedprice double, l_returnflag string, l_shipdate date"
+        )
+        .option("header", True)
+        .csv(out_dir)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(f"CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
+        F.expr(f"CAST(SUM(CAST((l_extendedprice) AS {DEC})) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+@Q.add(
+    "sink_parquet_partitioned",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="partitioned parquet sink: documents written partitionBy(lang) — "
+    "the hive-style layout a 100 TB corpus needs for partition pruning — "
+    "then read back and aggregated per partition value; hash-equality "
+    "proves the partition-column round-trip (value <-> directory string) "
+    "is lossless",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    out_dir = _tmp_dir("sink_parquet_part", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    d = load(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 # ===========================================================================
 # B2 — projection / filter / scalar functions
 # ===========================================================================
@@ -864,6 +953,94 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+@Q.add(
+    "agg_median_mode",
+    """
+    WITH med AS (
+      SELECT l_returnflag, ROUND(median(l_quantity), 4) AS median_qty
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    cnt AS (
+      SELECT l_returnflag, l_linenumber, COUNT(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_linenumber
+    ),
+    md AS (
+      SELECT l_returnflag, l_linenumber AS mode_linenumber
+      FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY c DESC, l_linenumber ASC) AS rn FROM cnt)
+      WHERE rn = 1
+    )
+    SELECT med.l_returnflag, med.median_qty, md.mode_linenumber
+    FROM med JOIN md USING (l_returnflag)
+    """,
+    doc="exact median (interpolated, identical Spark percentile/DuckDB "
+    "quantile_cont semantics) + DETERMINISTIC mode (most-frequent value, "
+    "smallest on ties — native mode() is tie-arbitrary in both engines, "
+    "so it is computed as count + windowed argmax on both sides)",
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    med = l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty")
+    )
+    cnt = l.groupBy("l_returnflag", "l_linenumber").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_linenumber").asc()
+    )
+    md = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linenumber").alias("mode_linenumber"))
+    )
+    return med.join(md, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_linenumber"
+    )
+
+
+@Q.add(
+    "agg_udaf_geomean",
+    """
+    SELECT l_returnflag,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 2) AS geomean_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="user-defined aggregate surface: geometric mean of the price per "
+    "group via a GROUPED_AGG pandas_udf (Arrow-batched numpy log-mean — "
+    "the Python UDAF registration path). Scale caveat, stated honestly: "
+    "unlike built-in aggregates, grouped-agg pandas UDFs get NO map-side "
+    "combine (raw values shuffle to the reducer), so at 100 TB the same "
+    "statistic should be rewritten as EXP(AVG(LN(x))) built-ins; this "
+    "query covers the UDAF surface itself. ROUND(,2) absorbs the float "
+    "accumulation-order drift vs the oracle (~1e-8 absolute here)",
+)
+def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    # functionType is explicit (not hint-inferred): `from __future__
+    # annotations` stringifies hints, which the UDF type inferencer
+    # cannot resolve against function-local imports
+    def _geomean(v) -> float:
+        return float(np.exp(np.mean(np.log(v.to_numpy(dtype=np.float64)))))
+
+    def _count(v) -> int:
+        return len(v)
+
+    from pyspark.sql.functions import PandasUDFType
+
+    geomean = F.pandas_udf(_geomean, "double", PandasUDFType.GROUPED_AGG)
+    # grouped-agg UDFs cannot mix with built-in aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a UDAF too
+    nrows = F.pandas_udf(_count, "bigint", PandasUDFType.GROUPED_AGG)
+
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 2).alias("geomean_price"),
+        nrows("l_extendedprice").alias("n_rows"),
     )
 
 
