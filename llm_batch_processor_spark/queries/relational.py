@@ -667,6 +667,61 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@Q.add(
+    "join_bucketed",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="co-located join over bucketed storage: both fact tables written "
+    "bucketBy(orderkey) with matching bucket counts, then joined via the "
+    "table API — the scan reports a compatible output partitioning, so "
+    "the join itself plans with ZERO Exchange (pinned by "
+    "tests/test_bucketing.py and the per-query plan audit); the shuffle "
+    "was paid once at write time and amortizes over every repeat join — "
+    "the warehouse layout a 100 TB fact-fact join needs. Bucketing is "
+    "result-invariant, so the oracle is the plain join SQL",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketed import read_table, write_bucketed
+
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = _tmp_dir("bucketed_join", sf_dir)
+    ot, lt = f"orders_bq_{tag}", f"lineitem_bq_{tag}"
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot,
+        ["o_orderkey"],
+        8,
+        path=f"{base}/{ot}",
+    )
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        lt,
+        ["l_orderkey"],
+        8,
+        path=f"{base}/{lt}",
+    )
+    l, o = read_table(spark, lt), read_table(spark, ot)
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(
+                f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+    )
+
+
 # ===========================================================================
 # B4 — aggregation
 # ===========================================================================
