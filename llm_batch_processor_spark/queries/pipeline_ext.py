@@ -620,6 +620,64 @@ def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @Q.add(
+    "tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+           unnest(sp) AS t(tok)
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    )
+    SELECT doc_id, tok AS term, rn,
+           ROUND(score, 4) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * LN((1.0 + (SELECT COUNT(*) FROM documents))
+                        / (1.0 + idf.df)) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * LN((1.0 + (SELECT COUNT(*) FROM documents))
+                                   / (1.0 + idf.df)) DESC, tf.tok ASC) AS rn
+      FROM tf JOIN idf USING (tok)
+    )
+    WHERE rn <= 3
+    """,
+    doc="per-doc top-3 TF-IDF terms: token explode -> per-(doc,term) TF, "
+    "per-term DF (both map-side-combined groupBys), smoothed "
+    "idf=ln((1+N)/(1+df)), windowed top-k with full term tie-break. The "
+    "keyword-extraction / doc-representation kernel of corpus triage; "
+    "shuffles only (doc,term) and (term) aggregates, never raw text",
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # one bounded job; inlined as a literal (oracle twin
+    # is the scalar subquery) so no crossJoin rides the plan
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    idf = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(idf, "tok").withColumn(
+        "score",
+        F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "rn",
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
+@Q.add(
     "sample_stratified",
     """
     SELECT doc_id, lang, rn

@@ -55,6 +55,25 @@ def test_token_ngrams(spark):
     assert got3 == ["a b c", "b c d"]
 
 
+def test_token_ngrams_matches_python_reference(spark):
+    """The zipped-slices construction == the obvious Python windowing,
+    including empty-token edge cases from irregular spacing."""
+    texts = ["", "one", "a b", "a  b", " lead x y z", "t " * 30, "a b c d e"]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    for n in (1, 2, 3, 4):
+        got = [
+            r["g"] for r in df.select(token_ngrams(F.col("text"), n).alias("g")).collect()
+        ]
+        want = [
+            [
+                " ".join(toks[i : i + n])
+                for i in range(max(len(toks) - n + 1, 0))
+            ]
+            for toks in (t.split(" ") for t in texts)
+        ]
+        assert got == want, f"n={n}"
+
+
 def test_exact_dedup_min_id_survives(spark):
     res = exact_dedup(_docs(spark), ["text"], "doc_id").collect()
     by_id = {r["doc_id"]: r["n_dups"] for r in res}
