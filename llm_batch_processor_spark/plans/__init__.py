@@ -15,6 +15,7 @@ from .introspect import (
     formatted_plan,
     has_take_ordered,
     partial_agg_count,
+    partition_filters,
     pushed_filters,
     read_schemas,
     shuffle_count,
@@ -24,6 +25,7 @@ from .tuning import recommend_conf
 
 __all__ = [
     "formatted_plan",
+    "partition_filters",
     "pushed_filters",
     "read_schemas",
     "shuffle_count",

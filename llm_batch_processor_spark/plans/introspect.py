@@ -30,6 +30,18 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries across file scans — non-empty when a
+    predicate on a hive-partition column prunes directories at planning
+    time (the scan never lists the excluded partitions)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema strings for every file scan (column-pruning check)."""
     return [

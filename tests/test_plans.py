@@ -150,6 +150,37 @@ def test_no_query_uses_row_at_a_time_python(spark, qs):
     assert not offenders, offenders
 
 
+def test_partitioned_sink_enables_partition_pruning(spark, qs, tmp_path):
+    # the hive layout sink_parquet_partitioned writes must pay off at
+    # read time: a predicate on the partition column becomes a
+    # PartitionFilter (directory pruning at planning time), not a data
+    # filter over every file
+    from llm_batch_processor_spark.plans import partition_filters
+    from llm_batch_processor_spark.tables import load as _load
+
+    out = str(tmp_path / "docs_part")
+    _load(spark, SF, "documents").write.partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter("lang = 'en'")
+    pf = partition_filters(df)
+    assert any("lang" in f for f in pf), formatted_plan(df)
+    # and the non-partition twin of the same predicate does NOT prune
+    plain = _df(qs, "lang_filter", spark)
+    assert not any("lang" in f for f in partition_filters(plain))
+
+
+def test_bucketed_join_query_has_single_exchange(spark, qs):
+    # join_bucketed's only shuffle is the final groupBy — the fact-fact
+    # join itself rides the bucket layout with zero Exchange (broadcast
+    # disabled so AQE cannot mask a missing co-location)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _df(qs, "join_bucketed", spark)
+        assert shuffle_count(df) == 1, formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_recommend_conf_scales():
     small = recommend_conf(10 * 1024**3, executors=1, cores_per_executor=8)
     large = recommend_conf(100 * 1024**4, executors=1000, cores_per_executor=4)
