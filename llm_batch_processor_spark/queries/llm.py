@@ -117,6 +117,62 @@ def llm_json_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.ok().select("id", parsed["digest"].alias("digest"))
 
 
+@Q.add(
+    "llm_map_deadletter",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           CASE WHEN doc_id % 7 = 0 THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE 'MOCK ' || substr(md5('ok Summarize: ' || text), 1, 8)
+           END AS summary
+    FROM documents
+    """,
+    doc="A3 per-item error routing as a judged query: a deterministic "
+    "slice of records (doc_id %% 7 == 0) makes the backend raise; the "
+    "pipeline must route exactly those to the dead-letter branch with "
+    "texts untouched and enrich the rest — one pass, both branches in "
+    "one oracle-checked result (reference contract job_processor.rb:27-30, "
+    "spec/bin_job_spec.rb:128-137: errors never abort the job)",
+)
+def llm_map_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..job.backend import MockChatBackend
+    from ..job.pipeline import llm_map
+    from ..job.spec import JobSpec
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    target = min(spark.sparkContext.defaultParallelism, max(1, -(-n // 256)))
+    recs = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.create_map(
+            F.lit("content"),
+            F.col("text"),
+            F.lit("flag"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("FAILME")).otherwise(F.lit("ok")),
+        ).alias("texts"),
+        F.array().cast("array<string>").alias("images"),
+    )
+    if target > 1:
+        recs = recs.repartition(target)
+    spec = JobSpec.from_dict(
+        {
+            "id": "mock-deadletter",
+            "erb_source": "{{ texts['flag'] }} Summarize: {{ texts['content'] }}",
+            "backend_endpoint": "mock://local",
+            "model": "mock-model",
+            "output_label": "summary",
+        }
+    )
+    result = llm_map(recs, spec, MockChatBackend(fail_marker="FAILME"))
+    return result.df.select(
+        "id",
+        F.when(F.col("error").isNull(), F.lit("ok")).otherwise(F.lit("error")).alias(
+            "status"
+        ),
+        F.element_at("texts", "summary").alias("summary"),
+    )
+
+
 _LACED_SQL = (
     "'  <think>' || lang || '</think> ' || text || ' <think>tail' || chr(10) || 'reason</think>'"
 )
