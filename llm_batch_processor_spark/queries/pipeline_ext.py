@@ -882,3 +882,86 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.octet_length("frame").cast("bigint").alias("frame_bytes"),
     )
+
+
+@Q.add(
+    "multimodal_resize",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           64 AS width, 48 AS height,
+           3072 AS out_bytes,
+           md5(substr(repeat(text, CAST(FLOOR(3072 / len(text)) AS INT) + 1),
+                      1, 3072)) AS content_md5
+    FROM documents
+    """,
+    doc="1:1 payload-transform plumbing (resize/transcode shape): bytes "
+    "in, bytes out, one Arrow hop, no shuffle — pipelines with the scan "
+    "at 100 TB. Deterministic fake resizer (cycle payload to w*h bytes) "
+    "replicated by the oracle byte-for-byte via md5 (corpus is ASCII, "
+    "so char ops == byte ops in DuckDB)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, resize_media
+
+    d = load(spark, sf_dir, "documents")
+    media = attach_payload(d, "doc_id", "text")
+    resized = resize_media(media, width=64, height=48)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.octet_length("payload").cast("int").alias("out_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+@Q.add(
+    "multimodal_embed",
+    """
+    WITH codes AS (
+      SELECT doc_id, [ord(substr(text, i, 1)) FOR i IN range(1, len(text)+1)] AS cs
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id,
+             [ list_sum([CASE WHEN c % 16 = k THEN CAST(c AS DOUBLE)
+                              ELSE 0.0 END FOR c IN cs])
+               FOR k IN range(0, 16) ] AS h
+      FROM codes
+    ),
+    emb AS (
+      SELECT doc_id,
+             list_transform(h, x -> CAST(CAST(x / GREATEST(
+               list_max(list_transform(h, y -> abs(y))), 1.0) AS FLOAT)
+               AS DOUBLE)) AS e
+      FROM hist
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           16 AS dim,
+           ROUND(sqrt(list_sum(list_transform(e, x -> x*x))), 4) AS l2_norm,
+           ROUND(list_sum(e), 4) AS comp_sum
+    FROM emb
+    """,
+    doc="payload -> embedding plumbing (the CLIP/audio-featurizer shape): "
+    "mapInPandas emits array<float> that feeds the similarity operators "
+    "directly. Deterministic fake featurizer = weighted byte histogram "
+    "mod 16, max-normalized, float32; the oracle replicates it with a "
+    "char-code histogram (ASCII corpus) including the float32 rounding "
+    "step, checked via L2 norm + component sum",
+)
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, extract_features
+    from ..functions.vectors import norm as l2_norm
+
+    d = load(spark, sf_dir, "documents")
+    media = attach_payload(d, "doc_id", "text")
+    feats = extract_features(media, dim=16)
+    s = F.aggregate(
+        "embedding", F.lit(0.0).cast("double"), lambda acc, x: acc + x.cast("double")
+    )
+    return feats.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.round(s, 4).alias("comp_sum"),
+    )
