@@ -588,6 +588,68 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @Q.add(
+    "pipeline_curate",
+    r"""
+    WITH dedup AS (
+      SELECT MIN(doc_id) AS doc_id, text,
+             min_by(lang, doc_id) AS lang
+      FROM documents GROUP BY text
+    ),
+    gated AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM dedup
+      WHERE len(string_split(text, ' ')) >= 10
+        AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) <=
+            0.3 * GREATEST(length(text), 1)
+    )
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                BETWEEN '0' AND 'c' THEN 'train' ELSE 'val' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM gated
+    GROUP BY lang, split
+    """,
+    doc="the curation stages composed as ONE DataFrame plan: exact dedup "
+    "(min-id survivor) -> C4-style quality gate -> content-hash "
+    "train/val split -> per-(lang,split) token counts. Catalyst fuses "
+    "the gate into the dedup aggregation's output and pipelines the "
+    "whole chain with two shuffles total (dedup groupBy + final "
+    "groupBy) — the composition a real cleaning pipeline runs nightly, "
+    "judged end-to-end rather than stage-by-stage",
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # same one-shuffle min-id-survivor shape as operators.dedup.exact_dedup,
+    # with the survivor's lang carried via min_by
+    survivors = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+    )
+    toks = F.size(F.split("text", " "))
+    gated = survivors.filter(
+        (toks >= 10)
+        & (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")))
+            <= 0.3 * F.greatest(F.length("text"), F.lit(1))
+        )
+    ).select("doc_id", "lang", toks.alias("n_tokens"))
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).between("0", "c"),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    return (
+        gated.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@Q.add(
     "split_train_val",
     """
     SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars

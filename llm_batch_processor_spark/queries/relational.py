@@ -1245,6 +1245,42 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @Q.add(
+    "win_frame_interval",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS n_90d,
+           CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+    FROM orders
+    """,
+    doc="calendar-INTERVAL range frame over the order date (trailing-90-"
+    "day count/spend per customer) — the time-window frame spec distinct "
+    "from numeric RANGE (win_frame_range): the frame bound is a calendar "
+    "interval on a date/timestamp ordering key, and date peers share the "
+    "frame so ties need no break",
+)
+def win_frame_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the DataFrame API's rangeBetween takes numeric bounds only; the
+    # calendar-interval frame is a SQL-level spec on both engines
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_wfi")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS n_90d,
+               CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+        FROM __orders_wfi
+        """
+    )
+
+
+@Q.add(
     "win_topk_per_group",
     """
     SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
@@ -1357,6 +1393,23 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+@Q.add(
+    "set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT ALL (bag intersection: min multiplicity per value) — "
+    "completes the ANSI set-op surface alongside UNION/UNION ALL/"
+    "INTERSECT/EXCEPT ALL",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
 
 
 @Q.add(
