@@ -1027,3 +1027,97 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"),
         F.round(s, 4).alias("comp_sum"),
     )
+
+
+# ===========================================================================
+# corpus normalization + weighted mixing (r2 widening)
+# ===========================================================================
+
+
+@Q.add(
+    "text_normalize",
+    r"""
+    SELECT lang,
+           COUNT(DISTINCT norm) AS n_distinct_norm,
+           ROUND(CAST(SUM(CAST(length(norm) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_norm_len
+    FROM (
+      SELECT lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+    doc="canonical text normalization (lowercase, trim, collapse internal "
+    "whitespace) + per-lang distinct count — the form-invariance pass that "
+    "runs before any exact dedup so byte-level variants collapse. Pure "
+    "codegen expressions; COUNT(DISTINCT) is the only shuffle "
+    "(DuckDB regexp_replace needs the explicit 'g' flag; Spark replaces "
+    "all matches by default)",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.select("lang", norm.alias("norm"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("norm").alias("n_distinct_norm"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(length(norm) AS DECIMAL(18,6))) AS DOUBLE)"
+                " / COUNT(*), 4)"
+            ).alias("avg_norm_len"),
+        )
+    )
+
+
+@Q.add(
+    "corpus_mix",
+    """
+    SELECT tier, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT CASE WHEN sid < 5 THEN 'full'
+                  WHEN sid < 10 THEN 'half'
+                  ELSE 'quarter' END AS tier,
+             CASE WHEN sid < 5 THEN TRUE
+                  WHEN sid < 10 THEN
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'
+                  ELSE
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '3'
+             END AS keep,
+             n_chars
+      FROM (SELECT CAST(substr(source, 4) AS INT) AS sid, doc_id, n_chars
+            FROM documents)
+    )
+    WHERE keep
+    GROUP BY tier
+    """,
+    doc="weighted corpus mixing: per-source sampling tiers (100% / 50% / 25%) "
+    "selected by a deterministic content-hash bucket (md5 hex prefix), the "
+    "same leakage-safe device as split_train_val — reproducible across runs, "
+    "engines, and partitionings, unlike rand()-based sampling. This is the "
+    "source-weighting step of training-mix construction; a narrow filter "
+    "with no shuffle until the final tier rollup",
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn(
+        "sid", F.substring("source", 4, 10).cast("int")
+    )
+    hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    tier = (
+        F.when(F.col("sid") < 5, F.lit("full"))
+        .when(F.col("sid") < 10, F.lit("half"))
+        .otherwise(F.lit("quarter"))
+    )
+    keep = (
+        F.when(F.col("sid") < 5, F.lit(True))
+        .when(F.col("sid") < 10, hex1.between("0", "7"))
+        .otherwise(hex1.between("0", "3"))
+    )
+    return (
+        d.filter(keep)
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

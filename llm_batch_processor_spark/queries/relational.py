@@ -1425,3 +1425,224 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+# ===========================================================================
+# B1–B6 widening (r2): cross join, reshaping, statistical aggregates,
+# time-series gap fill
+# ===========================================================================
+
+
+@Q.add(
+    "join_cross",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    doc="explicit cartesian product of two BOUNDED dims (5x25) — broadcast "
+    "nested-loop; cartesians are only ever valid between bounded sides, and "
+    "the explicit crossJoin() call documents that invariant in the plan",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@Q.add(
+    "agg_unpivot",
+    f"""
+    SELECT l_returnflag, metric,
+           CAST(SUM(CAST(val AS {DEC})) AS DOUBLE) AS total
+    FROM (
+      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice' AS metric, l_extendedprice AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val
+      FROM lineitem
+    )
+    GROUP BY l_returnflag, metric
+    """,
+    doc="unpivot/melt wide metric columns to long form + per-metric exact "
+    "sum. Spark's unpivot is a single-pass Expand (one scan, no UNION "
+    "re-reads) — the oracle's UNION ALL form scans three times; the Expand "
+    "plan is the one that survives 100 TB",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.unpivot(
+            ["l_returnflag"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+        .groupBy("l_returnflag", "metric")
+        .agg(F.expr(f"CAST(SUM(CAST(val AS {DEC})) AS DOUBLE)").alias("total"))
+    )
+
+
+@Q.add(
+    "agg_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="fixed-width histogram binning: FLOOR(x/width) bucket key -> "
+    "count/min/max. All map-side combinable, one shuffle of O(buckets) "
+    "partials per task — the distribution profile pass every curation "
+    "pipeline starts with. (FLOOR of an IEEE division is bit-deterministic "
+    "across engines; no decimal cast needed for the key)",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+# Regression/correlation aggregates, exact-sum form. Built-in corr()/
+# regr_slope() accumulate doubles in partition order (nondeterministic
+# across engines AND runs); instead the five moments are summed exactly
+# in DECIMAL(38,6) — order-independent, identical bits both engines —
+# and the closed-form stats are one double expression on top. The
+# moment aggregation is map-side combinable like any SUM.
+_DEC38 = "DECIMAL(38,6)"
+_REG_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_REG_CORR = (
+    "(n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))"
+)
+
+
+@Q.add(
+    "agg_regression",
+    f"""
+    SELECT l_returnflag,
+           ROUND({_REG_SLOPE}, 6) AS slope,
+           ROUND((sy - ({_REG_SLOPE}) * sx) / n, 6) AS intercept,
+           ROUND({_REG_CORR}, 6) AS corr_xy
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS {_DEC38})) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS {_DEC38})) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS {_DEC38})) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS {_DEC38})) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS {_DEC38})) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    """,
+    doc="least-squares slope/intercept + Pearson corr of quantity vs "
+    "extendedprice per returnflag, via exact decimal moment sums "
+    "(order-independent) + closed-form double math",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.expr(f"CAST(SUM(CAST(l_quantity AS {_DEC38})) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(l_extendedprice AS {_DEC38})) AS DOUBLE)").alias("sy"),
+        F.expr(
+            f"CAST(SUM(CAST(l_quantity * l_quantity AS {_DEC38})) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            f"CAST(SUM(CAST(l_extendedprice * l_extendedprice AS {_DEC38})) AS DOUBLE)"
+        ).alias("syy"),
+        F.expr(
+            f"CAST(SUM(CAST(l_quantity * l_extendedprice AS {_DEC38})) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    return sums.select(
+        "l_returnflag",
+        F.expr(f"ROUND({_REG_SLOPE}, 6)").alias("slope"),
+        F.expr(f"ROUND((sy - ({_REG_SLOPE}) * sx) / n, 6)").alias("intercept"),
+        F.expr(f"ROUND({_REG_CORR}, 6)").alias("corr_xy"),
+    )
+
+
+@Q.add(
+    "agg_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="exact interpolated quartiles per priority (Spark percentile() == "
+    "DuckDB quantile_cont, both type-7). Exact percentile sorts per group — "
+    "at 100 TB prefer the approx twin (percentile_approx / agg_approx_distinct "
+    "family) unless exactness is contractual",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("ROUND(percentile(o_totalprice, 0.25), 4)").alias("p25"),
+        F.expr("ROUND(percentile(o_totalprice, 0.50), 4)").alias("p50"),
+        F.expr("ROUND(percentile(o_totalprice, 0.75), 4)").alias("p75"),
+    )
+
+
+@Q.add(
+    "gap_fill_days",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ), days AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b
+    )
+    SELECT strftime(days.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(daily.n_events, 0) AS BIGINT) AS n_events,
+           ROUND(COALESCE(daily.sum_value, 0), 4) AS sum_value
+    FROM days LEFT JOIN daily ON days.day = daily.day
+    """,
+    doc="time-series gap fill: aggregate per day, then LEFT JOIN a generated "
+    "calendar spine (sequence + explode) so missing days appear as zeros. "
+    "The spine is O(days) — broadcast side of the join; the fact side "
+    "keeps its partitioning. Standard densification before window math",
+)
+def gap_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+                "sum_value"
+            ),
+        )
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        # both sides are O(distinct days); the preserved (left) side of an
+        # outer join can't be the broadcast build, so hint the right side
+        spine.join(F.broadcast(daily), "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(F.coalesce("sum_value", F.lit(0.0)), 4).alias("sum_value"),
+        )
+    )
