@@ -1121,3 +1121,81 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@Q.add(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE grams AS (
+      SELECT doc_id, DISTINCT_G.g
+      FROM (
+        SELECT doc_id,
+               list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                              FOR i IN range(1, len(string_split(text,' ')))]) AS gs
+        FROM documents
+      ), unnest(gs) AS DISTINCT_G(g)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    labels AS (
+      SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id, cluster_size FROM (
+      SELECT node AS doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM labels
+    ) WHERE cluster_size >= 2
+    """,
+    doc="near-dup CLUSTER assignment: exact bigram-Jaccard pairs -> connected "
+    "components -> (doc, cluster, size) for multi-member clusters. The engine "
+    "solves CC with the bounded driver union-find / distributed min-label "
+    "machinery (operators/dedup.py); the oracle independently re-derives the "
+    "same labels via a recursive-CTE transitive closure, so the component "
+    "labels themselves are hash-checked, not just the pair list",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    # persist the (expensive) pair list once: CC's edge collect AND the
+    # node set below both read the cache. Only nodes WITH edges can land
+    # in a size>=2 cluster, so the node set derives from pairs — no
+    # second documents scan.
+    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2).select("id_a", "id_b").persist()
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(pairs, ids)
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.withColumn("cluster_size", F.count("*").over(w))
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
