@@ -117,6 +117,12 @@ _NESTED_LOOP_ALLOWED = {
     # size-gated to corpora where that is the honest plan
     "dedup_embed_cosine",
     "dedup_ngram_jaccard",
+    # reuses ngram_jaccard_pairs (the allowlisted exact kernel above) to
+    # build the CC edge list
+    "dedup_clusters",
+    # the query IS a cross join of two genuinely bounded dims
+    # (region 5 x nation 25) — BNLJ is the correct physical plan
+    "join_cross",
 }
 
 
