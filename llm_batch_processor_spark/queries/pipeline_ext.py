@@ -1199,3 +1199,207 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
     )
+
+
+@Q.add(
+    "dedup_paragraph",
+    """
+    WITH segd AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+(?: \\S+){0,7}') AS segs
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, len(segs))) AS INT) AS seg_idx,
+             unnest(segs) AS seg
+      FROM segd
+    ),
+    marked AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+               AS keep
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx),
+                    '') AS new_text
+    FROM marked
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN keep THEN 1 ELSE 0 END) < COUNT(*)
+    """,
+    doc="corpus-level segment dedup (MassiveText/Gopher-style paragraph "
+    "dedup, adapted to the corpus's unpunctuated text: a 'paragraph' is an "
+    "8-word segment, cut by one vectorized regexp pass — no per-element "
+    "lambda over an outer array, no recompute). Each distinct segment "
+    "survives only at its first (doc_id, seg_idx) occurrence corpus-wide; "
+    "docs are reassembled from surviving segments in order. One shuffle "
+    "keyed on segment text (the unavoidable global-dedup exchange), one "
+    "groupBy doc_id to rebuild. Returns only docs that lost segments",
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(F.expr(r"regexp_extract_all(text, '\\S+(?: \\S+){0,7}', 0)")).alias(
+            "seg_idx", "seg"
+        ),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    marked = segs.select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "  collect_list(CASE WHEN keep THEN struct(seg_idx, seg) END)"
+                "), s -> s.seg), ' ')"
+            ).alias("new_text"),
+        )
+        .filter(F.col("n_kept") < F.col("n_segs"))
+    )
+
+
+@Q.add(
+    "shuffle_seeded",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS INT)
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+                  ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="deterministic seeded global shuffle for training-data ordering: "
+    "position = rank of md5(seed || id) within a hash-assigned shard. "
+    "Reproducible across runs/engines/partitionings (unlike rand()), and "
+    "scale-correct: no global sort — each shard sorts independently "
+    "(8 here, thousands at 100 TB), which is exactly how shuffled training "
+    "shards are materialized",
+)
+def shuffle_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    h = d.withColumn(
+        "h", F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    ).withColumn(
+        "shard",
+        (F.expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) % 8,
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return h.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@Q.add(
+    "chunk_overlap",
+    """
+    WITH n AS (
+      SELECT doc_id, text,
+             GREATEST(1, CAST(CEIL((length(text) - 100) / 60.0) AS INT) + 1)
+               AS n_chunks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, text, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * 60 + 1 AS INT) AS chunk_start,
+           substr(text, chunk_idx * 60 + 1, 100) AS chunk,
+           CAST(length(substr(text, chunk_idx * 60 + 1, 100)) AS INT) AS chunk_len
+    FROM idx
+    """,
+    doc="RAG-style overlapping chunking: 100-char windows at stride 60 "
+    "(40-char overlap) with 1-based char offsets, so every chunk is "
+    "traceable back to its source span. Pure sequence/transform/posexplode "
+    "— row-local fan-out, no shuffle at all; at 100 TB this is a map-only "
+    "stage that preserves the scan partitioning",
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(
+            "GREATEST(1, CAST(CEIL((length(text) - 100) / 60.0) AS INT) + 1)"
+        ).alias("n_chunks"),
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, n_chunks - 1), i -> i * 60 + 1)")
+        ).alias("chunk_idx", "chunk_start"),
+        "text",
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.expr("substring(text, chunk_start, 100)").alias("chunk"),
+        F.expr("CAST(length(substring(text, chunk_start, 100)) AS INT)").alias(
+            "chunk_len"
+        ),
+    )
+
+
+@Q.add(
+    "quality_classifier",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             LEAST(len(string_split(text, ' ')), 64) / 32.0 AS x1,
+             length(text) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('a', 'the', 'of', 'and', 'to')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x3
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((-1.2 + 0.8 * x1 - 0.5 * x2 + 2.0 * x3)
+                 / (1 + ABS(-1.2 + 0.8 * x1 - 0.5 * x2 + 2.0 * x3)), 4) AS score,
+           CAST(CASE WHEN -1.2 + 0.8 * x1 - 0.5 * x2 + 2.0 * x3 >= 0
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM feat
+    """,
+    doc="model-based quality scoring (the fasttext-classifier step of a "
+    "curation pipeline): a fixed offline-trained linear model over cheap "
+    "text features (clipped token count, avg word length, stopword ratio), "
+    "squashed by the rational z/(1+|z|) (bit-exact in IEEE double across "
+    "engines, unlike exp-based sigmoid). Weights live in the plan as "
+    "literals — the 100 TB form broadcasts the weight vector; scoring is "
+    "a map-only vectorized stage, no shuffle",
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        F.expr("LEAST(size(split(text, ' ')), 64) / 32.0").alias("x1"),
+        F.expr("length(text) / CAST(size(split(text, ' ')) AS DOUBLE)").alias("x2"),
+        F.expr(
+            "size(filter(split(text, ' '),"
+            " w -> w IN ('a', 'the', 'of', 'and', 'to')))"
+            " / CAST(size(split(text, ' ')) AS DOUBLE)"
+        ).alias("x3"),
+    )
+    z = "-1.2 + 0.8 * x1 - 0.5 * x2 + 2.0 * x3"
+    return feat.select(
+        "doc_id",
+        F.expr(f"ROUND(({z}) / (1 + ABS({z})), 4)").alias("score"),
+        F.expr(f"CAST(CASE WHEN {z} >= 0 THEN 1 ELSE 0 END AS INT)").alias("keep"),
+    )

@@ -1646,3 +1646,74 @@ def gap_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("sum_value", F.lit(0.0)), 4).alias("sum_value"),
         )
     )
+
+
+@Q.add(
+    "agg_bitwise",
+    """
+    SELECT event_type,
+           CAST(bit_or(user_id) AS BIGINT) AS or_users,
+           CAST(bit_and(user_id) AS BIGINT) AS and_users,
+           CAST(bit_xor(event_id) AS BIGINT) AS xor_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="bitwise aggregates (bit_or / bit_and / bit_xor) per event type — "
+    "commutative + associative, so Spark gets full map-side partial "
+    "aggregation (one narrow shuffle of 64-bit partials). The building "
+    "block for bitmap-index sketches and feature-flag rollups",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("CAST(bit_or(user_id) AS BIGINT)").alias("or_users"),
+        F.expr("CAST(bit_and(user_id) AS BIGINT)").alias("and_users"),
+        F.expr("CAST(bit_xor(event_id) AS BIGINT)").alias("xor_events"),
+    )
+
+
+@Q.add(
+    "win_cumulative_distinct",
+    """
+    WITH f AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY event_type, user_id
+                    ORDER BY epoch_us(ts), event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(SUM(is_first) OVER (
+                  PARTITION BY event_type ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM f
+    """,
+    doc="running COUNT(DISTINCT user) per event type in event-time order. "
+    "Window DISTINCT is unsupported (and would be O(n^2)) in both engines; "
+    "the standard rewrite is first-occurrence flag (row_number over "
+    "(type,user)) -> running SUM of flags. Two window passes, each a "
+    "hash-partitioned sort — no driver state, no distinct-set blowup",
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "us", F.expr("ts_ns DIV 1000")
+    )
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("us", "event_id")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "event_id",
+        "event_type",
+        "us",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.sum("is_first").over(w_cum).cast("bigint").alias("cum_users"),
+    )
