@@ -1403,3 +1403,49 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND(({z}) / (1 + ABS({z})), 4)").alias("score"),
         F.expr(f"CAST(CASE WHEN {z} >= 0 THEN 1 ELSE 0 END AS INT)").alias("keep"),
     )
+
+
+@Q.add(
+    "dedup_edit_distance",
+    """
+    WITH blocked AS (
+      SELECT doc_id, text, lang, substr(text, 1, 24) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+    FROM blocked a
+    JOIN blocked b
+      ON a.blk = b.blk AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 30
+    """,
+    doc="fuzzy dedup by edit distance with prefix blocking: candidate "
+    "pairs come from a hash equi-join on (lang, 24-char prefix) — never "
+    "all-pairs — then the O(len^2) Levenshtein kernel runs only inside "
+    "blocks. The classic record-linkage blocking pattern; at 100 TB the "
+    "block key keeps the join shuffle-partitionable and each block "
+    "bounded. Spark levenshtein == DuckDB levenshtein (standard "
+    "unit-cost edit distance)",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", F.substring("text", 1, 24).alias("blk")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.levenshtein(F.col("a.text"), F.col("b.text")) <= 30)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("int").alias(
+                "edit_dist"
+            ),
+        )
+    )

@@ -1717,3 +1717,144 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("is_first").over(w_cum).cast("bigint").alias("cum_users"),
     )
+
+
+@Q.add(
+    "agg_conditional",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+             AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+             AS urgent_total,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)
+                AS BIGINT) AS n_big_custs
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="conditional aggregation (FILTER clause / count_if): several "
+    "differently-filtered measures in ONE scan + ONE shuffle instead of N "
+    "filtered subqueries — the plan every hand-rolled CASE-WHEN rollup "
+    "should collapse into",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("CAST(count_if(o_totalprice > 150000) AS BIGINT)").alias("n_big"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+            " FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)"
+        ).alias("urgent_total"),
+        F.expr(
+            "CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)"
+            " AS BIGINT)"
+        ).alias("n_big_custs"),
+    )
+
+
+@Q.add(
+    "compact_latest",
+    """
+    SELECT user_id, event_type,
+           CAST(us AS BIGINT) AS last_us,
+           ROUND(value, 4) AS last_value
+    FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS us, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="latest-wins compaction (the Delta/Hudi/Iceberg upsert-merge read "
+    "path, and streaming dedup's batch twin): keep the newest record per "
+    "(user, type) key by event time with a deterministic event_id "
+    "tie-break. One shuffle on the key; at 100 TB this runs per partition "
+    "of a date-partitioned table and is exactly how CDC snapshots compact",
+)
+def compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn("us", F.expr("ts_ns DIV 1000"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("us").cast("bigint").alias("last_us"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+
+
+@Q.add(
+    "funnel_steps",
+    """
+    WITH ue AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(us) AS t_view FROM ue
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT ue.user_id, MIN(us) AS t_click
+      FROM ue JOIN s1 ON ue.user_id = s1.user_id
+      WHERE event_type = 'click' AND us > t_view GROUP BY ue.user_id
+    ),
+    s3 AS (
+      SELECT ue.user_id, MIN(us) AS t_purchase
+      FROM ue JOIN s2 ON ue.user_id = s2.user_id
+      WHERE event_type = 'purchase' AND us > t_click GROUP BY ue.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_view_click_purchase
+    """,
+    doc="ordered conversion funnel (view -> click-after-view -> "
+    "purchase-after-click), the strict-sequence form: each stage is the "
+    "earliest qualifying event AFTER the previous stage's time, not mere "
+    "set membership. Three filtered scans with the event_type predicate "
+    "pushed to parquet + per-stage joins on user_id; stage frontiers "
+    "shrink monotonically, so each join's build side is the (small) "
+    "converted-user set",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn("us", F.expr("ts_ns DIV 1000"))
+        .select("user_id", "event_type", "us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    # one left-join chain + a single global count — no 1-row cross joins,
+    # so the physical plan stays hash-join + partial-agg all the way down
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_view"),
+            F.count("t_click").cast("bigint").alias("n_view_click"),
+            F.count("t_purchase").cast("bigint").alias("n_view_click_purchase"),
+        )
+    )
