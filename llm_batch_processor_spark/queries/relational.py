@@ -1858,3 +1858,78 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").cast("bigint").alias("n_view_click_purchase"),
         )
     )
+
+
+@Q.add(
+    "sink_orc",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST((o_totalprice) AS {DEC})) AS DOUBLE) AS sum_price,
+           strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS min_date,
+           strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS max_date
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="ORC sink/source round-trip: orders projected to "
+    "long/double/string/date, written as ORC (Spark's second native "
+    "columnar format — same pushdown/pruning machinery as parquet), read "
+    "back and aggregated; hash-equality against the oracle on the "
+    "ORIGINAL parquet proves the round-trip is lossless",
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    out_dir = _tmp_dir("sink_orc", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    o.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(f"CAST(SUM(CAST((o_totalprice) AS {DEC})) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+@Q.add(
+    "rollup_time_multi",
+    f"""
+    SELECT day, hr, COUNT(*) AS n_events,
+           CAST(SUM(CAST((value) AS {DEC})) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((day), (day, hr))
+    """,
+    doc="multi-granularity time rollup (the continuous-aggregate / "
+    "hypertable-rollup pattern): day and day+hour aggregates from ONE "
+    "scan via GROUPING SETS — Spark's Expand emits both grains into a "
+    "single shuffle instead of two passes over 100 TB of events",
+)
+def rollup_time_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("int").alias("hr"),
+        "value",
+    )
+    e.createOrReplaceTempView("_rtm_events")
+    return spark.sql(
+        f"""
+        SELECT day, hr, COUNT(*) AS n_events,
+               CAST(SUM(CAST((value) AS {DEC})) AS DOUBLE) AS sum_value
+        FROM _rtm_events
+        GROUP BY GROUPING SETS ((day), (day, hr))
+        """
+    )
