@@ -1933,3 +1933,74 @@ def rollup_time_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((day), (day, hr))
         """
     )
+
+
+@Q.add(
+    "win_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) * INTERVAL 1 DAY AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM streaks
+    GROUP BY user_id
+    """,
+    doc="gaps-and-islands: longest run of consecutive active days per user "
+    "via the anchor trick (day minus row_number collapses each consecutive "
+    "run to one constant) — pure windows + groupBy, no self-join, no "
+    "iteration; every stage keys on user_id so one partitioning serves "
+    "the window and both aggregations",
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("anchor", F.date_sub("day", F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("max_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )
+
+
+@Q.add(
+    "agg_salted_twophase",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="explicit two-phase salted aggregation for skewed group keys: "
+    "phase 1 aggregates on (key, salt=orderkey%16) so a hot key spreads "
+    "over 16 reducers, phase 2 merges the 16 partials per key. The "
+    "DECIMAL partial sums are associative, so the result is bit-identical "
+    "to the direct plan (the oracle IS the direct plan). Map-side combine "
+    "gives this for free when partials fit memory; explicit salting is "
+    "the fallback when one key dominates a 100 TB shuffle",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    phase1 = (
+        l.withColumn("salt", F.pmod("l_orderkey", F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.expr(f"SUM(CAST((l_quantity) AS {DEC}))").alias("pq"),
+        )
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.expr("CAST(SUM(pq) AS DOUBLE)").alias("sum_qty"),
+    )
