@@ -1431,21 +1431,26 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", F.substring("text", 1, 24).alias("blk")
     )
-    a = d.alias("a")
+    # Build side broadcasts, so the probe side can be distributed any way
+    # at all — round-robin it across the cores so the O(len^2) kernel
+    # parallelizes even when the input is a single parquet split. Order
+    # the non-equi conjuncts cheap-first (id <, then the |len_a - len_b|
+    # <= k Levenshtein lower bound) so the kernel runs only on pairs that
+    # survive them: Spark keeps the written AND order for the join's
+    # residual condition, and a merged-in .filter() would be PREPENDED —
+    # putting levenshtein first — so the predicate lives in the join.
+    a = d.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = d.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(F.levenshtein(F.col("a.text"), F.col("b.text")) <= 30)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("int").alias(
-                "edit_dist"
-            ),
-        )
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return a.join(
+        F.broadcast(b),
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.length(F.col("a.text")) - F.length(F.col("b.text"))) <= 30)
+        & (lev <= 30),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        lev.cast("int").alias("edit_dist"),
     )
