@@ -194,3 +194,35 @@ def test_recommend_conf_scales():
     # 100 TB / 1000 execs: capped at 8x cores, far below bytes/128MiB
     assert int(large["spark.sql.shuffle.partitions"]) == 32000
     assert large["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_map_only_queries_have_zero_shuffles(spark, qs):
+    # chunk_overlap and quality_classifier claim "map-only, preserves scan
+    # partitioning" in their docs — pin it: no Exchange anywhere
+    for name in ("chunk_overlap", "quality_classifier"):
+        df = _df(qs, name, spark)
+        assert shuffle_count(df) == 0, (name, formatted_plan(df))
+
+
+def test_salted_twophase_is_exactly_two_exchanges(spark, qs):
+    # phase-1 (key, salt) shuffle + phase-2 key merge, nothing else
+    df = _df(qs, "agg_salted_twophase", spark)
+    assert shuffle_count(df) == 2, formatted_plan(df)
+
+
+def test_edit_distance_residual_runs_levenshtein_last(spark, qs):
+    # the Levenshtein kernel must sit BEHIND the cheap id/length bounds in
+    # the join's residual condition (a merged-in post-filter would be
+    # prepended and run the O(len^2) kernel on every intra-block match)
+    import re as _re
+
+    df = _df(qs, "dedup_edit_distance", spark)
+    plan = formatted_plan(df)
+    m = _re.search(r"Join condition.*", plan) or _re.search(
+        r"BroadcastHashJoin .*", plan
+    )
+    assert m, plan
+    cond = m.group(0)
+    lev = cond.find("levenshtein")
+    assert lev > 0, cond
+    assert cond.find("doc_id") < lev, cond
