@@ -2004,3 +2004,74 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_rows"),
         F.expr("CAST(SUM(pq) AS DOUBLE)").alias("sum_qty"),
     )
+
+
+@Q.add(
+    "join_asof_nearest",
+    """
+    WITH o2 AS (
+      SELECT o_orderkey, o_custkey, o_orderdate + INTERVAL 30 YEAR AS cutoff
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey, event_id AS eid_b, ts AS ts_b FROM (
+        SELECT o2.o_orderkey, e.event_id, e.ts,
+               ROW_NUMBER() OVER (PARTITION BY o2.o_orderkey
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM o2 JOIN events e
+          ON e.user_id = o2.o_custkey AND e.ts <= o2.cutoff
+      ) WHERE rn = 1
+    ),
+    f AS (
+      SELECT o_orderkey, event_id AS eid_f, ts AS ts_f FROM (
+        SELECT o2.o_orderkey, e.event_id, e.ts,
+               ROW_NUMBER() OVER (PARTITION BY o2.o_orderkey
+                                  ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM o2 JOIN events e
+          ON e.user_id = o2.o_custkey AND e.ts >= o2.cutoff
+      ) WHERE rn = 1
+    )
+    SELECT o2.o_orderkey, o2.o_custkey,
+           CASE WHEN eid_f IS NULL THEN eid_b
+                WHEN eid_b IS NULL THEN eid_f
+                WHEN (cutoff - ts_b) <= (ts_f - cutoff) THEN eid_b
+                ELSE eid_f END AS nearest_event_id,
+           CASE WHEN eid_f IS NULL THEN 'backward'
+                WHEN eid_b IS NULL THEN 'forward'
+                WHEN (cutoff - ts_b) <= (ts_f - cutoff) THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM o2
+    LEFT JOIN b ON b.o_orderkey = o2.o_orderkey
+    LEFT JOIN f ON f.o_orderkey = o2.o_orderkey
+    WHERE eid_b IS NOT NULL OR eid_f IS NOT NULL
+    """,
+    doc="nearest-direction as-of join (pandas merge_asof nearest): the "
+    "event with the smallest |Δt| around each order's cutoff, ties to the "
+    "backward match; backward + forward windowed passes composed by "
+    "day-time-interval comparison (TZ-free — no epoch conversion of NTZ "
+    "timestamps). Deterministic where native ASOF engines are not: "
+    "duplicate right timestamps are tie-broken by event_id",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_nearest
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "cutoff", F.expr("o_orderdate + INTERVAL 30 YEAR")
+    )
+    e = load(spark, sf_dir, "events")
+    res = asof_join_nearest(
+        left=o,
+        right=e,
+        left_on="o_custkey",
+        right_on="user_id",
+        left_time="cutoff",
+        right_time="ts",
+        left_key="o_orderkey",
+        right_tiebreak="event_id",
+    )
+    return res.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("__nearest").alias("nearest_event_id"),
+        F.col("__direction").alias("direction"),
+    )
