@@ -1454,3 +1454,208 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("id_b"),
         lev.cast("int").alias("edit_dist"),
     )
+
+
+@Q.add(
+    "anonymize_k",
+    """
+    SELECT d.doc_id, d.lang, d.source, g.grp_n
+    FROM documents d
+    JOIN (
+      SELECT lang, source, COUNT(*) AS grp_n
+      FROM documents GROUP BY lang, source
+      HAVING COUNT(*) >= 3
+    ) g ON d.lang = g.lang AND d.source = g.source
+    """,
+    doc="k-anonymity suppression (k=3) on the (lang, source) "
+    "quasi-identifier: rows whose QI group has fewer than k members are "
+    "dropped so no released row is identifiable within its group. Built "
+    "as two-phase aggregate + equi-join back rather than a window count: "
+    "the distinct-QI side is tiny (|langs| x |sources|), so it broadcasts "
+    "and the fact side streams map-only with zero shuffle — a window "
+    "count would shuffle AND sort the full table on the QI key",
+)
+def anonymize_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    groups = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("grp_n"))
+        .filter(F.col("grp_n") >= 3)
+    )
+    return d.join(F.broadcast(groups), ["lang", "source"]).select(
+        "doc_id", "lang", "source", "grp_n"
+    )
+
+
+@Q.add(
+    "vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT t.w FROM (SELECT string_split(text, ' ') AS sp FROM documents),
+      unnest(sp) AS t(w) WHERE t.w <> ''
+    ),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS n FROM vocab),
+    top AS (SELECT w, cnt FROM vocab ORDER BY cnt DESC, w LIMIT 50)
+    SELECT w AS word, cnt,
+           ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING)
+                 / (SELECT n FROM tot), 6) AS cum_share
+    FROM top
+    """,
+    doc="tokenizer-vocabulary build: corpus word frequencies, top-50 by "
+    "count (word tie-break), each with its CUMULATIVE share of all corpus "
+    "tokens — the coverage curve used to size a vocab. explode+groupBy is "
+    "one shuffle with map-side partial counts; top-50 is TakeOrdered (no "
+    "global sort); the cumulative window runs on 50 rows, and the corpus "
+    "token total rides in as a broadcast scalar",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    top = vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(50)
+    win = Window.orderBy(F.desc("cnt"), F.asc("w")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("cum_cnt", F.sum("cnt").over(win))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("w").alias("word"),
+            "cnt",
+            F.round(F.col("cum_cnt") / F.col("n"), 6).alias("cum_share"),
+        )
+    )
+
+
+@Q.add(
+    "length_filter_pct",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+      FROM documents
+    )
+    WHERE pr >= 0.05 AND pr <= 0.95
+    """,
+    doc="length-outlier trim (the C4/Gopher 'drop the tails' curation "
+    "step): within each language keep docs whose length percent_rank "
+    "falls in [0.05, 0.95]. percent_rank is rank-based, so ties get "
+    "identical values in any engine — deterministic without a full "
+    "tie-break. Exact form shuffles+sorts per lang once; the 100 TB "
+    "variant swaps in approx_percentile cutoffs (one agg + broadcast "
+    "filter) when rank exactness isn't contractual",
+)
+def length_filter_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("n_chars"))
+    return (
+        d.select("doc_id", "lang", "n_chars", pr.alias("pr"))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .drop("pr")
+    )
+
+
+@Q.add(
+    "ngram_counts",
+    """
+    WITH pos AS (
+      SELECT doc_id, unnest(sp) AS w, unnest(range(1, len(sp) + 1)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+    )
+    SELECT a.w || ' ' || b.w AS bigram, COUNT(*) AS cnt
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 25
+    """,
+    doc="corpus bigram language-model counts: top-25 token bigrams with "
+    "frequencies (count desc, bigram asc tie-break). Spark side builds "
+    "bigrams per row with zipped shifted slices (token_ngrams — no "
+    "self-join, no position explode), then one explode+groupBy shuffle "
+    "with map-side combine; top-25 is TakeOrdered. The oracle "
+    "reconstructs the same pairs relationally via position self-join",
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import token_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(F.explode(token_ngrams(F.col("text"), 2)).alias("bigram"))
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+@Q.add(
+    "retention_cohort",
+    """
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', f.cohort, a.day) AS INT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM first f JOIN act a ON f.user_id = a.user_id
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="cohort retention: users bucketed by first-activity date, counted "
+    "at each later day offset (the DAU-retention triangle). first-seen "
+    "and distinct-activity both aggregate on user_id, so the join between "
+    "them is co-partitioned — one Exchange feeds all three stages; only "
+    "the final (cohort, offset) rollup reshuffles, and that output is "
+    "O(days^2) regardless of input scale",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        first.join(act, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@Q.add(
+    "cooccur_events",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+    doc="market-basket co-occurrence: for each unordered pair of event "
+    "types, how many users did both. The distinct + self-join are both "
+    "keyed on user_id (co-partitioned, one Exchange); per-user pair "
+    "fan-out is bounded by the event-type vocabulary (|types| choose 2), "
+    "not by event volume, so the shape survives any corpus scale",
+)
+def cooccur_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
