@@ -1607,18 +1607,23 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY cohort_day, day_offset
     """,
     doc="cohort retention: users bucketed by first-activity date, counted "
-    "at each later day offset (the DAU-retention triangle). first-seen "
-    "and distinct-activity both aggregate on user_id, so the join between "
-    "them is co-partitioned — one Exchange feeds all three stages; only "
-    "the final (cohort, offset) rollup reshuffles, and that output is "
-    "O(days^2) regardless of input scale",
+    "at each later day offset (the DAU-retention triangle). One pass, no "
+    "self-join: a single user_id aggregation computes min(day) AND "
+    "collect_set(day) together (the per-user set is bounded by the "
+    "observation span in days, not by event volume), then exploding the "
+    "set yields exactly the distinct (user, day) pairs. Two Exchanges "
+    "total — user_id, then the O(days^2)-row (cohort, offset) rollup — "
+    "where the first/activity join formulation costs four",
 )
 def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
-    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    per_user = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort"), F.collect_set("day").alias("days"))
+    )
     return (
-        first.join(act, "user_id")
+        per_user.select("cohort", F.explode("days").alias("day"))
         .groupBy(
             F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff("day", "cohort").cast("int").alias("day_offset"),
@@ -1638,24 +1643,142 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY type_a, type_b
     """,
     doc="market-basket co-occurrence: for each unordered pair of event "
-    "types, how many users did both. The distinct + self-join are both "
-    "keyed on user_id (co-partitioned, one Exchange); per-user pair "
-    "fan-out is bounded by the event-type vocabulary (|types| choose 2), "
-    "not by event volume, so the shape survives any corpus scale",
+    "types, how many users did both. No self-join: collect_set(event_type) "
+    "per user (bounded by the type vocabulary, not event volume), then "
+    "ordered pairs are generated array-side from the sorted set — each "
+    "user emits each pair at most once, so the rollup count IS the user "
+    "count. Two Exchanges (user_id, then the |types|^2-row pair rollup) "
+    "where the distinct + self-join formulation costs four and re-shuffles "
+    "the distinct output",
 )
 def cooccur_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    ut = e.select("user_id", "event_type").distinct()
-    a, b = ut.alias("a"), ut.alias("b")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select("types")  # user_id is spent; prune before the fan-out
+    )
+    # pairs(types) = [(types[i], types[j]) for i < j], built with indexed
+    # transform + slice over the POST-AGG attribute (an attribute ref, so
+    # the interpreted HOF doesn't re-evaluate an expression per element)
+    pairs = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        per_user.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+@Q.add(
+    "entropy_score",
+    """
+    WITH wc AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, t.w
+        FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             unnest(sp) AS t(w)
+      )
+      GROUP BY doc_id, w
+    ),
+    per AS (
+      SELECT doc_id, list_sort(list(c)) AS cs, SUM(c) AS n
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(log2(CAST(n AS DOUBLE))
+                 - list_sum(list_transform(cs, c -> c * log2(CAST(c AS DOUBLE))))
+                   / n, 4) AS word_entropy
+    FROM per
+    """,
+    doc="per-doc word-distribution Shannon entropy (the gibberish / "
+    "boilerplate signal in C4-style quality filtering), via the "
+    "H = log2(n) - sum(c*log2(c))/n identity so only integer counts "
+    "aggregate distributively. Determinism: the float sum runs over the "
+    "SORTED per-doc count list (sort_array + F.aggregate in array order; "
+    "list_sort + list_sum in the oracle) — identical addition order in "
+    "both engines, so bit-identical doubles. Two shuffles ((doc_id, word) "
+    "then doc_id); the collected list is bounded by per-doc vocab, never "
+    "corpus size",
+)
+def entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per = wc.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("c")).alias("cs"),
+        F.sum("c").alias("n"),
+    )
+    plogp = F.aggregate(
+        "cs",
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    return per.select(
+        "doc_id",
+        F.round(
+            F.log2(F.col("n").cast("double")) - plogp / F.col("n"), 4
+        ).alias("word_entropy"),
+    )
+
+
+@Q.add(
+    "feature_zscore",
+    """
+    WITH s AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM documents GROUP BY lang
+      HAVING COUNT(*) > 1 AND (s2 - s1 * s1 / n) > 0
+    )
+    SELECT d.doc_id, d.lang,
+           ROUND((d.n_chars - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
+             AS z_len
+    FROM documents d JOIN s ON d.lang = s.lang
+    """,
+    doc="per-group feature standardization (z-score of doc length within "
+    "language — the classic ML-preprocessing normalize step): group "
+    "mean/std come from exact DECIMAL sum and sum-of-squares (integer "
+    "products, so both engines sum identically; mean/var derived in one "
+    "double step each), then broadcast back onto the fact side — zero "
+    "fact-table shuffle, unlike a window formulation which would "
+    "shuffle+sort everything on lang. Zero-variance and singleton groups "
+    "are excluded up front so no NaN/Inf crosses an engine boundary",
+)
+def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("s1"),
+            F.expr(
+                "CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("s2"),
+        )
+        .filter((F.col("n") > 1) & (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n") > 0))
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return (
+        d.join(F.broadcast(s), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round((F.col("n_chars") - mean) / F.sqrt(var), 4).alias("z_len"),
+        )
     )

@@ -2075,3 +2075,71 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__nearest").alias("nearest_event_id"),
         F.col("__direction").alias("direction"),
     )
+
+
+@Q.add(
+    "agg_weighted",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS {DEC})) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 4)
+             AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="quantity-weighted average price per return flag: both the "
+    "weighted numerator (price*qty products are computed in double — "
+    "IEEE-identical across engines — then summed exactly in DECIMAL) and "
+    "the weight total aggregate distributively, so the whole thing is one "
+    "map-side-combined shuffle; the division happens once per group at "
+    "the end. The standard shape for any ratio-of-sums metric — never "
+    "average per-row ratios",
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr(f"CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE)").alias("sum_qty"),
+        F.expr(
+            f"ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS {DEC})) AS DOUBLE)"
+            f" / CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 4)"
+        ).alias("wavg_price"),
+    )
+
+
+@Q.add(
+    "scan_schema_merge",
+    f"""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pri,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY pri
+    """,
+    doc="schema-evolution scan: two parquet generations of the same "
+    "table — an old one without o_orderpriority (even keys) and a new "
+    "one with it (odd keys) — read as ONE dataset via mergeSchema=true; "
+    "old-generation rows surface NULL for the added column. The "
+    "aggregate's hash-equality against the single-schema oracle proves "
+    "the merged read is lossless. This is how a 100 TB table evolves in "
+    "place: new columns append to new files only, no rewrite of old data",
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    root = _tmp_dir("schema_merge", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(f"{root}/gen=old")
+    new.write.mode("overwrite").parquet(f"{root}/gen=new")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/gen=old", f"{root}/gen=new"
+    )
+    return back.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr(f"CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE)").alias("sum_price"),
+    )

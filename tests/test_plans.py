@@ -123,6 +123,9 @@ _NESTED_LOOP_ALLOWED = {
     # the query IS a cross join of two genuinely bounded dims
     # (region 5 x nation 25) — BNLJ is the correct physical plan
     "join_cross",
+    # 1-row broadcast of the corpus token total against the top-50
+    # vocab rows — a scalar attach, bounded on both sides
+    "vocab_coverage",
 }
 
 
@@ -226,3 +229,30 @@ def test_edit_distance_residual_runs_levenshtein_last(spark, qs):
     lev = cond.find("levenshtein")
     assert lev > 0, cond
     assert cond.find("doc_id") < lev, cond
+
+
+def test_anonymize_k_fact_side_is_broadcast_join(spark, qs):
+    # the QI-group side is tiny: it must ship as a broadcast, leaving the
+    # fact side map-only — a SortMergeJoin here would shuffle+sort the
+    # full table on the quasi-identifier at 100 TB
+    df = _df(qs, "anonymize_k", spark)
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_vocab_and_ngram_topk_use_take_ordered(spark, qs):
+    # top-k over the aggregated vocab must be TakeOrdered (partial top-k
+    # per partition + merge), never a global Sort
+    for name in ("vocab_coverage", "ngram_counts"):
+        df = _df(qs, name, spark)
+        assert has_take_ordered(df), (name, formatted_plan(df))
+
+
+def test_single_user_pass_queries_have_two_exchanges(spark, qs):
+    # retention_cohort and cooccur_events claim "one user_id Exchange +
+    # one bounded rollup Exchange, no self-join" — pin it; the naive
+    # join formulations cost 4 Exchanges and re-shuffle distinct output
+    for name in ("retention_cohort", "cooccur_events"):
+        df = _df(qs, name, spark)
+        assert shuffle_count(df) == 2, (name, formatted_plan(df))
+        assert "Join" not in formatted_plan(df), name
