@@ -3,11 +3,16 @@
 Every query builder goes through :func:`load` so type normalization
 happens in exactly one place:
 
-- ``events.ts`` is parquet TIMESTAMP(NANOS): Spark can't type it, so we
-  read it as raw int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``)
-  and derive both ``ts`` (TIMESTAMP_NTZ, microsecond precision — exactly
-  what DuckDB sees) and ``ts_ns`` (the raw integer, used for epoch math
-  that must match the oracle bit-for-bit).
+- ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) (r1
+  testdata — Spark can't type it, so it scans as raw int64 nanos via
+  ``spark.sql.legacy.parquet.nanosAsLong``) or TIMESTAMP(MICROS,
+  isAdjustedToUTC=false) (r2 testdata — scans natively as
+  TIMESTAMP_NTZ). We branch on the scanned type and normalize both to
+  the same two columns: ``ts`` (TIMESTAMP_NTZ @ microseconds — exactly
+  what DuckDB sees) and ``ts_ns`` (int64 epoch nanos, used for epoch
+  math that must match the oracle bit-for-bit). The NTZ→epoch hop goes
+  through ``unix_micros(CAST(ts AS TIMESTAMP))``, exact because the
+  session TZ is pinned UTC (session.py).
 - everything else maps 1:1 (timestamp_ntz / bigint / double / string /
   array<float>).
 
@@ -46,16 +51,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
-        # raw int64 nanos -> (ts TIMESTAMP_NTZ @ microseconds, ts_ns bigint)
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn(
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type.startswith("timestamp"):
+            # TIMESTAMP(MICROS) parquet -> native TIMESTAMP_NTZ scan;
+            # derive int64 epoch nanos (exact: micros * 1000, UTC session)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+                "ts_ns", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L")
+            )
+        else:
+            # TIMESTAMP(NANOS) parquet -> raw int64 nanos scan; derive
+            # the microsecond-precision TIMESTAMP_NTZ DuckDB would see
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
                 "ts",
                 F.expr(
                     "CAST(timestamp_micros(CAST(ts_ns DIV 1000 AS LONG)) AS TIMESTAMP_NTZ)"
                 ),
             )
-            .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+        df = df.select(
+            "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
         )
     return df
 
