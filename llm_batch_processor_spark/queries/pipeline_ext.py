@@ -1782,3 +1782,71 @@ def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n_chars") - mean) / F.sqrt(var), 4).alias("z_len"),
         )
     )
+
+
+@Q.add(
+    "event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst, COUNT(*) AS n_transitions
+    FROM s WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+    doc="first-order Markov transition counts: for each user's "
+    "time-ordered event stream, count src->dst consecutive event-type "
+    "pairs (the behavioral-model / next-event-prediction feature). One "
+    "user_id Exchange serves the LEAD window; the |types|^2-row rollup "
+    "is map-side combined. Ordering fully tie-broken by (ts, event_id), "
+    "so the pairing is deterministic under any partitioning.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    s = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    return (
+        s.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+@Q.add(
+    "heavy_hitters",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+         t AS (SELECT SUM(n_events) AS total FROM c)
+    SELECT user_id, n_events,
+           ROUND(CAST(n_events AS DOUBLE) / total, 6) AS share
+    FROM c, t
+    WHERE n_events * 100 > total
+    """,
+    doc="exact heavy hitters: users contributing > 1% of all events "
+    "(the skew / abuse / hot-key detector run before choosing a "
+    "partitioning strategy). Two-phase: map-side-combined per-user "
+    "counts (|users| rows), then the grand total joins back as a "
+    "broadcast scalar — the fact table is scanned once and never "
+    "re-shuffled. The threshold compares integers (n*100 > total), so "
+    "no float boundary; share is one double division of exact ints, "
+    "identical in both engines.",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    t = c.agg(F.sum("n_events").alias("total"))
+    return (
+        c.join(F.broadcast(t))
+        .filter(F.col("n_events") * 100 > F.col("total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )

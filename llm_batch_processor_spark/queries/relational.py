@@ -2143,3 +2143,171 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.expr(f"CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE)").alias("sum_price"),
     )
+
+
+@Q.add(
+    "profile_stats",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_orderkey) AS nn_orderkey,
+           COUNT(DISTINCT l_orderkey) AS nd_orderkey,
+           COUNT(DISTINCT l_suppkey) AS nd_suppkey,
+           COUNT(DISTINCT l_returnflag) AS nd_returnflag,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(strftime(l_shipdate, '%Y-%m-%d')) AS min_shipdate,
+           MAX(strftime(l_shipdate, '%Y-%m-%d')) AS max_shipdate
+    FROM lineitem
+    """,
+    doc="one-pass data-profiling summary (the 'column statistics' scan a "
+    "catalog/quality service runs before ingesting a 100 TB table): row "
+    "count, per-column non-null + exact distinct counts, min/max ranges. "
+    "Multi-column exact COUNT(DISTINCT) compiles to a single Expand-based "
+    "plan — one scan, partial aggs map-side — rather than one job per "
+    "column. MIN/MAX on doubles/strings are exact (no summation).",
+)
+def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_orderkey").alias("nn_orderkey"),
+        F.count_distinct("l_orderkey").alias("nd_orderkey"),
+        F.count_distinct("l_suppkey").alias("nd_suppkey"),
+        F.count_distinct("l_returnflag").alias("nd_returnflag"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_shipdate"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_shipdate"),
+    )
+
+
+@Q.add(
+    "pareto_frontier",
+    """
+    WITH m AS (
+      SELECT p_size, MAX(p_retailprice) AS best_price
+      FROM part GROUP BY p_size
+    )
+    SELECT p_size, best_price FROM m m1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m m2
+      WHERE m2.p_size < m1.p_size AND m2.best_price >= m1.best_price
+    )
+    ORDER BY p_size
+    """,
+    doc="2D Pareto frontier (skyline): sizes whose best price strictly "
+    "beats every smaller size's best — the classic price/size dominance "
+    "query. Scale shape: the frontier input is the per-size aggregate "
+    "(bounded by the size DOMAIN, ~50 values, not row count), so the "
+    "single-partition ordered window over it is O(|domain|); the raw "
+    "table only pays one map-side-combined groupBy. The oracle states "
+    "the same frontier as a NOT EXISTS anti-join — fine at oracle scale, "
+    "quadratic at ours, which is why the engine uses the sorted-cummax "
+    "formulation. MAX/compares only, no float summation.",
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    m = p.groupBy("p_size").agg(F.max("p_retailprice").alias("best_price"))
+    # frontier test: strictly better than the running best over all
+    # smaller sizes (sorted cummax over the bounded per-size aggregate)
+    w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        m.withColumn("prev_best", F.max("best_price").over(w))
+        .filter(F.col("prev_best").isNull() | (F.col("best_price") > F.col("prev_best")))
+        .select("p_size", "best_price")
+    )
+
+
+@Q.add(
+    "agg_corr_exact",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             -- DECIMAL(19,6) operands force DuckDB's int128 multiply
+             -- (int64 DECIMAL(18) products overflow); values are exact
+             -- either way, so the sums equal Spark's DECIMAL(18,6) path
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM s
+    """,
+    doc="exact-deterministic Pearson correlation per group: the five "
+    "moment sums accumulate as DECIMAL (integer arithmetic -> "
+    "order-independent, unlike corr()'s streaming float update whose "
+    "result depends on partition merge order), then one double-precision "
+    "combine step evaluated with the identical expression in both "
+    "engines. One map-side-combined shuffle; built-in corr() would be "
+    "cheaper per row but is not bit-reproducible across partitionings — "
+    "the property this query exists to pin.",
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    d = "DECIMAL(18,6)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.expr(f"CAST(SUM(CAST(l_quantity AS {d})) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(l_extendedprice AS {d})) AS DOUBLE)").alias("sy"),
+        F.expr(
+            f"CAST(SUM(CAST(l_quantity AS {d}) * CAST(l_extendedprice AS {d})) AS DOUBLE)"
+        ).alias("sxy"),
+        F.expr(
+            f"CAST(SUM(CAST(l_quantity AS {d}) * CAST(l_quantity AS {d})) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            f"CAST(SUM(CAST(l_extendedprice AS {d}) * CAST(l_extendedprice AS {d})) AS DOUBLE)"
+        ).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+    )
+
+
+@Q.add(
+    "win_moving_median",
+    """
+    WITH t AS (
+      SELECT event_id, user_id,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS cs
+      FROM events
+    )
+    SELECT event_id, user_id,
+           (cs[((len(cs) - 1) // 2) + 1] + cs[(len(cs) // 2) + 1]) / 2 AS med7
+    FROM t
+    """,
+    doc="exact moving median of event value over a 7-row trailing frame "
+    "per user (robust smoothing — the outlier-tolerant twin of a moving "
+    "average). Neither engine's median() is used: both sides collect the "
+    "SAME bounded frame (<=7 values), sort it, and apply the identical "
+    "lower/upper-middle average expression — so even-count interpolation "
+    "is bit-identical rather than engine-internal. One Exchange "
+    "(user_id) + sort; the per-row list is frame-bounded, never "
+    "partition-sized. Ordering fully tie-broken by (ts, event_id).",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    cs = F.sort_array(F.collect_list("value").over(w))
+    t = e.select("event_id", "user_id", cs.alias("cs"))
+    n = F.size("cs")
+    lo = F.element_at("cs", ((n - F.lit(1)) / 2).cast("int") + 1)
+    hi = F.element_at("cs", (n / 2).cast("int") + 1)
+    return t.select("event_id", "user_id", ((lo + hi) / 2).alias("med7"))
