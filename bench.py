@@ -76,8 +76,14 @@ def main() -> int:
 
     total = round(sum(per_query.values()), 3)
     sf_label = os.path.basename(os.path.normpath(args.sf))
-    print(
-        json.dumps(
+
+    # The driver captures only a bounded tail of stdout and JSON-parses
+    # it; round 2's 130-query line overran that window and recorded
+    # "parsed": null. Keep the printed line under ~2800 chars: full
+    # per-query detail goes to BENCH_FULL.json (committed), and the
+    # printed "queries" dict keeps the slowest entries that fit.
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "full_inventory_wall_sec",
                 "value": total,
@@ -85,9 +91,32 @@ def main() -> int:
                 "queries": per_query,
                 "sf": sf_label,
                 "n_queries": len(per_query),
-            }
+            },
+            f,
         )
-    )
+        f.write("\n")
+
+    def line_for(qdict: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "full_inventory_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qdict,
+                "queries_omitted": len(per_query) - len(qdict),
+                "queries_full": "BENCH_FULL.json",
+                "sf": sf_label,
+                "n_queries": len(per_query),
+            },
+            separators=(",", ":"),
+        )
+
+    by_cost = sorted(per_query.items(), key=lambda kv: -kv[1])
+    shown = dict(by_cost)
+    while len(shown) > 1 and len(line_for(shown)) > 2800:
+        by_cost.pop()
+        shown = dict(by_cost)
+    print(line_for(shown))
     spark.stop()
     return 0
 

@@ -2284,6 +2284,7 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS cs
       FROM events
+      WHERE value IS NOT NULL
     )
     SELECT event_id, user_id,
            (cs[((len(cs) - 1) // 2) + 1] + cs[(len(cs) // 2) + 1]) / 2 AS med7
@@ -2299,7 +2300,10 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition-sized. Ordering fully tie-broken by (ts, event_id).",
 )
 def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # collect_list drops NULLs while DuckDB's windowed list() keeps
+    # them; filter NULL values on BOTH sides so the frames agree even
+    # if a future testdata regeneration introduces NULL `value`.
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_ns", "event_id")

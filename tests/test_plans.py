@@ -126,6 +126,9 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row broadcast of the corpus token total against the top-50
     # vocab rows — a scalar attach, bounded on both sides
     "vocab_coverage",
+    # 1-row broadcast of the grand event total onto the per-user
+    # counts — a scalar attach; the fact table is never re-shuffled
+    "heavy_hitters",
 }
 
 

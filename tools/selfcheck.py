@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import os
 import sys
@@ -53,6 +54,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--out",
+        default="",
+        help="write per-query results as JSON (same row shape as the "
+        "driver's CORRECTNESS artifact, plus elapsed seconds)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as E
@@ -74,6 +81,7 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -86,10 +94,21 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": "spark_raised",
+            }
             continue
         if name not in oracles:
             n_rows_only += 1
             print(f"rows  {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(spdf),
+                "oracle_rows": None, "err": "no_oracle",
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         try:
             odf = con.execute(oracles[name]).df()
@@ -98,6 +117,11 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": False, "spark_rows": len(spdf),
+                "oracle_rows": None, "err": "oracle_raised",
+            }
             continue
         ok = True
         msgs = []
@@ -120,10 +144,24 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: " + " | ".join(msgs))
+        results[name] = {
+            "rows_match": len(spdf) == len(odf),
+            "schema_match": sorted(spdf.columns) == sorted(odf.columns),
+            "hash_match": ok,
+            "spark_rows": len(spdf),
+            "oracle_rows": len(odf),
+            "err": None if ok else "; ".join(msgs)[:300],
+            "sec": round(time.time() - t0, 2),
+        }
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     if failures:
         print("failures:", ",".join(failures))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+        print(f"wrote {args.out} ({len(results)} queries)")
     spark.stop()
     return 1 if n_fail else 0
 
