@@ -75,6 +75,9 @@ _CHECK_PRIORITY = [
     "agg_salted_twophase", "join_asof_nearest", "agg_weighted",
     "scan_schema_merge", "profile_stats", "pareto_frontier",
     "agg_corr_exact", "win_moving_median", "llm_json_project",
+    # -- round-3 additions (never checked; round-4 queue)
+    "shard_plan_tokens", "dedup_priority_source", "quality_ntile",
+    "events_debounce", "win_fill_forward", "llm_cache_join",
 ]
 
 

@@ -721,7 +721,11 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the scalar subquery) so no crossJoin rides the plan
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    idf = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df(term) = number of (doc, term) rows in tf — no second explode of
+    # the raw tokens and no countDistinct shuffle; both join branches
+    # share the identical tf subtree, so the tf shuffle is planned once
+    # (ReusedExchange) and the corpus is tokenized a single time
+    idf = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scored = tf.join(idf, "tok").withColumn(
         "score",
         F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))),
@@ -1850,4 +1854,142 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round(F.col("n_events").cast("double") / F.col("total"), 6).alias("share"),
         )
+    )
+
+
+# ===========================================================================
+# round-3 additions: sharding, priority dedup, binning, response cache
+# ===========================================================================
+
+
+@Q.add(
+    "shard_plan_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             SUM(len(string_split(text, ' '))) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    SELECT CAST((cum - n_tokens) // 20000 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM t GROUP BY 1
+    """,
+    doc="training-shard planning: assign docs (in doc_id order) to "
+    "~20k-token output shards by their starting token offset — the "
+    "dataloader-sharding step that needs a RUNNING TOTAL over a global "
+    "order. A bare Window.orderBy cumsum is one task holding the whole "
+    "corpus; operators/prefix.py:global_cumsum instead bins by "
+    "deterministic order-ranges, cumsums per bin in parallel, and "
+    "broadcasts the n_bins-row running offsets back — every row "
+    "shuffled once, only a 32-row scan serialized. The oracle is the "
+    "single-order window twin.",
+)
+def shard_plan_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_cumsum
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    c = global_cumsum(d, "doc_id", "n_tokens", out_col="cum", n_bins=32)
+    return (
+        c.withColumn(
+            "shard_id",
+            ((F.col("cum") - F.col("n_tokens")) / F.lit(20000))
+            .cast("bigint"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@Q.add(
+    "dedup_priority_source",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, md5(text) AS content_hash,
+             CAST(substr(source, 4) AS INT) AS prio,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CAST(substr(source, 4) AS INT), doc_id) AS rn
+      FROM documents
+    )
+    SELECT content_hash, doc_id AS survivor_id, source AS survivor_source,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM ranked WHERE rn = 1
+    """,
+    doc="cross-source dedup with survivor POLICY: among exact-content "
+    "duplicates keep the copy from the most-trusted source (lowest "
+    "srcN index; doc_id tie-break) — the Pile/RefinedWeb rule when the "
+    "same page arrives via multiple crawls. Groups on the 16-byte md5 "
+    "digest so the Exchange carries digests + ids, never text (the "
+    "same digest-only-shuffle shape as dedup_exact); survivor picked "
+    "with one min(struct) aggregate, no window sort.",
+)
+def dedup_priority_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_hash"),
+        F.substring("source", 4, 10).cast("int").alias("prio"),
+    )
+    # min(struct(prio, doc_id, source)) = argmin under (prio, doc_id):
+    # a single map-side-combinable aggregate instead of a row_number
+    # window (no per-group sort, no second pass)
+    g = d.groupBy("content_hash").agg(
+        F.min(F.struct("prio", "doc_id", "source")).alias("best"),
+        F.count("*").alias("group_size"),
+    )
+    # emit the survivor for EVERY content group (the kept set a real
+    # pipeline writes out), not just multi-member groups — singleton
+    # groups keep the output non-vacuous at sfs whose testdata happens
+    # to contain no exact dups (sf0.01 has none; sf0.1 has 8 groups)
+    return g.select(
+        "content_hash",
+        F.col("best.doc_id").alias("survivor_id"),
+        F.col("best.source").alias("survivor_source"),
+        F.col("group_size").cast("bigint").alias("group_size"),
+    )
+
+
+@Q.add(
+    "quality_ntile",
+    """
+    WITH b AS (
+      SELECT lang, n_chars,
+             ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS quartile
+      FROM documents
+    )
+    SELECT lang, CAST(quartile AS INT) AS quartile,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY lang, quartile
+    """,
+    doc="per-language length-quartile binning (ntile) with per-bucket "
+    "ranges — the curriculum/difficulty-bucketing step of a training "
+    "mix. ntile is deterministic once the order is total, so ordering "
+    "is fully tie-broken by (n_chars, doc_id); one Exchange on lang "
+    "serves the window, and the bucket rollup combines map-side.",
+)
+def quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    b = d.select(
+        "lang", "n_chars", F.ntile(4).over(w).alias("quartile")
+    )
+    return b.groupBy("lang", "quartile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
     )

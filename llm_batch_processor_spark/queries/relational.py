@@ -2315,3 +2315,86 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.element_at("cs", ((n - F.lit(1)) / 2).cast("int") + 1)
     hi = F.element_at("cs", (n / 2).cast("int") + 1)
     return t.select("event_id", "user_id", ((lo + hi) / 2).alias("med7"))
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: burst debounce, forward fill
+# ---------------------------------------------------------------------------
+
+
+@Q.add(
+    "events_debounce",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) // 1000000 AS epoch_s,
+             epoch_ns(ts) AS t_ns
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, epoch_s
+    FROM (
+      SELECT event_id, user_id, event_type, epoch_s,
+             CASE WHEN t_ns - lag(t_ns) OVER w <= 5000000000
+                  THEN 0 ELSE 1 END AS is_start
+      FROM e
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t_ns, event_id)
+    ) WHERE is_start = 1
+    """,
+    doc="burst debounce: within each (user, event_type) stream keep only "
+    "the first event of every burst (predecessor gap > 5 s) — the "
+    "double-click / retry-storm suppressor run before counting "
+    "conversions. One Exchange on (user_id, event_type) serves the lag "
+    "window; the keep-decision is a pure lag comparison, so no second "
+    "window pass and no self-join. Ordering fully tie-broken by "
+    "(ts_ns, event_id); NULL lag (stream head) keeps the row.",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    return (
+        e.withColumn("is_start", F.when(gap <= 5_000_000_000, 0).otherwise(1))
+        .filter(F.col("is_start") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("ts_ns DIV 1000000000").alias("epoch_s"),
+        )
+    )
+
+
+@Q.add(
+    "win_fill_forward",
+    """
+    SELECT event_id, user_id,
+           last_value(masked IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked
+      FROM events
+    )
+    """,
+    doc="forward fill (LOCF): carry the last observed non-NULL value "
+    "forward within each user's time-ordered stream — the standard "
+    "sensor/metric gap-repair op. 'error' events stand in for missing "
+    "readings. last_value(IGNORE NULLS) over a running frame needs "
+    "exactly one Exchange + sort on user_id; stream heads with no "
+    "prior observation stay NULL in both engines.",
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(masked, ignorenulls=True).over(w).alias("value_ffill"),
+    )
