@@ -2398,3 +2398,43 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(masked, ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+@Q.add(
+    "join_bloom_prefilter",
+    """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal > 9000
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="revenue of high-balance suppliers with an explicit Bloom "
+    "pre-join prune (operators/bloom.py): the selective supplier set's "
+    "k seeded xxhash64 bit positions fold into an array<long> literal, "
+    "and the lineitem side drops non-candidate rows INSIDE its scan "
+    "stage — pure JVM expressions in whole-stage codegen, no UDF — "
+    "before the exact join sees them. False positives pass through to "
+    "the join, so the result is bit-identical to the plain join (the "
+    "oracle IS the plain join); only the shuffled volume changes. The "
+    "explicit form of spark.sql.optimizer.runtime.bloomFilter, for "
+    "when the pipeline knows the probe side is selective.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_prefilter
+
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    pruned = bloom_prefilter(l, "l_suppkey", s, "s_suppkey")
+    return (
+        pruned.join(s, pruned.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)"
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
