@@ -78,7 +78,8 @@ _CHECK_PRIORITY = [
     # -- round-3 additions (never checked; round-4 queue)
     "shard_plan_tokens", "dedup_priority_source", "quality_ntile",
     "events_debounce", "win_fill_forward", "llm_cache_join",
-    "join_bloom_prefilter",
+    "join_bloom_prefilter", "cdc_merge_apply", "scd2_intervals",
+    "embedding_stats_per_label", "dedup_semantic_pipeline",
 ]
 
 

@@ -1993,3 +1993,177 @@ def quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@Q.add(
+    "cdc_merge_apply",
+    """
+    WITH base AS (
+      SELECT doc_id, source, 'B' AS op, 0 AS prio
+      FROM documents WHERE doc_id < 400
+    ),
+    changes AS (
+      SELECT doc_id, 'patched' AS source, 'U' AS op, 1 AS prio
+      FROM documents WHERE doc_id < 400 AND doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id, source, 'D' AS op, 2 AS prio
+      FROM documents WHERE doc_id < 400 AND doc_id % 97 = 0
+      UNION ALL
+      SELECT doc_id, source, 'I' AS op, 1 AS prio
+      FROM documents WHERE doc_id >= 400
+    ),
+    merged AS (
+      SELECT doc_id, source, op,
+             row_number() OVER (PARTITION BY doc_id ORDER BY prio DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT doc_id, source, op FROM merged WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC MERGE apply (the Delta/Hudi upsert write path as one "
+    "DataFrame plan): a base snapshot plus a change batch of "
+    "updates / deletes / inserts resolves to the next snapshot in a "
+    "single key shuffle — base and changes union with a precedence "
+    "rank (delete > update/insert > base), one max_by(struct) per key "
+    "picks the winner, deletes drop. No join, no per-change loop; at "
+    "100 TB this is exactly how a partition's CDC batch folds in, and "
+    "the precedence-struct trick is the same argmin shape as "
+    "dedup_priority_source. Change rows are carved deterministically "
+    "from the documents table (update every 50th, delete every 97th, "
+    "insert ids >= 400).",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 400).select(
+        "doc_id", "source", F.lit("B").alias("op"), F.lit(0).alias("prio")
+    )
+    upd = (
+        d.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 50 == 0))
+        .select(
+            "doc_id",
+            F.lit("patched").alias("source"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("prio"),
+        )
+    )
+    dele = (
+        d.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 97 == 0))
+        .select("doc_id", "source", F.lit("D").alias("op"), F.lit(2).alias("prio"))
+    )
+    ins = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", "source", F.lit("I").alias("op"), F.lit(1).alias("prio")
+    )
+    allrows = base.unionByName(upd).unionByName(dele).unionByName(ins)
+    # winner per key = highest precedence; one map-side-combinable
+    # aggregate (no window sort needed — precedence is a total order
+    # per key because at most one change row exists per (key, prio))
+    g = allrows.groupBy("doc_id").agg(
+        F.max(F.struct("prio", "op", "source")).alias("w")
+    )
+    return g.filter(F.col("w.op") != "D").select(
+        "doc_id", F.col("w.source").alias("source"), F.col("w.op").alias("op")
+    )
+
+
+@Q.add(
+    "embedding_stats_per_label",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_dim0,
+           ROUND(CAST(SUM(CAST(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                              FOR x IN embedding]))
+                              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="per-label embedding profile (the class-prototype / drift check "
+    "run before similarity training): count, exact sum of dim 0, and "
+    "mean L2 norm. Per-row norms fold over the ORDERED 64-dim list in "
+    "both engines (same order -> same bits, the entropy_score "
+    "determinism pattern); cross-row sums go through DECIMAL so "
+    "partition order can't move the result. One map-side-combined "
+    "shuffle of 10 label rows.",
+)
+def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.expr(
+            "CAST(SUM(CAST(CAST(embedding[0] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_dim0"),
+        F.round(
+            F.sum(norm.cast("decimal(18,6)")).cast("double") / F.count("*"), 4
+        ).alias("avg_norm"),
+    )
+
+
+@Q.add(
+    "dedup_semantic_pipeline",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    labels AS (
+      SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN l.node IS NULL THEN 'unique'
+                WHEN l.cluster_id = d.doc_id THEN 'survivor'
+                ELSE 'dropped' END AS dedup_status
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    """,
+    doc="semantic dedup END-TO-END as one plan: embedding cosine pairs "
+    "(operators/dedup.embedding_pairs — size-gated blocked-GEMM / "
+    "LSH-candidates) -> connected components (bounded driver "
+    "union-find, distributed fallback) -> min-id survivor per cluster "
+    "-> every document labeled unique / survivor / dropped by joining "
+    "labels back onto the corpus (vec_id keys doc_id). The full "
+    "SemDeDup-style pipeline a training corpus actually runs, judged "
+    "as one composition: cluster LABELS, survivor POLICY, and the "
+    "corpus join are all hash-checked together. Scale: pair gen is "
+    "the audited near-dup kernel, CC edges are bounded, the label "
+    "join is a broadcast (labels << corpus).",
+)
+def dedup_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, embedding_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    d = load(spark, sf_dir, "documents")
+    pairs = embedding_pairs(e, min_cosine=0.4)
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    labels = connected_components(pairs, ids)
+    lab = labels.select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").cast("bigint").alias("cid")
+    )
+    return d.join(F.broadcast(lab), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("cid").isNull(), "unique")
+        .when(F.col("cid") == F.col("doc_id"), "survivor")
+        .otherwise("dropped")
+        .alias("dedup_status"),
+    )

@@ -117,6 +117,9 @@ _NESTED_LOOP_ALLOWED = {
     # size-gated to corpora where that is the honest plan
     "dedup_embed_cosine",
     "dedup_ngram_jaccard",
+    # composes embedding_pairs (the allowlisted exact GEMM kernel) for
+    # its pair-generation stage
+    "dedup_semantic_pipeline",
     # reuses ngram_jaccard_pairs (the allowlisted exact kernel above) to
     # build the CC edge list
     "dedup_clusters",

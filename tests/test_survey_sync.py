@@ -25,7 +25,7 @@ def _declared() -> set[str]:
         if line.startswith("### 2.x"):
             in_b = False
         if in_b and line.startswith("| `"):
-            for name in re.findall(r"`([a-z_]+)`", line.split("|")[1]):
+            for name in re.findall(r"`([a-z0-9_]+)`", line.split("|")[1]):
                 names.add(name)
     return names
 
