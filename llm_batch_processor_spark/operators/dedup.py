@@ -753,12 +753,18 @@ def embedding_pairs(
 
 def connected_components(
     pairs: DataFrame,
-    all_ids: DataFrame,
+    all_ids: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 10,
     driver_edge_limit: int = 5_000_000,
 ) -> DataFrame:
     """Connected components of the near-dup graph -> (id, cluster_id).
+
+    ``all_ids=None`` labels only the edge endpoints (every non-endpoint
+    is a singleton by definition, so callers that left-join the labels
+    back lose nothing) — on the bounded driver path the entire result
+    is then synthesized from the collected edge list with ZERO further
+    Spark jobs, where an explicit ``all_ids`` costs a distinct + join.
 
     Near-dup EDGE lists are orders of magnitude smaller than the corpus
     (LSH + verification leaves only true near-dup pairs), so up to
@@ -793,8 +799,17 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         pairs.unpersist()
-        mapping = [(x, find(x)) for x in list(parent)]
         spark = pairs.sparkSession
+        id_schema = pairs.select(F.col("id_a").alias(id_col)).schema.add(
+            "cluster_id", pairs.schema["id_a"].dataType
+        )
+        if all_ids is None:
+            # every endpoint is already driver-side: emit (node, root)
+            # for the full endpoint set directly — no distinct, no join
+            nodes = {r["id_a"] for r in head} | {r["id_b"] for r in head}
+            rows = [(x, find(x)) for x in nodes]
+            return spark.createDataFrame(rows or [], schema=id_schema)
+        mapping = [(x, find(x)) for x in list(parent)]
         if mapping:
             map_df = spark.createDataFrame(
                 mapping, schema=pairs.select(F.col("id_a").alias("u")).schema.add(
@@ -812,6 +827,12 @@ def connected_components(
             labels = labels.select("u", F.col("u").alias("cluster_id"))
         return labels.select(F.col("u").alias(id_col), "cluster_id")
 
+    if all_ids is None:
+        all_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
     return _label_propagation_cc(pairs, all_ids, id_col, max_iter)
 
 

@@ -1187,12 +1187,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in a size>=2 cluster, so the node set derives from pairs — no
     # second documents scan.
     pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2).select("id_a", "id_b").persist()
-    ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    cc = connected_components(pairs, ids)
+    # all_ids=None: only edge endpoints can land in a size>=2 cluster,
+    # and on the bounded path the labels come straight off the collected
+    # edge list — no distinct/join jobs
+    cc = connected_components(pairs, None)
     w = Window.partitionBy("cluster_id")
     return (
         cc.withColumn("cluster_size", F.count("*").over(w))
@@ -2150,12 +2148,9 @@ def dedup_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     d = load(spark, sf_dir, "documents")
     pairs = embedding_pairs(e, min_cosine=0.4)
-    ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    labels = connected_components(pairs, ids)
+    # endpoint-only labels suffice: non-endpoints read as 'unique'
+    # through the left join below
+    labels = connected_components(pairs, None)
     lab = labels.select(
         F.col("id").alias("doc_id"), F.col("cluster_id").cast("bigint").alias("cid")
     )
