@@ -288,3 +288,69 @@ def test_streaming_dedup_against_static_corpus(spark, tmp_path):
         r["id"] for r in spark.sql("SELECT id FROM corpus_dedup_test").collect()
     )
     assert got == ["n1", "n3"]  # the already-seen record never reaches the sink
+
+
+CHANGE_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("doc_id", StringType()),
+        StructField("op", StringType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+
+def _write_changes(src, rows):
+    src.mkdir(parents=True, exist_ok=True)
+    path = src / f"c{int(time.time_ns())}.jsonl"
+    path.write_text(
+        "\n".join(
+            json.dumps({"ts": ts, "doc_id": k, "op": op, "payload": p})
+            for ts, k, op, p in rows
+        )
+    )
+
+
+def test_streaming_cdc_merge_folds_batches(spark, tmp_path):
+    from llm_batch_processor_spark.streaming.merge import start_merge_stream
+
+    src, ckpt, snap = tmp_path / "chg", tmp_path / "ckpt", tmp_path / "snap"
+    # batch 1: insert a and b; in-batch conflict on c (later U wins)
+    _write_changes(
+        src,
+        [
+            ("2026-01-01 00:00:01", "a", "I", "a-v1"),
+            ("2026-01-01 00:00:02", "b", "I", "b-v1"),
+            ("2026-01-01 00:00:03", "c", "I", "c-v1"),
+            ("2026-01-01 00:00:04", "c", "U", "c-v2"),
+        ],
+    )
+    # batch 2: update a, delete b, replayed delete+insert tie on d at
+    # the same timestamp (delete must win)
+    _write_changes(
+        src,
+        [
+            ("2026-01-01 00:01:01", "a", "U", "a-v2"),
+            ("2026-01-01 00:01:02", "b", "D", ""),
+            ("2026-01-01 00:01:03", "d", "I", "d-v1"),
+            ("2026-01-01 00:01:03", "d", "D", ""),
+        ],
+    )
+    changes = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_merge_stream(
+        changes,
+        str(snap),
+        key_col="doc_id",
+        ts_col="ts",
+        checkpoint_dir=str(ckpt),
+    )
+    _await(q)
+    got = {
+        r["doc_id"]: r["payload"]
+        for r in spark.read.parquet(str(snap)).collect()
+    }
+    assert got == {"a": "a-v2", "c": "c-v2"}
