@@ -80,6 +80,7 @@ _CHECK_PRIORITY = [
     "events_debounce", "win_fill_forward", "llm_cache_join",
     "join_bloom_prefilter", "cdc_merge_apply", "scd2_intervals",
     "embedding_stats_per_label", "dedup_semantic_pipeline",
+    "corpus_mix_temperature", "rarity_score",
 ]
 
 

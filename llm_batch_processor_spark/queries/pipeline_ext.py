@@ -2162,3 +2162,146 @@ def dedup_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("dropped")
         .alias("dedup_status"),
     )
+
+
+@Q.add(
+    "corpus_mix_temperature",
+    """
+    WITH stats AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+             CAST(sqrt(CAST(SUM(len(string_split(text, ' '))) AS BIGINT))
+                  AS DECIMAL(18,9)) AS sq
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_toks) AS BIGINT) AS big_n,
+             SUM(sq) AS sum_sq
+      FROM stats
+    ),
+    rates AS (
+      SELECT lang, n_toks,
+             LEAST(1.0,
+               0.5 * big_n * (CAST(sq AS DOUBLE) / CAST(sum_sq AS DOUBLE))
+               / n_toks) AS keep_f
+      FROM stats, tot
+    )
+    SELECT d.lang,
+           COUNT(*) AS kept_docs,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS kept_toks,
+           ROUND(MIN(r.keep_f), 6) AS keep_f
+    FROM documents d
+    JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+          < CAST(floor(r.keep_f * 16777216) AS BIGINT)
+    GROUP BY d.lang
+    """,
+    doc="temperature-weighted corpus mixing (the XLM-R/mT5 multinomial "
+    "alpha=0.5 rebalance): per-language keep rates derive from corpus "
+    "token counts — q_l = sqrt(n_l)/sum(sqrt), budget half the corpus — "
+    "then each doc keeps deterministically iff its md5-uniform draw "
+    "falls under its language's rate. Every arithmetic step is either "
+    "exact-decimal or an IEEE correctly-rounded op (sqrt, not pow: "
+    "alpha is fixed at 0.5 precisely because sqrt is bit-identical "
+    "across engines while pow is not), so the kept SET matches the "
+    "oracle doc-for-doc. Two-phase: a 5-row stats aggregate joins back "
+    "broadcast; the corpus is scanned twice (stats + filter), never "
+    "shuffled on data.",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    stats = d.groupBy("lang").agg(
+        F.sum("n_tok").cast("bigint").alias("n_toks"),
+    ).withColumn("sq", F.sqrt(F.col("n_toks")).cast("decimal(18,9)"))
+    tot = stats.agg(
+        F.sum("n_toks").cast("bigint").alias("big_n"),
+        F.sum("sq").alias("sum_sq"),
+    )
+    rates = stats.join(F.broadcast(tot)).select(
+        "lang",
+        "n_toks",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5)
+            * F.col("big_n")
+            * (F.col("sq").cast("double") / F.col("sum_sq").cast("double"))
+            / F.col("n_toks"),
+        ).alias("keep_f"),
+    )
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(draw < F.floor(F.col("keep_f") * 16777216).cast("bigint"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tok").cast("bigint").alias("kept_toks"),
+            F.round(F.min("keep_f"), 6).alias("keep_f"),
+        )
+    )
+
+
+@Q.add(
+    "rarity_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+           unnest(sp) AS t(tok)
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk
+      FROM freq
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_toks,
+           ROUND(CAST(SUM(rnk) AS DOUBLE) / COUNT(*), 4) AS mean_rank
+    FROM toks JOIN ranked USING (tok)
+    GROUP BY doc_id
+    """,
+    doc="per-doc token-rarity score: every corpus token gets a global "
+    "frequency rank (count desc, token asc — total order), and each "
+    "doc scores the mean rank of its token stream — the integer-exact "
+    "stand-in for unigram log-perplexity (log itself is NOT "
+    "correctly-rounded IEEE, so a log-based score can drift a ulp "
+    "between engines; ranks cannot). High mean rank = rare/exotic "
+    "vocabulary, the KenLM-ish quality gate of a cleaning pipeline. "
+    "Shapes: tf groupBy, then the GLOBAL frequency rank runs as a "
+    "distributed prefix count (operators/prefix.py — rank(x) = running "
+    "count over the total order; a bare row_number() over an "
+    "unpartitioned window is one task holding the whole vocabulary, "
+    "which at web scale is 1e8+ terms), rank join back, per-doc "
+    "integer rollup.",
+)
+def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_cumsum
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # rank over (c DESC, tok ASC) = running count over that total
+    # order; equal counts share a bin (range-binned on -c), the tok
+    # tie-break orders within the bin's parallel window
+    ranked = global_cumsum(
+        freq.withColumn("negc", -F.col("c")).withColumn("one", F.lit(1)),
+        "negc",
+        "one",
+        out_col="rnk",
+        tiebreak_col="tok",
+    ).select("tok", F.col("rnk").cast("int").alias("rnk"))
+    return (
+        toks.join(ranked, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.sum("rnk").cast("double") / F.count("*"), 4).alias("mean_rank"),
+        )
+    )

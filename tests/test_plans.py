@@ -132,6 +132,9 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row broadcast of the grand event total onto the per-user
     # counts — a scalar attach; the fact table is never re-shuffled
     "heavy_hitters",
+    # 1-row broadcast of (total tokens, sum sqrt) onto the 5-row
+    # language stats — a scalar attach feeding the keep-rate expression
+    "corpus_mix_temperature",
 }
 
 
