@@ -81,6 +81,7 @@ _CHECK_PRIORITY = [
     "join_bloom_prefilter", "cdc_merge_apply", "scd2_intervals",
     "embedding_stats_per_label", "dedup_semantic_pipeline",
     "corpus_mix_temperature", "rarity_score",
+    "embedding_quantize_int8", "json_props_rollup",
 ]
 
 

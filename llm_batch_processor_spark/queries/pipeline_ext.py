@@ -2305,3 +2305,85 @@ def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rnk").cast("double") / F.count("*"), 4).alias("mean_rank"),
         )
     )
+
+
+@Q.add(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             CAST(list_min([CAST(x AS DOUBLE) FOR x IN embedding]) AS DOUBLE) AS lo,
+             CAST(list_max([CAST(x AS DOUBLE) FOR x IN embedding]) AS DOUBLE) AS hi,
+             len(embedding) AS n_dims
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(n_dims AS INT) AS n_dims,
+           CAST(floor((lo - lo) / GREATEST((hi - lo) / 255, 1e-300) + 0.5) AS INT)
+             AS q_first_min,
+           CAST(floor((hi - lo) / GREATEST((hi - lo) / 255, 1e-300) + 0.5) AS INT)
+             AS q_max,
+           CAST(CAST(ROUND(CAST((hi - lo) / 255 AS DECIMAL(18,12)), 9)
+                     AS DECIMAL(18,9)) AS DOUBLE) AS scale
+    FROM q
+    """,
+    doc="int8 affine quantization parameters per embedding (the "
+    "vector-store compression step: 4x memory, cheaper ANN scans): "
+    "per-vector (min, max) range -> scale = range/255, verified by "
+    "quantizing the range endpoints (0 and 255 by construction — the "
+    "identity every codec asserts before trusting the params). "
+    "Arithmetic is min/max/sub/div/floor only — every one IEEE "
+    "correctly-rounded, so params are bit-identical across engines "
+    "(round() is NOT used: half-up vs half-even differs; floor(x+0.5) "
+    "doesn't). The ordered-list min/max fold is the entropy_score "
+    "determinism pattern. Map-only: zero shuffles.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    lo = F.array_min(dbl)
+    hi = F.array_max(dbl)
+    scale = (hi - lo) / F.lit(255.0)
+    safe = F.greatest(scale, F.lit(1e-300))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.floor((lo - lo) / safe + F.lit(0.5)).cast("int").alias("q_first_min"),
+        F.floor((hi - lo) / safe + F.lit(0.5)).cast("int").alias("q_max"),
+        F.round(scale.cast("decimal(18,12)"), 9)
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("scale"),
+    )
+
+
+@Q.add(
+    "json_props_rollup",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="semi-structured rollup: numeric field extracted from the JSON "
+    "props column and aggregated per event type — the "
+    "schema-on-read analytics shape (telemetry payloads, model-call "
+    "metadata). The JSON parse runs once per row inside the scan "
+    "stage's codegen; only (type, k) leave the scan, integer aggs "
+    "combine map-side.",
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
