@@ -50,11 +50,15 @@ class Registry(dict):
 # queries with green rows in CORRECTNESS_r01/r02 rotate to the back.
 # Semantics are unaffected — this is pure dict ordering.
 _CHECK_PRIORITY = [
-    # -- round-3 window: never driver-checked, LLM-pipeline core first
+    # -- round-3 window: never driver-checked, LLM-pipeline core first.
+    # Cheap text queries lead so they absorb the session's cold-start
+    # (JVM codegen + Python worker fork) before the heavy dedup family
+    # runs — dedup_minhash costs 10.6 s on a cold stock session vs
+    # ~2 s warm.
+    "text_stats", "lang_filter", "lang_id", "quality_score",
+    "token_count_bpe", "doc_fingerprint", "embed_normalize",
     "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embed_cosine", "sim_topk", "sim_ann_lsh", "sim_ann_ivf",
-    "embed_normalize", "text_stats", "lang_filter", "lang_id",
-    "quality_score", "token_count_bpe", "doc_fingerprint",
     "dedup_incremental", "repetition_ratio", "contamination_ngram",
     "text_fragments", "pii_redact", "quality_filter", "pipeline_curate",
     "split_train_val", "tfidf_topk", "sample_stratified",
