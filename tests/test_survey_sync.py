@@ -56,3 +56,23 @@ def test_rows_only_set_is_intentional():
         "sim_ann_lsh",
         "sim_ann_ivf",
     }, sorted(rows_only)
+
+
+def test_driver_check_window_targets_unchecked_queries():
+    """The first 50 registry entries (the driver's observed per-round
+    correctness window) must all be queries with no green row in any
+    committed CORRECTNESS artifact — otherwise the rotation wastes
+    window slots re-checking what already has a row."""
+    import json
+
+    repo = Path(__file__).resolve().parent.parent
+    checked: set[str] = set()
+    for art in sorted(repo.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.loads(art.read_text()))
+    window = list(entry_mod.queries())[:50]
+    overlap = [q for q in window if q in checked]
+    assert not overlap, (
+        f"driver-check window wastes slots on already-checked queries: "
+        f"{overlap}; update _CHECK_PRIORITY for the new round "
+        f"(see CORRECTNESS_LEDGER.md)"
+    )
