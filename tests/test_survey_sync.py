@@ -76,3 +76,27 @@ def test_driver_check_window_targets_unchecked_queries():
         f"{overlap}; update _CHECK_PRIORITY for the new round "
         f"(see CORRECTNESS_LEDGER.md)"
     )
+
+
+def test_sql_surface_over_registered_views(spark):
+    """The engine's tables are reachable through plain spark.sql — the
+    declarative surface a SQL-first user drives (same views, same
+    normalized schemas the DataFrame queries use)."""
+    from llm_batch_processor_spark.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    top = spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS segment_total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment_total DESC
+        """
+    ).collect()
+    assert len(top) >= 3 and top[0]["segment_total"] > 0
+    docs = spark.sql(
+        "SELECT lang, COUNT(*) n FROM documents GROUP BY lang"
+    ).collect()
+    assert sum(r["n"] for r in docs) == spark.table("documents").count()
