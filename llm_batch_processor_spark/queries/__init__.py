@@ -86,6 +86,8 @@ _CHECK_PRIORITY = [
     "embedding_stats_per_label", "dedup_semantic_pipeline",
     "corpus_mix_temperature", "rarity_score",
     "embedding_quantize_int8", "json_props_rollup",
+    "attribution_last_touch", "agg_skew_kurt", "win_rolling_anomaly",
+    "lang_confusion", "sample_negatives", "sink_csv_roundtrip",
 ]
 
 

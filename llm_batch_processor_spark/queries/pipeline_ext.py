@@ -2387,3 +2387,74 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).cast("bigint").alias("min_k"),
         F.max(k).cast("bigint").alias("max_k"),
     )
+
+
+@Q.add(
+    "lang_confusion",
+    f"""
+    SELECT lang AS labeled_lang,
+           {duckdb_lang_id('text')} AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="language-ID confusion matrix: declared lang vs the n-gram "
+    "heuristic's prediction, counted per (labeled, predicted) pair — "
+    "the metadata-QA audit every multilingual corpus runs before "
+    "trusting its language column for mixing/filtering. The predictor "
+    "is the same Arrow-batched argmax as lang_id; rollup combines "
+    "map-side (<=25 cells).",
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@Q.add(
+    "sample_negatives",
+    """
+    WITH n AS (SELECT COUNT(*) AS big_n FROM documents),
+    cand AS (
+      SELECT d.doc_id, j.j,
+             (d.doc_id * 2654435761 + j.j * 40503 + 17) % big_n AS raw_neg
+      FROM documents d, n, (SELECT unnest([0,1,2,3]) AS j) j
+    )
+    SELECT c.doc_id, CAST(c.j AS INT) AS neg_idx,
+           CAST(CASE WHEN raw_neg = c.doc_id
+                     THEN (raw_neg + 1) % (SELECT big_n FROM n)
+                     ELSE raw_neg END AS BIGINT) AS neg_id,
+           x.lang AS neg_lang
+    FROM cand c
+    JOIN documents x
+      ON x.doc_id = CASE WHEN raw_neg = c.doc_id
+                         THEN (raw_neg + 1) % (SELECT big_n FROM n)
+                         ELSE raw_neg END
+    """,
+    doc="deterministic negative sampling for contrastive training: each "
+    "doc draws k=4 pseudo-random partners via integer mixing "
+    "(Knuth multiplicative + stride, self-collision bumped) — "
+    "reproducible across runs/engines/partitionings unlike rand(), "
+    "and leakage-auditable because the draw is a pure id function. "
+    "Relies on the fixtures' dense 0..N-1 ids (FIXTURES.md); the join "
+    "back to documents proves every negative exists. Shapes: 1-row "
+    "count broadcast, 4-way explode, one equi-join keyed on neg_id.",
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    big_n = d.count()  # bounded metadata job; inlined as a literal
+    raw = (F.col("doc_id") * 2654435761 + F.col("j") * 40503 + 17) % big_n
+    neg = F.when(raw == F.col("doc_id"), (raw + 1) % big_n).otherwise(raw)
+    cand = d.select(
+        "doc_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j")
+    ).select("doc_id", F.col("j").cast("int").alias("neg_idx"), neg.alias("neg_id"))
+    x = d.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return cand.join(x, "neg_id").select(
+        "doc_id", "neg_idx", F.col("neg_id").cast("bigint").alias("neg_id"), "neg_lang"
+    )

@@ -2474,3 +2474,218 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("valid_to_s"),
         F.round("value", 4).alias("attr_value"),
     )
+
+
+@Q.add(
+    "attribution_last_touch",
+    """
+    SELECT event_id, user_id, touch_type, touch_s
+    FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN epoch_ns(ts) // 1000000000 END IGNORE NULLS)
+               OVER w AS touch_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+    """,
+    doc="last-touch attribution: each purchase credits the user's most "
+    "recent preceding click/view (NULL = organic) — the conversion-"
+    "credit query behind every marketing/behavior report. Both "
+    "attributed columns are LOCF reads of the SAME predecessor row "
+    "(they're non-NULL together), via last_value(IGNORE NULLS) over a "
+    "frame excluding the current row; one user_id Exchange, no "
+    "self-join, no per-purchase scan-back.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touch_type = F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    touch_s = F.last(
+        F.when(is_touch, F.expr("ts_ns DIV 1000000000")), ignorenulls=True
+    ).over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            touch_type.alias("touch_type"),
+            touch_s.alias("touch_s"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+
+
+_M_DEC = "DECIMAL(38,8)"
+
+
+@Q.add(
+    "agg_skew_kurt",
+    f"""
+    SELECT l_returnflag,
+           ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / POWER(GREATEST(s2/n - (s1/n)*(s1/n), 1e-300), 1.5), 6)
+             AS skewness,
+           ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / POWER(GREATEST(s2/n - (s1/n)*(s1/n), 1e-300), 2) - 3, 6)
+             AS excess_kurtosis
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS {_M_DEC})) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    doc="population skewness + excess kurtosis per group from exact "
+    "DECIMAL power sums (s1..s4) — completes the moments family "
+    "(agg_stats/agg_corr_exact/agg_regression) with the 3rd/4th-moment "
+    "shape checks a feature store runs. Built-in skewness()/kurtosis() "
+    "stream floats (partition-order-dependent) and differ across "
+    "engines in bias convention; identical closed-form double math "
+    "over order-independent decimal sums is bit-stable in both. One "
+    "map-side-combined shuffle.",
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.expr(f"CAST(SUM(CAST(l_quantity AS {_M_DEC})) AS DOUBLE)").alias("s1"),
+        F.expr(
+            f"CAST(SUM(CAST(l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE)"
+        ).alias("s2"),
+        F.expr(
+            f"CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE)"
+        ).alias("s3"),
+        F.expr(
+            f"CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE)"
+        ).alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(1e-300))
+    skew = (
+        F.col("s3") / F.col("n") - 3 * mean * (F.col("s2") / F.col("n")) + 2 * mean * mean * mean
+    ) / F.pow(var, 1.5)
+    kurt = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * mean * mean * (F.col("s2") / F.col("n"))
+        - 3 * mean * mean * mean * mean
+    ) / F.pow(var, 2.0) - 3
+    return sums.select(
+        "l_returnflag",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
+
+
+@Q.add(
+    "win_rolling_anomaly",
+    """
+    SELECT event_id, user_id, ROUND(value, 4) AS value,
+           ROUND(mean7, 4) AS mean7
+    FROM (
+      SELECT event_id, user_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS mean7,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS meansq7,
+             COUNT(*) OVER w AS n7
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    WHERE n7 >= 4
+      AND (value - mean7) * (value - mean7) > 4 * (meansq7 - mean7 * mean7)
+    """,
+    doc="rolling z-score anomaly gate: flag events whose value sits "
+    "more than 2 sigma from their own trailing-7 window's mean — the "
+    "metric/telemetry outlier detector (and the per-stream twin of "
+    "feature_zscore's global standardization). The |z|>2 test is "
+    "algebraic — (v-mean)^2 > 4*var — so no sqrt; frame sums are "
+    "DECIMAL-exact, making the flag boundary bit-identical in both "
+    "engines. One user_id Exchange serves all three frame aggregates; "
+    "short warmup windows (n<4) are excluded.",
+)
+def win_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mean7 = F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count("*").over(w)
+    meansq7 = (
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    n7 = F.count("*").over(w)
+    t = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        mean7.alias("mean7"),
+        meansq7.alias("meansq7"),
+        n7.alias("n7"),
+    )
+    dev = F.col("value") - F.col("mean7")
+    var = F.col("meansq7") - F.col("mean7") * F.col("mean7")
+    return (
+        t.filter((F.col("n7") >= 4) & (dev * dev > 4 * var))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round("mean7", 4).alias("mean7"),
+        )
+    )
+
+
+@Q.add(
+    "sink_csv_roundtrip",
+    f"""
+    SELECT n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST((n_nationkey) AS {DEC})) AS DOUBLE) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc="CSV sink/source round-trip (completes the sink matrix: "
+    "parquet/ORC/JSONL/CSV): nation written with header+escaping, read "
+    "back with an explicit schema (schema inference is a full extra "
+    "pass at 100 TB — never in production paths), aggregated; "
+    "hash-equality against the oracle on the ORIGINAL parquet proves "
+    "losslessness through the text format.",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    out_dir = _tmp_dir("sink_csv", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").option("header", True).csv(out_dir)
+    back = spark.read.schema("n_nationkey long, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(out_dir)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(f"CAST(SUM(CAST((n_nationkey) AS {DEC})) AS DOUBLE)").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )
