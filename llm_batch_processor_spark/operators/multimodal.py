@@ -91,6 +91,58 @@ def decode_image(payload: bytes) -> dict:
         }
 
 
+def parse_image_dims(payload: bytes) -> dict | None:
+    """Image dimensions from container HEADERS — no codec needed.
+
+    PNG (IHDR), JPEG (SOFn frame header), and GIF (logical screen
+    descriptor) all carry width/height in their first bytes; parsing
+    them is pure byte arithmetic, so this runs in any environment
+    (the metadata pass a 100 TB multimodal ingest performs to build
+    typed columns BEFORE any expensive pixel decode — most corpus
+    filters only need dims/aspect/byte-size). Returns None when the
+    payload is not a recognized container (caller falls back).
+    Pixel DECODE still requires a codec (:func:`decode_image`,
+    Pillow-guarded); this parses headers only.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        return {
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+            "n_frames": 1,
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+            # frame count needs a full block walk; header alone says 1+
+            "n_frames": 1,
+        }
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to SOFn
+        i, n = 2, len(payload)
+        while i + 4 <= n and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    return {
+                        "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                        "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                        "n_frames": 1,
+                    }
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def header_decode(payload: bytes) -> dict:
+    """Header-parse real containers, deterministic fake otherwise —
+    the default a mixed corpus wants: genuine dims for PNG/JPEG/GIF
+    payloads, stable synthetic metadata for anything else."""
+    return parse_image_dims(payload) or fake_decode(payload)
+
+
 def fake_decode(payload: bytes) -> dict:
     """Deterministic fake decode: pure arithmetic on payload length,
     so oracle SQL can replicate it exactly."""

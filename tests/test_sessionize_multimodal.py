@@ -148,3 +148,71 @@ def test_resize_and_frame_sample_and_features(spark):
     again = {r["media_id"]: r["embedding"] for r in extract_features(media, dim=8).collect()}
     assert feats["m1"] == again["m1"]  # deterministic
     assert all(abs(x) <= 1.0 for x in feats["m1"])
+
+
+def test_header_dims_png_from_shipped_example():
+    import base64
+    import json
+    from pathlib import Path
+
+    from llm_batch_processor_spark.operators.multimodal import (
+        header_decode,
+        parse_image_dims,
+    )
+
+    line = json.loads(
+        Path(__file__).resolve().parent.parent.joinpath(
+            "examples/input_images.jsonl"
+        ).read_text().splitlines()[0]
+    )
+    png = base64.b64decode(line["images"][0])
+    assert parse_image_dims(png) == {"width": 1, "height": 1, "n_frames": 1}
+    assert header_decode(png)["width"] == 1
+
+
+def test_header_dims_jpeg_and_gif_and_fallback():
+    from llm_batch_processor_spark.operators.multimodal import (
+        fake_decode,
+        header_decode,
+        parse_image_dims,
+    )
+
+    # minimal JPEG: SOI + APP0 stub + SOF0 with h=480 w=640
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (4).to_bytes(2, "big") + b"\x00\x00"
+        + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x01\x11\x00"
+    )
+    assert parse_image_dims(jpeg) == {"width": 640, "height": 480, "n_frames": 1}
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    assert parse_image_dims(gif) == {"width": 320, "height": 200, "n_frames": 1}
+
+    junk = b"not-an-image-payload"
+    assert parse_image_dims(junk) is None
+    assert header_decode(junk) == fake_decode(junk)
+
+
+def test_decode_media_with_header_decoder(spark):
+    import base64
+
+    from llm_batch_processor_spark.operators.multimodal import (
+        decode_media,
+        header_decode,
+    )
+    from pyspark.sql import functions as F
+
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAIAAACQd1PeAAAADElEQVQI12P4z8AAAAMBAQAY3Y2wAAAAAElFTkSuQmCC"
+    )
+    media = spark.createDataFrame(
+        [("m1", png, "image/png", len(png)), ("m2", b"xyz", "fake/jpeg", 3)],
+        "media_id string, payload binary, format string, n_bytes long",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_media(media, decoder=header_decode).collect()
+    }
+    assert rows["m1"]["width"] == 1 and rows["m1"]["height"] == 1
+    assert rows["m2"]["width"] == 3 % 640 + 16  # fake fallback
