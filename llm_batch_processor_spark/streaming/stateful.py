@@ -134,3 +134,83 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+THROTTLE_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_THROTTLE_STATE = StructType([StructField("last_emit_us", LongType())])
+
+
+def make_throttle_fn(interval_seconds: int):
+    """Per-key rate limiter: emit an event only if at least
+    ``interval_seconds`` passed since the key's LAST EMITTED event.
+
+    True throttling is stateful relative to what was *kept*, not the
+    previous arrival — `lag()` windows can't express it (a burst of
+    n events inside one interval must emit exactly the first one, and
+    the next emission anchors on that first event's time). This is the
+    streaming complement of the batch `events_debounce` query, which
+    implements the weaker burst-gap semantics windows CAN express.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        user_id, event_type = key
+        if state.hasTimedOut:
+            # watermark passed last_emit + interval: every future event
+            # passes the gate anyway, so the state is dead weight
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ts_us = rows["ts"].values.astype("datetime64[us]").astype("int64")
+        last_emit = state.get[0] if state.exists else None
+
+        keep_idx = []
+        for i, t in enumerate(ts_us):
+            t = int(t)
+            if last_emit is None or t - last_emit >= interval_seconds * _US:
+                keep_idx.append(i)
+                last_emit = t
+
+        if last_emit is not None:
+            state.update((last_emit,))
+            state.setTimeoutTimestamp(last_emit // 1000 + interval_seconds * 1000)
+        if keep_idx:
+            kept = rows.iloc[keep_idx]
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(kept),
+                    "event_type": [event_type] * len(kept),
+                    "ts": kept["ts"].values,
+                    "value": kept["value"].values,
+                }
+            )
+
+    return update
+
+
+def throttle_stateful(
+    events: DataFrame, interval_seconds: int = 5, watermark: str = "30 minutes"
+) -> DataFrame:
+    """At most one emitted event per (user, type) per interval."""
+    return (
+        events.select("user_id", "event_type", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            make_throttle_fn(interval_seconds),
+            outputStructType=THROTTLE_OUTPUT,
+            stateStructType=_THROTTLE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

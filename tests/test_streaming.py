@@ -354,3 +354,45 @@ def test_streaming_cdc_merge_folds_batches(spark, tmp_path):
         for r in spark.read.parquet(str(snap)).collect()
     }
     assert got == {"a": "a-v2", "c": "c-v2"}
+
+
+def test_stateful_throttle_anchors_on_emitted(spark, tmp_path):
+    from llm_batch_processor_spark.streaming.stateful import throttle_stateful
+
+    src, ckpt = tmp_path / "events", tmp_path / "ckpt"
+    # burst at 0s,2s,4s,6s: throttle(5s) emits 0s and 6s-2s?? no —
+    # anchored on EMITTED: 0s emits, 2s/4s blocked (<5s since 0s),
+    # 6s emits (>=5s since 0s). A lag()-window debounce would instead
+    # drop 6s (gap from 4s is 2s) — the semantics windows can't express.
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:00:00", "u1", "click", 1.0),
+            ("2026-01-01 00:00:02", "u1", "click", 2.0),
+            ("2026-01-01 00:00:04", "u1", "click", 3.0),
+            ("2026-01-01 00:00:06", "u1", "click", 4.0),
+        ],
+    )
+    # second batch far later: state timed out, emits again
+    _write_events(src, [("2026-01-01 02:00:00", "u1", "click", 9.0)])
+
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        throttle_stateful(events, interval_seconds=5)
+        .writeStream.format("memory")
+        .queryName("throttle_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(
+        r["value"]
+        for r in spark.sql("SELECT value FROM throttle_test").collect()
+    )
+    assert got == [1.0, 4.0, 9.0]
