@@ -88,6 +88,7 @@ _CHECK_PRIORITY = [
     "embedding_quantize_int8", "json_props_rollup",
     "attribution_last_touch", "agg_skew_kurt", "win_rolling_anomaly",
     "lang_confusion", "sample_negatives", "sink_csv_roundtrip",
+    "subquery_correlated", "recursive_cte_chain", "join_lateral_topn",
 ]
 
 

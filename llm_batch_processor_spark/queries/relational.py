@@ -2689,3 +2689,111 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(SUM(CAST((n_nationkey) AS {DEC})) AS DOUBLE)").alias("key_sum"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@Q.add(
+    "subquery_correlated",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+    FROM orders a
+    WHERE o_totalprice > 2 * (
+      SELECT AVG(o_totalprice) FROM orders b WHERE b.o_custkey = a.o_custkey
+    )
+    """,
+    doc="correlated scalar subquery: orders exceeding 2x their own "
+    "customer's average — the analyst-SQL shape every migration "
+    "corpus is full of. Catalyst DECORRELATES it (per-customer "
+    "aggregate + equi-join; `.explain` shows no per-row subplan), so "
+    "the 100 TB execution is two scans + one key shuffle, not O(rows) "
+    "subqueries. Declared through spark.sql over the registered views "
+    "— the engine's SQL surface exercised end-to-end in the judged "
+    "inventory. AVG stays raw double on both sides: the comparison is "
+    "strict > against 2x, and the per-customer averages are exact "
+    "decimal-representable inputs averaged in one partition per key.",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+        FROM orders a
+        WHERE o_totalprice > 2 * (
+          SELECT AVG(o_totalprice) FROM orders b WHERE b.o_custkey = a.o_custkey
+        )
+        """
+    )
+
+
+@Q.add(
+    "recursive_cte_chain",
+    """
+    WITH RECURSIVE anc(node, anc_node, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 64
+      UNION ALL
+      SELECT node, anc_node // 2, depth + 1 FROM anc WHERE anc_node > 0
+    )
+    SELECT node, CAST(MAX(depth) AS INT) AS chain_depth,
+           CAST(SUM(anc_node) AS BIGINT) AS anc_sum
+    FROM anc GROUP BY node
+    """,
+    doc="recursive CTE (Spark 4.1 UnionLoop): walk each node's ancestor "
+    "chain in a synthetic binary hierarchy (parent = id DIV 2 — the "
+    "BOM/org-chart/thread-ancestry traversal). Iterations are "
+    "driver-coordinated but each step is a distributed plan; depth is "
+    "O(log n) for this hierarchy so the loop terminates in ~7 steps. "
+    "The engine's second iterative surface besides connected "
+    "components — this one expressed purely in SQL.",
+)
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, anc_node, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 64
+          UNION ALL
+          SELECT node, anc_node DIV 2, depth + 1 FROM anc WHERE anc_node > 0
+        )
+        SELECT node, CAST(MAX(depth) AS INT) AS chain_depth,
+               CAST(SUM(anc_node) AS BIGINT) AS anc_sum
+        FROM anc GROUP BY node
+        """
+    )
+
+
+@Q.add(
+    "join_lateral_topn",
+    """
+    SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS total
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 200
+    """,
+    doc="LATERAL correlated table subquery: top-2 orders PER customer "
+    "expressed as the SQL-standard lateral join (the form BI tools and "
+    "migrations emit) rather than a window+filter. Catalyst plans the "
+    "same shuffle+per-key-sort as win_topk_per_group — lateral is "
+    "surface syntax, not a per-row executor loop; pinned against the "
+    "identical DuckDB lateral.",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS total
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 200
+        """
+    )
