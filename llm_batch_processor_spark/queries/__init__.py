@@ -89,6 +89,7 @@ _CHECK_PRIORITY = [
     "attribution_last_touch", "agg_skew_kurt", "win_rolling_anomaly",
     "lang_confusion", "sample_negatives", "sink_csv_roundtrip",
     "subquery_correlated", "recursive_cte_chain", "join_lateral_topn",
+    "dedup_incremental_bloom",
 ]
 
 

@@ -2458,3 +2458,51 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(x, "neg_id").select(
         "doc_id", "neg_idx", F.col("neg_id").cast("bigint").alias("neg_id"), "neg_lang"
     )
+
+
+@Q.add(
+    "dedup_incremental_bloom",
+    """
+    SELECT d.doc_id,
+           CAST(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250) d
+    LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250) s
+      USING (h)
+    """,
+    doc="dedup_incremental's promised 100 TB plan, made real: the "
+    "seen-set digests fold into a Bloom filter (operators/bloom.py) "
+    "and each NEW record's membership test runs inside its scan stage "
+    "— records failing the filter are DEFINITIVELY fresh (no false "
+    "negatives) and skip the join entirely; only the ~hit-rate "
+    "fraction joins the digest table for exact confirmation. Same "
+    "bit-identical output as the plain left join (the oracle IS "
+    "dedup_incremental's), but the shuffle carries candidate digests "
+    "instead of the whole batch — on an ingest where 99% of records "
+    "are fresh, 99% of the join input vanishes map-side.",
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_might_contain, build_bloom_bits
+
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    seen = (
+        d.filter(F.col("doc_id") < 250)
+        .select(F.md5(F.col("text")).alias("h"))
+        .distinct()
+    )
+    words = build_bloom_bits(seen, "h", m_bits=1 << 14)
+    maybe = F.lit(True) & bloom_might_contain(F.col("h"), words, 1 << 14)
+    candidates = new.filter(maybe)
+    fresh = new.filter(~maybe).select("doc_id", F.lit(0).alias("is_dup"))
+    confirmed = (
+        candidates.join(seen.withColumn("__seen", F.lit(1)), "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__seen").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_dup"),
+        )
+    )
+    return fresh.unionByName(confirmed)
