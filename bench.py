@@ -82,7 +82,12 @@ def main() -> int:
     # "parsed": null. Keep the printed line under ~2800 chars: full
     # per-query detail goes to BENCH_FULL.json (committed), and the
     # printed "queries" dict keeps the slowest entries that fit.
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+    # Subset runs (--only, e.g. the pytest bench-contract test) must
+    # not clobber the committed full-inventory artifact.
+    full_path = os.path.join(
+        REPO, "BENCH_FULL.json" if not only else "BENCH_SUBSET.json"
+    )
+    with open(full_path, "w") as f:
         json.dump(
             {
                 "metric": "full_inventory_wall_sec",
@@ -104,7 +109,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": qdict,
                 "queries_omitted": len(per_query) - len(qdict),
-                "queries_full": "BENCH_FULL.json",
+                "queries_full": os.path.basename(full_path),
                 "sf": sf_label,
                 "n_queries": len(per_query),
             },
