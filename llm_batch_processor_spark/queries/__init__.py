@@ -40,6 +40,14 @@ class Registry(dict):
         return deco
 
 
+# Artifacts this rotation was authored against. When a new round's
+# CORRECTNESS artifact lands, regenerate _CHECK_PRIORITY from the
+# updated union (see CORRECTNESS_LEDGER.md) and add the artifact here —
+# tests/test_survey_sync.py checks the window only against this basis,
+# so a freshly-landed artifact doesn't redden the suite before the
+# rotation is updated.
+_ROTATION_BASIS = ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
+
 # Driver-check rotation (see CORRECTNESS_LEDGER.md). The driver's
 # correctness gate evaluates ``queries()`` in dict-insertion order and
 # has recorded exactly 50 rows in both prior rounds (r01 stopped at
