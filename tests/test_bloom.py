@@ -67,3 +67,25 @@ def test_probe_stays_jvm_side_and_precedes_join(spark):
     # not a Python eval
     assert "xxhash64" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_empty_build_side_prunes_everything(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    empty = df.filter("k < 0")
+    words = build_bloom_bits(empty, "k", m_bits=1 << 12)
+    assert all(w == 0 for w in words)
+    kept = df.filter(bloom_might_contain(F.col("k"), words, 1 << 12)).count()
+    assert kept == 0
+
+
+def test_string_keys(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("zzz",)], "k string"
+    )
+    members = spark.createDataFrame([("a",), ("c",)], "k string")
+    words = build_bloom_bits(members, "k", m_bits=1 << 12)
+    kept = {
+        r["k"]
+        for r in df.filter(bloom_might_contain(F.col("k"), words, 1 << 12)).collect()
+    }
+    assert {"a", "c"} <= kept  # no false negatives; fp on b/zzz unlikely

@@ -54,3 +54,15 @@ def test_equals_spark_global_window(spark):
     want = {r["k"]: r["cum"] for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()}
     got = {r["k"]: r["cum"] for r in global_cumsum(df, "k", "v").collect()}
     assert got == want
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "k long, v long")
+    assert global_cumsum(df, "k", "v").count() == 0
+
+
+def test_negative_and_double_values(spark):
+    rows = [(1, -5.5), (2, 2.25), (3, -0.75), (4, 10.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {r["k"]: r["cum"] for r in global_cumsum(df, "k", "v", n_bins=2).collect()}
+    assert got == {1: -5.5, 2: -3.25, 3: -4.0, 4: 6.0}
