@@ -396,3 +396,38 @@ def test_stateful_throttle_anchors_on_emitted(spark, tmp_path):
         for r in spark.sql("SELECT value FROM throttle_test").collect()
     )
     assert got == [1.0, 4.0, 9.0]
+
+
+def test_cdc_resolve_and_merge_units(spark):
+    """Batch-level semantics of the CDC merge, isolated from streaming."""
+    from llm_batch_processor_spark.streaming.merge import (
+        merge_snapshot,
+        resolve_batch,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            ("k1", "I", 1, "v1"),
+            ("k1", "U", 3, "v3"),
+            ("k1", "U", 2, "v2"),  # older update loses
+            ("k2", "I", 5, "x1"),
+            ("k2", "D", 5, ""),  # same-ts delete beats upsert
+        ],
+        "doc_id string, op string, ts long, payload string",
+    )
+    resolved = {
+        r["doc_id"]: (r["op"], r["payload"])
+        for r in resolve_batch(changes, "doc_id", "ts").collect()
+    }
+    assert resolved == {"k1": ("U", "v3"), "k2": ("D", "")}
+
+    snap = spark.createDataFrame(
+        [("k1", "old"), ("k3", "keep")], "doc_id string, payload string"
+    )
+    nxt = {
+        r["doc_id"]: r["payload"]
+        for r in merge_snapshot(
+            snap, resolve_batch(changes, "doc_id", "ts"), "doc_id"
+        ).collect()
+    }
+    assert nxt == {"k1": "v3", "k3": "keep"}  # k2 inserted-then-deleted
