@@ -36,7 +36,12 @@ _SEEDS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1)
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    # xxhash64 with distinct seeds; pmod keeps positions in [0, m)
+    # xxhash64 with distinct seeds; pmod keeps positions in [0, m).
+    # NOTE xxhash64 is input-TYPE-sensitive: int(5) and bigint(5) hash
+    # differently, so build and probe keys must be identically typed or
+    # matches are silently dropped (false negatives). bloom_prefilter
+    # asserts this; callers composing build/probe manually must match
+    # types themselves (cast both sides, e.g. to long).
     return [
         F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits)).cast("int")
         for seed in _SEEDS[:k]
@@ -91,6 +96,19 @@ def bloom_prefilter(
 
     Compose with the exact join afterwards; the composition's result is
     identical to the plain join, only the shuffle volume changes.
+
+    Raises ``TypeError`` when the two key columns' types differ:
+    xxhash64 hashes int(5) and bigint(5) to different values, so a type
+    mismatch would produce silent false negatives (dropped matches),
+    violating the no-false-negative contract.
     """
+    big_t = dict(big.dtypes).get(big_key)
+    small_t = dict(small.dtypes).get(small_key)
+    if big_t != small_t:
+        raise TypeError(
+            f"bloom_prefilter key types must match exactly (xxhash64 is "
+            f"type-sensitive): {big_key}:{big_t} vs {small_key}:{small_t}"
+            f" — cast both sides to a common type first"
+        )
     words = build_bloom_bits(small, small_key, m_bits, k)
     return big.filter(bloom_might_contain(F.col(big_key), words, m_bits, k))

@@ -40,15 +40,29 @@ def global_cumsum(
     """Add ``out_col`` = running sum of ``value_col`` over the global
     ``order_col`` order (inclusive of the current row).
 
-    ``order_col`` must be numeric and, together with ``tiebreak_col``
-    (if given), totally order the rows — otherwise the running sum is
-    not well-defined in either engine.
+    ``order_col`` must be numeric, non-NULL and, together with
+    ``tiebreak_col`` (if given), totally order the rows — otherwise the
+    running sum is not well-defined in either engine. NULL order keys
+    raise ``ValueError`` (they don't total-order; silently dropping
+    them — the old behavior of the bin join — is worse).
     """
+    # sum's result type (e.g. bigint for ints, the widened decimal for
+    # decimals) — both return paths must agree on it
+    sum_type = df.select(F.sum(value_col)).schema[0].dataType
     bounds = df.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        F.min(order_col).alias("lo"),
+        F.max(order_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(order_col).alias("n_ordered"),
     ).collect()[0]
+    if bounds["n"] > bounds["n_ordered"]:
+        raise ValueError(
+            f"global_cumsum: {bounds['n'] - bounds['n_ordered']} rows "
+            f"have NULL {order_col!r}; a NULL order key cannot totally "
+            "order the rows — filter or coalesce them first"
+        )
     if bounds["lo"] is None:  # empty input
-        return df.withColumn(out_col, F.lit(None).cast("double"))
+        return df.withColumn(out_col, F.lit(None).cast(sum_type))
     lo, hi = float(bounds["lo"]), float(bounds["hi"])
     width = max((hi - lo + 1.0) / n_bins, 1e-300)
     binned = df.withColumn(

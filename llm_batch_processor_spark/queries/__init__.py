@@ -40,29 +40,27 @@ class Registry(dict):
         return deco
 
 
-# Artifacts this rotation was authored against. When a new round's
-# CORRECTNESS artifact lands, regenerate _CHECK_PRIORITY from the
-# updated union (see CORRECTNESS_LEDGER.md) and add the artifact here —
-# tests/test_survey_sync.py checks the window only against this basis,
-# so a freshly-landed artifact doesn't redden the suite before the
-# rotation is updated.
-_ROTATION_BASIS = ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
-
 # Driver-check rotation (see CORRECTNESS_LEDGER.md). The driver's
 # correctness gate evaluates ``queries()`` in dict-insertion order and
-# has recorded exactly 50 rows in both prior rounds (r01 stopped at
-# entry #50 with a slow #51; r02 stopped at entry #50 with a trivial
-# #51), so only the first ~50 entries receive a CORRECTNESS row per
-# round. This list front-loads the queries that have never had a
-# driver row (round 3: the dedup/similarity/text-analysis family);
-# queries with green rows in CORRECTNESS_r01/r02 rotate to the back.
+# has recorded exactly 50 rows in every round so far, so only the
+# first ~50 entries receive a CORRECTNESS row per round. The emitted
+# order is derived MECHANICALLY from the committed
+# ``CORRECTNESS_r*.json`` artifacts at import time (ADVICE r03:
+# hand-maintained lists drift): queries with no driver row in any
+# artifact come first, then previously-checked queries sorted by the
+# round of their newest row (stalest first — so spare window slots
+# refresh the oldest green rows). A freshly-landed artifact rotates
+# the window automatically; there is no basis list to go stale.
 # Semantics are unaffected — this is pure dict ordering.
+#
+# ``_CHECK_PRIORITY`` below is only the *tie-break preference* within
+# each derived group: cheap queries lead each never-checked block so
+# they absorb the session's cold-start (JVM codegen + Python worker
+# fork) before heavy composites run — dedup_minhash costs 10.6 s on a
+# cold stock session vs ~2 s warm. Unlisted queries keep registration
+# order after the listed block.
 _CHECK_PRIORITY = [
-    # -- round-3 window: never driver-checked, LLM-pipeline core first.
-    # Cheap text queries lead so they absorb the session's cold-start
-    # (JVM codegen + Python worker fork) before the heavy dedup family
-    # runs — dedup_minhash costs 10.6 s on a cold stock session vs
-    # ~2 s warm.
+    # -- round-3 window (driver-checked in CORRECTNESS_r03.json)
     "text_stats", "lang_filter", "lang_id", "quality_score",
     "token_count_bpe", "doc_fingerprint", "embed_normalize",
     "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
@@ -79,7 +77,7 @@ _CHECK_PRIORITY = [
     "ngram_counts", "retention_cohort", "cooccur_events",
     "entropy_score", "feature_zscore", "event_transitions",
     "heavy_hitters", "llm_map_deadletter",
-    # -- next in line: never checked, relational extensions
+    # -- round-4 queue: relational extensions (cheap scans/aggs lead)
     "join_cross", "agg_unpivot", "agg_histogram", "agg_regression",
     "agg_percentiles", "gap_fill_days", "agg_bitwise",
     "win_cumulative_distinct", "agg_conditional", "compact_latest",
@@ -87,7 +85,7 @@ _CHECK_PRIORITY = [
     "agg_salted_twophase", "join_asof_nearest", "agg_weighted",
     "scan_schema_merge", "profile_stats", "pareto_frontier",
     "agg_corr_exact", "win_moving_median", "llm_json_project",
-    # -- round-3 additions (never checked; round-4 queue)
+    # -- round-4 queue: round-3 additions (heavier composites mid-block)
     "shard_plan_tokens", "dedup_priority_source", "quality_ntile",
     "events_debounce", "win_fill_forward", "llm_cache_join",
     "join_bloom_prefilter", "cdc_merge_apply", "scd2_intervals",
@@ -98,24 +96,60 @@ _CHECK_PRIORITY = [
     "lang_confusion", "sample_negatives", "sink_csv_roundtrip",
     "subquery_correlated", "recursive_cte_chain", "join_lateral_topn",
     "dedup_incremental_bloom",
+    # -- spare-slot preference among previously-checked queries: the
+    # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
+    "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",
+    "enrich_label", "dedup_exact", "set_except",
 ]
+
+
+def _driver_row_rounds() -> dict[str, int]:
+    """query name -> newest round with a committed driver CORRECTNESS
+    row. Reads ``CORRECTNESS_r*.json`` at the repo root (sorted names =
+    chronological rounds); missing/unreadable artifacts are skipped so
+    an installed copy without artifacts degrades to preference order.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    rounds: dict[str, int] = {}
+    for art in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", art.name)
+        if not m:
+            continue
+        try:
+            names = json.loads(art.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in names:
+            rounds[name] = max(rounds.get(name, 0), int(m.group(1)))
+    return rounds
 
 
 def all_queries() -> dict[str, QueryDef]:
     """Aggregate every query module's registry (import-light).
 
-    Entries are emitted in driver-check priority order (see
-    ``_CHECK_PRIORITY``); unlisted queries keep registration order
-    after the prioritized block.
+    Entries are emitted in driver-check order derived from the
+    committed CORRECTNESS artifacts: never-checked queries first, then
+    checked queries stalest-row-first; ``_CHECK_PRIORITY`` breaks ties
+    within each group, registration order after that.
     """
     from . import llm, pipeline_ext, relational
 
     merged: dict[str, QueryDef] = {}
     for mod in (relational, llm, pipeline_ext):
         merged.update(mod.Q)
-    out: dict[str, QueryDef] = {}
-    for name in _CHECK_PRIORITY:
-        if name in merged:
-            out[name] = merged.pop(name)
-    out.update(merged)
-    return out
+    pref = {name: i for i, name in enumerate(_CHECK_PRIORITY)}
+    reg = {name: i for i, name in enumerate(merged)}
+    rows = _driver_row_rounds()
+
+    def key(name: str) -> tuple[int, int, int]:
+        return (
+            rows.get(name, 0),  # 0 = never checked -> first
+            pref.get(name, len(pref)),
+            reg[name],
+        )
+
+    return {name: merged[name] for name in sorted(merged, key=key)}

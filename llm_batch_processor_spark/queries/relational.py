@@ -2465,14 +2465,21 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    # integer DIV on the lead value (not float /): ts_ns ~ 1.7e18 is
+    # above double's 2^53 exact range, so float division flips the
+    # epoch-second off-by-one for sub-microsecond residues (ADVICE r03)
     return e.select(
         "event_id",
         "user_id",
         F.expr("ts_ns DIV 1000000000").alias("valid_from_s"),
-        (F.lead("ts_ns").over(w) / F.lit(1_000_000_000))
-        .cast("bigint")
-        .alias("valid_to_s"),
+        F.lead("ts_ns").over(w).alias("__lead_ns"),
         F.round("value", 4).alias("attr_value"),
+    ).select(
+        "event_id",
+        "user_id",
+        "valid_from_s",
+        F.expr("__lead_ns DIV 1000000000").alias("valid_to_s"),
+        "attr_value",
     )
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from llm_batch_processor_spark.operators.bloom import (
@@ -89,3 +91,17 @@ def test_string_keys(spark):
         for r in df.filter(bloom_might_contain(F.col("k"), words, 1 << 12)).collect()
     }
     assert {"a", "c"} <= kept  # no false negatives; fp on b/zzz unlikely
+
+
+def test_mismatched_key_types_rejected(spark):
+    # xxhash64 hashes int(5) and bigint(5) differently; a silent type
+    # mismatch would drop true matches (ADVICE r03) — refuse it
+    from llm_batch_processor_spark.operators.bloom import bloom_prefilter
+
+    big = spark.range(0, 100).withColumnRenamed("id", "k")  # bigint
+    small = spark.createDataFrame([(1,), (2,)], "k int")
+    with pytest.raises(TypeError, match="type"):
+        bloom_prefilter(big, "k", small, "k")
+    # identical types (after an explicit cast) pass the guard
+    kept = bloom_prefilter(big, "k", small.select(F.col("k").cast("long")), "k")
+    assert {r["k"] for r in kept.collect()} >= {1, 2}

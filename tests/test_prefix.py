@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import Window
@@ -66,3 +68,21 @@ def test_negative_and_double_values(spark):
     df = spark.createDataFrame(rows, "k long, v double")
     got = {r["k"]: r["cum"] for r in global_cumsum(df, "k", "v", n_bins=2).collect()}
     assert got == {1: -5.5, 2: -3.25, 3: -4.0, 4: 6.0}
+
+
+def test_null_order_keys_rejected(spark):
+    # NULL order keys can't totally order the rows; the old bin join
+    # silently dropped them (ADVICE r03) — refuse instead
+    df = spark.createDataFrame([(1, 10), (None, 20), (3, 30)], "k long, v long")
+    with pytest.raises(ValueError, match="NULL"):
+        global_cumsum(df, "k", "v")
+
+
+def test_empty_input_keeps_sum_type(spark):
+    # the empty path must type out_col as sum(v)'s type (bigint for
+    # longs), matching the non-empty path's schema (ADVICE r03)
+    df = spark.createDataFrame([], "k long, v long")
+    empty_t = dict(global_cumsum(df, "k", "v").dtypes)["cum"]
+    full = spark.createDataFrame([(1, 2)], "k long, v long")
+    full_t = dict(global_cumsum(full, "k", "v").dtypes)["cum"]
+    assert empty_t == full_t == "bigint"

@@ -312,7 +312,10 @@ def _write_changes(src, rows):
 
 
 def test_streaming_cdc_merge_folds_batches(spark, tmp_path):
-    from llm_batch_processor_spark.streaming.merge import start_merge_stream
+    from llm_batch_processor_spark.streaming.merge import (
+        read_snapshot,
+        start_merge_stream,
+    )
 
     src, ckpt, snap = tmp_path / "chg", tmp_path / "ckpt", tmp_path / "snap"
     # batch 1: insert a and b; in-batch conflict on c (later U wins)
@@ -349,11 +352,20 @@ def test_streaming_cdc_merge_folds_batches(spark, tmp_path):
         checkpoint_dir=str(ckpt),
     )
     _await(q)
+    # event-time precedence makes the result independent of micro-batch
+    # arrival order (the two change files may share an mtime, so the
+    # file source is free to deliver them in either order)
     got = {
         r["doc_id"]: r["payload"]
-        for r in spark.read.parquet(str(snap)).collect()
+        for r in read_snapshot(spark, str(snap)).collect()
     }
     assert got == {"a": "a-v2", "c": "c-v2"}
+    # deletes persist as tombstones guarding their event time
+    raw = {
+        r["doc_id"]: r["op"]
+        for r in spark.read.parquet(str(snap)).collect()
+    }
+    assert raw["b"] == "D" and raw["d"] == "D"
 
 
 def test_stateful_throttle_anchors_on_emitted(spark, tmp_path):
@@ -422,12 +434,46 @@ def test_cdc_resolve_and_merge_units(spark):
     assert resolved == {"k1": ("U", "v3"), "k2": ("D", "")}
 
     snap = spark.createDataFrame(
-        [("k1", "old"), ("k3", "keep")], "doc_id string, payload string"
+        [("k1", "U", 0, "old"), ("k3", "U", 0, "keep")],
+        "doc_id string, op string, ts long, payload string",
     )
-    nxt = {
+    merged = merge_snapshot(
+        snap, resolve_batch(changes, "doc_id", "ts"), "doc_id"
+    )
+    live = {
         r["doc_id"]: r["payload"]
+        for r in merged.filter("op != 'D'").collect()
+    }
+    assert live == {"k1": "v3", "k3": "keep"}  # k2 inserted-then-deleted
+    # k2's delete persists as a tombstone carrying its event time
+    assert {
+        r["doc_id"] for r in merged.filter("op = 'D'").collect()
+    } == {"k2"}
+
+
+def test_cdc_merge_event_time_precedence_across_batches(spark):
+    """A later micro-batch carrying OLDER changes must not overwrite
+    newer snapshot state, and a stale upsert must not resurrect a
+    newer delete (ADVICE r03: precedence is event time, not batch
+    arrival order)."""
+    from llm_batch_processor_spark.streaming.merge import (
+        merge_snapshot,
+        resolve_batch,
+    )
+
+    snap = spark.createDataFrame(
+        [("k1", "U", 10, "new"), ("k2", "D", 10, "")],
+        "doc_id string, op string, ts long, payload string",
+    )
+    late = spark.createDataFrame(
+        [("k1", "U", 5, "stale"), ("k2", "I", 5, "zombie"), ("k2", "U", 10, "tie")],
+        "doc_id string, op string, ts long, payload string",
+    )
+    merged = {
+        r["doc_id"]: (r["op"], r["ts"], r["payload"])
         for r in merge_snapshot(
-            snap, resolve_batch(changes, "doc_id", "ts"), "doc_id"
+            snap, resolve_batch(late, "doc_id", "ts"), "doc_id"
         ).collect()
     }
-    assert nxt == {"k1": "v3", "k3": "keep"}  # k2 inserted-then-deleted
+    assert merged["k1"] == ("U", 10, "new")  # stale upsert lost
+    assert merged["k2"][0] == "D"  # tombstone survives tie + zombie

@@ -59,41 +59,31 @@ def test_rows_only_set_is_intentional():
 
 
 def test_driver_check_window_targets_unchecked_queries():
-    """The first 50 registry entries (the driver's observed per-round
-    correctness window) must all be queries with no green row in any
-    committed CORRECTNESS artifact — otherwise the rotation wastes
-    window slots re-checking what already has a row."""
-    import json
+    """The driver's ~50-row per-round window must be spent on queries
+    with no green row yet: every never-checked query precedes every
+    checked one, and checked queries are ordered stalest-newest-row
+    first (so spare slots refresh the oldest green rows). The ordering
+    is derived mechanically from the committed CORRECTNESS artifacts
+    (ADVICE r03) — this pins the derivation property, so a
+    freshly-landed artifact can never mis-aim the window."""
+    from llm_batch_processor_spark.queries import _driver_row_rounds
 
-    from llm_batch_processor_spark.queries import _ROTATION_BASIS
-
-    repo = Path(__file__).resolve().parent.parent
-    checked: set[str] = set()
-    for name in _ROTATION_BASIS:
-        art = repo / name
-        if art.exists():
-            checked |= set(json.loads(art.read_text()))
-    window = list(entry_mod.queries())[:50]
-    overlap = [q for q in window if q in checked]
-    assert not overlap, (
-        f"driver-check window wastes slots on already-checked queries: "
-        f"{overlap}; update _CHECK_PRIORITY for the new round "
-        f"(see CORRECTNESS_LEDGER.md)"
-    )
-    # a committed artifact newer than the rotation basis means the next
-    # round's rotation is due — surface it without failing the suite
-    newer = [
-        p.name
-        for p in sorted(repo.glob("CORRECTNESS_r*.json"))
-        if p.name not in _ROTATION_BASIS
-    ]
-    if newer:
-        import warnings
-
-        warnings.warn(
-            f"rotation basis {_ROTATION_BASIS} predates {newer}: "
-            "regenerate _CHECK_PRIORITY from the updated union",
-            stacklevel=1,
+    rows = _driver_row_rounds()
+    order = list(entry_mod.queries())
+    if rows:
+        first_checked = min(
+            i for i, q in enumerate(order) if rows.get(q, 0) > 0
+        )
+        unchecked_after = [
+            q for q in order[first_checked:] if rows.get(q, 0) == 0
+        ]
+        assert not unchecked_after, (
+            "driver-check window wastes slots: never-checked queries "
+            f"appear after checked ones: {unchecked_after}"
+        )
+        checked_rounds = [rows[q] for q in order if rows.get(q, 0) > 0]
+        assert checked_rounds == sorted(checked_rounds), (
+            "checked queries must rotate stalest-first for spare slots"
         )
 
 
