@@ -275,3 +275,40 @@ def test_ivf_recall_of_close_pair_and_exact_at_full_probe(spark):
     got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
     want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
     assert got == want
+
+
+def test_cc_fallback_inside_dedup_clusters_query_path(spark):
+    # the distributed label-propagation fallback never runs inside an
+    # oracle query at check scale (edge lists fit the driver limit);
+    # force it through dedup_clusters' exact pair->CC->size pipeline on
+    # sf0.001 and pin label equality with the driver union-find path
+    from pyspark.sql import Window
+
+    from llm_batch_processor_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from llm_batch_processor_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    pairs = (
+        ngram_jaccard_pairs(d, n=2, min_jaccard=0.2)
+        .select("id_a", "id_b")
+        .persist()
+    )
+
+    def clusters(cc):
+        w = Window.partitionBy("cluster_id")
+        return {
+            (r["id"], r["cluster_id"], r["cluster_size"])
+            for r in cc.withColumn("cluster_size", F.count("*").over(w))
+            .filter(F.col("cluster_size") >= 2)
+            .collect()
+        }
+
+    driver_path = clusters(connected_components(pairs, None))
+    distributed = clusters(
+        connected_components(pairs, None, driver_edge_limit=0)
+    )
+    assert driver_path == distributed
+    assert len(driver_path) > 0  # sf0.001 has planted near-dup clusters

@@ -216,3 +216,38 @@ def test_decode_media_with_header_decoder(spark):
     }
     assert rows["m1"]["width"] == 1 and rows["m1"]["height"] == 1
     assert rows["m2"]["width"] == 3 % 640 + 16  # fake fallback
+
+
+APPLE_JPG = "/root/reference/spec/apple.jpg"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(APPLE_JPG), reason="reference fixture absent")
+def test_header_dims_on_reference_real_jpeg():
+    # the reference ships a real camera JPEG (spec/apple.jpg, used by
+    # spec/image_processing_spec.rb); the codec-free header parser must
+    # read its true dimensions
+    from pathlib import Path
+
+    from llm_batch_processor_spark.operators.multimodal import parse_image_dims
+
+    dims = parse_image_dims(Path(APPLE_JPG).read_bytes())
+    assert dims is not None
+    assert dims["width"] > 100 and dims["height"] > 100
+
+
+@pytest.mark.skipif(
+    not _pil_available() or not __import__("os").path.exists(APPLE_JPG),
+    reason="Pillow or reference fixture absent",
+)
+def test_decode_image_agrees_with_header_parse_on_reference_fixture():
+    # closes the mocked-vs-real gap: the full pixel decode and the
+    # header-only parse must report identical dimensions on the shipped
+    # real-world fixture
+    from pathlib import Path
+
+    from llm_batch_processor_spark.operators.multimodal import parse_image_dims
+
+    payload = Path(APPLE_JPG).read_bytes()
+    dims = parse_image_dims(payload)
+    meta = decode_image(payload)
+    assert (meta["width"], meta["height"]) == (dims["width"], dims["height"])
