@@ -96,6 +96,11 @@ _CHECK_PRIORITY = [
     "lang_confusion", "sample_negatives", "sink_csv_roundtrip",
     "subquery_correlated", "recursive_cte_chain", "join_lateral_topn",
     "dedup_incremental_bloom",
+    # -- round-4 additions (never checked; cheap first — the window
+    # boundary falls somewhere in this block)
+    "scan_text", "label_weights", "pct_change_daily",
+    "time_weighted_avg", "bm25_score", "boilerplate_ngram",
+    "sink_parquet_clustered", "degree_distribution",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

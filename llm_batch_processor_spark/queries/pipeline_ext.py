@@ -2506,3 +2506,261 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fresh.unionByName(confirmed)
+
+
+@Q.add(
+    "boilerplate_ngram",
+    """
+    WITH tri AS (
+      SELECT doc_id, source, t.g
+      FROM (
+        SELECT doc_id, source,
+               list_distinct([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+                              FOR i IN range(1, len(sp) - 1)]) AS gs
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS sp
+              FROM documents)
+      ), unnest(gs) AS t(g)
+    ),
+    boiler AS (
+      SELECT source, g FROM tri GROUP BY source, g HAVING COUNT(*) >= 2
+    ),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_tri FROM tri GROUP BY doc_id),
+    hits AS (
+      SELECT tri.doc_id, COUNT(*) AS n_boiler
+      FROM tri JOIN boiler
+        ON tri.source = boiler.source AND tri.g = boiler.g
+      GROUP BY tri.doc_id
+    )
+    SELECT p.doc_id, p.n_tri,
+           COALESCE(h.n_boiler, 0) AS n_boiler,
+           ROUND(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / p.n_tri, 4)
+             AS boiler_ratio
+    FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+    """,
+    doc="cross-document boilerplate detection (header/footer/template "
+    "strip, the Dolma/RefinedWeb cleaning stage): a distinct token "
+    "3-gram appearing in >= 2 documents of the SAME source is "
+    "boilerplate; each doc scores its boilerplate-trigram fraction. "
+    "Shapes for 100 TB: trigram sets built row-local with zipped "
+    "shifted slices (no position self-join), ONE (source, g) "
+    "aggregation finds the shared set (map-side combinable; a doc "
+    "contributes each trigram once so COUNT(*) IS the doc frequency), "
+    "and the hit count is an equi-join on (source, g) — boilerplate "
+    "keys only, never all trigram pairs. The >= 2 threshold is "
+    "testdata-calibrated (per-source doc frequency tops out at 3 at "
+    "sf0.01 — see heavy_hitters for the vacuous-threshold lesson); a "
+    "web corpus would use a higher df and a per-source partition.",
+)
+def boilerplate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import token_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(token_ngrams(F.col("text"), 3))).alias("g"),
+    )
+    boiler = (
+        tri.groupBy("source", "g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("source", "g")
+    )
+    per_doc = tri.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    hits = (
+        tri.join(boiler, ["source", "g"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tri",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0)).cast("double") / F.col("n_tri"), 4
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+@Q.add(
+    "bm25_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+           unnest(sp) AS t(tok)
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('join', 'hash', 'merge', 'vector')
+      GROUP BY doc_id, tok
+    ),
+    dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+    SELECT tf.doc_id, tf.tok AS term, tf.tf,
+           ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)))
+             AS score
+    FROM tf
+    JOIN dl l ON tf.doc_id = l.doc_id
+    JOIN dft d ON tf.tok = d.tok
+    CROSS JOIN stats s
+    """,
+    doc="BM25 relevance of every document against a fixed query term "
+    "set (k1=1.2, b=0.75) — the retrieval scorer behind corpus search "
+    "and RAG reranking. Uses the ratio form of idf, (N-df+0.5)/(df+0.5) "
+    "without log: log is not correctly-rounded IEEE and drifts a ulp "
+    "between engines, while +,-,*,/ are exact, so per-(doc,term) rows "
+    "of pure arithmetic hash identically (the rarity_score lesson). "
+    "Shapes: one explode+groupBy for tf (filter pushed before the "
+    "shuffle — only query terms leave the scan), doc lengths from the "
+    "same pass, df and the (N, avgdl) scalars are bounded 1-to-4-row "
+    "broadcasts; no corpus-wide join.",
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    terms = ["join", "hash", "merge", "vector"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            F.expr(
+                "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+                "   / (CAST(df AS DOUBLE) + 0.5))"
+                " * ((CAST(tf AS DOUBLE) * 2.2)"
+                "   / (CAST(tf AS DOUBLE)"
+                "      + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))"
+            ).alias("score"),
+        )
+    )
+
+
+@Q.add(
+    "label_weights",
+    """
+    WITH per_label AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total, COUNT(*) AS n_labels
+      FROM per_label
+    )
+    SELECT p.label, p.n,
+           CAST(t.n_total AS DOUBLE)
+             / (CAST(t.n_labels AS DOUBLE) * CAST(p.n AS DOUBLE)) AS weight
+    FROM per_label p CROSS JOIN tot t
+    """,
+    doc="inverse-frequency class weights over the embedding labels — "
+    "the class-balancing step before training on skewed data (weights "
+    "average to 1 across classes, rare labels upweighted). Pure "
+    "rational arithmetic (one double division chain over exact integer "
+    "counts — no log/pow), so bit-identical across engines. Shapes: "
+    "one map-side-combinable label aggregation; the label dimension is "
+    "BOUNDED (cardinality of the class space, not the data), so the "
+    "totals row derives from it for free and the weight table is a "
+    "broadcast-size artifact any training job joins back at zero "
+    "shuffle cost.",
+)
+def label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    per_label = e.groupBy("label").agg(F.count("*").alias("n"))
+    tot = per_label.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count("*").alias("n_labels"),
+    )
+    return per_label.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        (
+            F.col("n_total").cast("double")
+            / (F.col("n_labels").cast("double") * F.col("n").cast("double"))
+        ).alias("weight"),
+    )
+
+
+@Q.add(
+    "degree_distribution",
+    """
+    WITH grams AS (
+      SELECT doc_id, DISTINCT_G.g
+      FROM (
+        SELECT doc_id,
+               list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                              FOR i IN range(1, len(string_split(text,' ')))]) AS gs
+        FROM documents
+      ), unnest(gs) AS DISTINCT_G(g)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT id_a AS node FROM pairs
+        UNION ALL
+        SELECT id_b AS node FROM pairs
+      ) GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_docs, MIN(node) AS min_doc_id
+    FROM deg GROUP BY degree
+    """,
+    doc="near-dup graph degree distribution: how many documents have k "
+    "near-duplicate partners (bigram Jaccard >= 0.2) — the health "
+    "metric that decides dedup strategy (a fat tail means hub "
+    "templates that salted CC handles; a thin one means pairwise "
+    "suffices) and catches crawler loops before they melt a cluster. "
+    "Shapes: pairs from the SAME blocked AllPairs/GEMM kernel as "
+    "dedup_ngram_jaccard (never naive all-pairs), endpoints explode "
+    "2 rows per edge, two bounded integer aggregations after that — "
+    "degree cardinality is tiny, so the final rollup is map-side "
+    "combined to almost nothing.",
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2).select("id_a", "id_b")
+    deg = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_docs"), F.min("node").alias("min_doc_id")
+    )

@@ -2804,3 +2804,209 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 200
         """
     )
+
+
+@Q.add(
+    "time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_ns(ts) // 1000000000 AS t_s,
+             lead(epoch_ns(ts) // 1000000000) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS next_s
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,6))
+                  * CAST(next_s - t_s AS DECIMAL(12,0)) AS DECIMAL(38,6))
+               AS num,
+             next_s - t_s AS dt
+      FROM seq WHERE next_s IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS span_s,
+           CAST(CAST(SUM(num) AS DOUBLE)
+                / CAST(SUM(dt) AS DOUBLE) AS DOUBLE) AS twa
+    FROM seg
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    """,
+    doc="time-weighted average of each user's value signal: every "
+    "reading holds until the next one, so the mean is the integral "
+    "sum(value*dt)/sum(dt) — how billing, telemetry and feature "
+    "stores summarize irregularly-sampled series (a plain AVG "
+    "overweights bursts). Second-granular dt on both sides; the "
+    "numerator is an exact DECIMAL product summed exactly "
+    "(order-independent), one double division at the end. Shapes: "
+    "ONE user_id Exchange serves both the lead window and the "
+    "rollup — at 100 TB that single shuffle is the only data "
+    "movement, and the decimal partials combine map-side.",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.expr("ts_ns DIV 1000000000").alias("t_s"),
+        F.lead(F.expr("ts_ns DIV 1000000000")).over(w).alias("next_s"),
+    )
+    seg = seq.filter(F.col("next_s").isNotNull()).select(
+        "user_id",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,6))"
+            " * CAST(next_s - t_s AS DECIMAL(12,0)) AS DECIMAL(38,6))"
+        ).alias("num"),
+        (F.col("next_s") - F.col("t_s")).alias("dt"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("span_s"),
+            (F.sum("num").cast("double") / F.sum("dt").cast("double"))
+            .cast("double")
+            .alias("twa"),
+        )
+        .filter(F.col("span_s") > 0)
+    )
+
+
+@Q.add(
+    "pct_change_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM events GROUP BY event_type, d
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, rev,
+           lag(rev) OVER (PARTITION BY event_type ORDER BY d) AS prev_rev,
+           (rev - lag(rev) OVER (PARTITION BY event_type ORDER BY d))
+             / lag(rev) OVER (PARTITION BY event_type ORDER BY d)
+             AS pct_change
+    FROM daily
+    """,
+    doc="day-over-day percent change of daily value volume per event "
+    "type (NULL on each type's first day) — the period-over-period "
+    "delta behind every trend report and regression alert. Daily sums "
+    "are exact DECIMAL (order-independent) cast once to double; the "
+    "change is (a-b)/b on those identical doubles, so no rounding is "
+    "needed at the compare boundary. Shapes: the day rollup map-side "
+    "combines before one event_type Exchange; the lag window rides "
+    "the SAME partitioning (days per type are bounded, so the window "
+    "input is the tiny aggregate, never the fact table).",
+)
+def pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.expr(f"CAST(SUM(CAST(value AS {DEC})) AS DOUBLE)").alias("rev"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    prev = F.lag("rev").over(w)
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "rev",
+        prev.alias("prev_rev"),
+        ((F.col("rev") - prev) / prev).alias("pct_change"),
+    )
+
+
+@Q.add(
+    "sink_parquet_clustered",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="clustered parquet sink: documents written partitionBy(lang) "
+    "with sortWithinPartitions(n_chars, doc_id) — the data-layout "
+    "step that makes parquet row-group min/max statistics selective, "
+    "so later range scans (length filters, id lookups) prune inside "
+    "files, not just across partitions; at 100 TB layout IS the "
+    "index. Read back and aggregated per partition; hash-equality vs "
+    "the unsorted original proves the clustered write is lossless. "
+    "The file-level sortedness itself is pinned in pytest "
+    "(test_plans: one sorted run per written file).",
+)
+def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    out_dir = _tmp_dir("sink_parquet_clustered", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    d = load(spark, sf_dir, "documents")
+    # the sort LEADS with the partition column: the dynamic-partition
+    # writer requires its tasks sorted by partition cols and would
+    # otherwise insert its own (unstable) lang-only sort, destroying
+    # the n_chars clustering; a satisfied ordering is passed through
+    (
+        d.repartition("lang")
+        .sortWithinPartitions("lang", "n_chars", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@Q.add(
+    "scan_text",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="plain-text source round-trip: documents serialized to "
+    "delimited text lines (write.text), read back with read.text and "
+    "parsed with one split + casts — the lowest-common-denominator "
+    "ingestion path for log files and legacy exports where no "
+    "structured reader exists. Aggregate hash-equality vs the parquet "
+    "original proves the parse is lossless. The parse stays entirely "
+    "in scan-stage codegen (split + element_at + cast — no Python, "
+    "no regex backtracking), so at 100 TB the text decode is "
+    "CPU-bound exactly like a CSV scan, and the line format (tab "
+    "join) is split-safe because the serialized columns are "
+    "tab-free.",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    out_dir = _tmp_dir("scan_text", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    d = load(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("n_chars")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(out_dir)
+    back = (
+        spark.read.text(out_dir)
+        .select(F.split("value", "\t").alias("p"))
+        .select(
+            F.element_at("p", 1).cast("bigint").alias("doc_id"),
+            F.element_at("p", 2).alias("lang"),
+            F.element_at("p", 3).cast("bigint").alias("n_chars"),
+        )
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -135,6 +135,15 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row broadcast of (total tokens, sum sqrt) onto the 5-row
     # language stats — a scalar attach feeding the keep-rate expression
     "corpus_mix_temperature",
+    # reuses ngram_jaccard_pairs (the allowlisted exact kernel) for its
+    # degree rollup input
+    "degree_distribution",
+    # 1-row broadcast of (n_docs, avgdl) onto the per-(doc,term) tf
+    # rows — a scalar attach, bounded by construction
+    "bm25_score",
+    # 1-row broadcast of (n_total, n_labels) onto the bounded label
+    # dimension — a scalar attach on both sides
+    "label_weights",
 }
 
 
@@ -265,3 +274,28 @@ def test_single_user_pass_queries_have_two_exchanges(spark, qs):
         df = _df(qs, name, spark)
         assert shuffle_count(df) == 2, (name, formatted_plan(df))
         assert "Join" not in formatted_plan(df), name
+
+
+def test_clustered_sink_files_are_sorted_runs(spark, qs):
+    # sink_parquet_clustered's value IS the layout: inside every written
+    # file the rows must form one (n_chars, doc_id)-sorted run, so
+    # parquet row-group min/max stats stay selective for range scans
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    _df(qs, "sink_parquet_clustered", spark).collect()  # trigger the write
+    from llm_batch_processor_spark.queries.relational import _tmp_dir
+
+    out_dir = _tmp_dir("sink_parquet_clustered", SF)
+    files = _glob.glob(out_dir + "/lang=*/*.parquet")
+    assert files, out_dir
+    for f in files[:8]:
+        rows = (
+            spark.read.parquet(f)
+            .select("n_chars", "doc_id")
+            .withColumn("__file_order", F.monotonically_increasing_id())
+            .collect()
+        )
+        keys = [(r["n_chars"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys), f
