@@ -2632,24 +2632,50 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     terms = ["join", "hash", "merge", "vector"]
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    # ONE doc_id aggregation carries dl AND every per-term tf as
+    # conditional counts — the token stream is shuffled once, and no
+    # tf⋈dl join exists to re-shuffle it (6 Exchanges -> 3, the two
+    # survivors being bounded: the 1-row corpus stats and the
+    # n_terms-row df rollup)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("tok") == t, True)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).persist()  # one row per doc (6 ints): stats, df and the melt all
+    # read this cache — without it each consumer re-runs the full
+    # token-stream explode+shuffle (3 scans of the corpus at 100 TB)
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    tf = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
+    melted = (
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"tf_{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "dl", F.col("s.term").alias("term"), F.col("s.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
-    dft = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    dft = melted.groupBy("term").agg(F.count("*").alias("df"))
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dft), "tok")
+        melted.join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            F.col("tok").alias("term"),
+            "term",
             "tf",
             F.expr(
                 "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
