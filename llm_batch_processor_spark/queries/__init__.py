@@ -101,6 +101,9 @@ _CHECK_PRIORITY = [
     "scan_text", "label_weights", "pct_change_daily",
     "time_weighted_avg", "bm25_score", "boilerplate_ngram",
     "sink_parquet_clustered", "degree_distribution",
+    "split_kfold", "agg_gini", "anomaly_iqr", "quality_gopher",
+    "interleave_shards", "conversion_lag", "win_ewma",
+    "compact_binpack", "sparse_cosine_pairs", "graph_pagerank",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

@@ -2790,3 +2790,453 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count("*").alias("n_docs"), F.min("node").alias("min_doc_id")
     )
+
+
+@Q.add(
+    "interleave_shards",
+    """
+    WITH sidx AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS s_idx
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    cnt AS (SELECT COUNT(*) AS n_sources FROM sidx),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+               AS rank_in_source
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rank_in_source,
+           r.rank_in_source * c.n_sources + s.s_idx AS position
+    FROM ranked r
+    JOIN sidx s ON r.source = s.source
+    CROSS JOIN cnt c
+    """,
+    doc="deterministic round-robin interleave of corpus sources into a "
+    "single training order — doc k of source j lands at position "
+    "k*n_sources + j, so consecutive training batches mix sources "
+    "instead of marching through one shard at a time (the data-order "
+    "curriculum step before sequence packing). The position is pure "
+    "arithmetic on a per-source rank: NO global sort and NO "
+    "single-partition window ever touches the fact table — the only "
+    "full-data movement is the per-source ROW_NUMBER Exchange, and the "
+    "source index / count are bounded-dim broadcasts (20 rows). Gaps "
+    "where short sources exhaust are positions without a row — the "
+    "order is still total and stable, which is what the trainer needs.",
+)
+def interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    srcs = d.select("source").distinct()
+    # the single-partition window runs over the bounded distinct-source
+    # dim (20 rows), never the corpus
+    sidx = srcs.select(
+        "source",
+        (F.row_number().over(Window.orderBy("source")) - 1).alias("s_idx"),
+    )
+    cnt = srcs.agg(F.count("*").alias("n_sources"))
+    ranked = d.select(
+        "doc_id",
+        "source",
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            )
+            - 1
+        ).alias("rank_in_source"),
+    )
+    return (
+        ranked.join(F.broadcast(sidx), "source")
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "doc_id",
+            "source",
+            "rank_in_source",
+            (
+                F.col("rank_in_source") * F.col("n_sources") + F.col("s_idx")
+            ).alias("position"),
+        )
+    )
+
+
+@Q.add(
+    "quality_gopher",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             len(sp) AS n_words,
+             list_sum(list_transform(sp, w -> len(w))) AS char_sum,
+             len(list_filter(sp, w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(sp, w -> w IN ('the','a','of','to','and',
+                                            'in','is','for')))
+               AS n_stop
+      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+    )
+    SELECT doc_id, n_words,
+           ROUND(CAST(char_sum AS DOUBLE) / n_words, 4) AS mean_word_len,
+           ROUND(CAST(n_alpha AS DOUBLE) / n_words, 4) AS alpha_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT) AS ok_len,
+           CAST(char_sum * 1 BETWEEN 3 * n_words AND 10 * n_words AS INT)
+             AS ok_word_len,
+           CAST(n_alpha * 10 >= n_words * 8 AS INT) AS ok_alpha,
+           CAST(n_stop * 100 >= n_words * 2 AS INT) AS ok_stop,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND char_sum * 1 BETWEEN 3 * n_words AND 10 * n_words
+                AND n_alpha * 10 >= n_words * 8
+                AND n_stop * 100 >= n_words * 2 AS INT) AS passes
+    FROM feats
+    """,
+    doc="the Gopher/MassiveText repetition-free quality rules (Rae et "
+    "al. 2021, Table A1 — public), adapted to the fixture corpus: word "
+    "count in [50, 100k], mean word length in [3, 10], >=80% words "
+    "containing an alphabetic char, >=2% stopwords. Every rule "
+    "boundary is evaluated in INTEGER arithmetic (char_sum >= 3*n, "
+    "n_alpha*10 >= n*8, ...) so a ratio landing exactly on a "
+    "threshold can never flip between engines — the reported ratios "
+    "are display-only ROUND(,4) doubles. Shapes: one row-local pass "
+    "over the token array per document, zero shuffles, zero Python; "
+    "at 100 TB this is a pure map stage fused into the scan.",
+)
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sp = F.split("text", " ")
+    feats = d.select(
+        "doc_id",
+        F.size(sp).alias("n_words"),
+        F.aggregate(
+            F.transform(sp, lambda w: F.length(w)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("char_sum"),
+        F.size(F.filter(sp, lambda w: w.rlike("[A-Za-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(
+                sp,
+                lambda w: w.isin(
+                    "the", "a", "of", "to", "and", "in", "is", "for"
+                ),
+            )
+        ).alias("n_stop"),
+    )
+    ok_len = F.col("n_words").between(50, 100000)
+    ok_word_len = (F.col("char_sum") * 1).between(
+        3 * F.col("n_words"), 10 * F.col("n_words")
+    )
+    ok_alpha = F.col("n_alpha") * 10 >= F.col("n_words") * 8
+    ok_stop = F.col("n_stop") * 100 >= F.col("n_words") * 2
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("char_sum").cast("double") / F.col("n_words"), 4).alias(
+            "mean_word_len"
+        ),
+        F.round(F.col("n_alpha").cast("double") / F.col("n_words"), 4).alias(
+            "alpha_ratio"
+        ),
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 4).alias(
+            "stop_ratio"
+        ),
+        ok_len.cast("int").alias("ok_len"),
+        ok_word_len.cast("int").alias("ok_word_len"),
+        ok_alpha.cast("int").alias("ok_alpha"),
+        ok_stop.cast("int").alias("ok_stop"),
+        (ok_len & ok_word_len & ok_alpha & ok_stop).cast("int").alias("passes"),
+    )
+
+
+@Q.add(
+    "split_kfold",
+    """
+    WITH folds AS (
+      SELECT lang,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5
+               AS fold,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, fold, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM folds
+    GROUP BY lang, fold
+    """,
+    doc="deterministic 5-fold cross-validation assignment keyed on a "
+    "content hash (md5 hex digit -> fold via its position in the hex "
+    "alphabet, mod 5) with per-(lang, fold) size audit — the "
+    "leakage-safe k-fold split: a document lands in the same fold on "
+    "every engine, every run, every partitioning, so no fold ever "
+    "sees its own validation data. Same stability contract as "
+    "split_train_val, generalized from a binary split to k buckets. "
+    "Shapes: fold is a row-local expression fused into the scan; ONE "
+    "map-side-combined aggregation on a 25-key space.",
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 5
+    return (
+        d.select("lang", fold.alias("fold"), "n_chars")
+        .groupBy("lang", "fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@Q.add(
+    "sparse_cosine_pairs",
+    """
+    WITH tf AS (
+      SELECT doc_id, t.tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+           unnest(sp) AS t(tok)
+      GROUP BY doc_id, t.tok
+    ),
+    rare AS (
+      SELECT tok FROM tf GROUP BY tok HAVING COUNT(*) <= 40
+    ),
+    post AS (SELECT tf.doc_id, tf.tok, tf.tf FROM tf JOIN rare USING (tok)),
+    norms AS (
+      SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2
+      FROM post GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, dot,
+           ROUND(CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.s2 * nb.s2 AS DOUBLE)), 4) AS sim
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE 4 * dot * dot >= na.s2 * nb.s2
+    """,
+    doc="sparse cosine similarity between documents over their "
+    "term-frequency vectors, computed through an inverted index "
+    "(postings self-join on shared terms — never doc-by-doc pairs) "
+    "with the classic hot-term cap: terms appearing in > 40 documents "
+    "are dropped from the index, which is what bounds every posting "
+    "list and keeps the per-term join quadratic only in a constant. "
+    "The dot product and norms are INTEGER sums, and the >= 0.5 "
+    "threshold is the integer identity 4*dot^2 >= s2a*s2b, so no "
+    "float ever decides membership; the reported sim is one "
+    "correctly-rounded sqrt + division on exact integers — "
+    "bit-identical across engines. Complements dedup_ngram_jaccard "
+    "(set overlap) and dedup_embed_cosine (dense vectors) with the "
+    "third classic similarity representation: weighted sparse bags.",
+)
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    rare = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 40)
+        .select("tok")
+    )
+    post = tf.join(rare, "tok").persist()
+    norms = post.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("s2")
+    )
+    a = post.select(
+        F.col("tok"), F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
+    )
+    b = post.select(
+        F.col("tok"), F.col("doc_id").alias("id_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("s2").alias("s2_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("s2").alias("s2_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            4 * F.col("dot") * F.col("dot") >= F.col("s2_a") * F.col("s2_b")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("s2_a") * F.col("s2_b")).cast("double")),
+                4,
+            ).alias("sim"),
+        )
+    )
+
+
+@Q.add(
+    "graph_pagerank",
+    """
+    WITH grams AS (
+      SELECT doc_id, DISTINCT_G.g
+      FROM (
+        SELECT doc_id,
+               list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                              FOR i IN range(1, len(string_split(text,' ')))]) AS gs
+        FROM documents
+      ), unnest(gs) AS DISTINCT_G(g)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+    r1 AS (
+      SELECT e.dst AS node,
+             CAST(150000000000 + (85 * SUM(r.r // d.deg)) // 100
+                  AS BIGINT) AS r
+      FROM edges e
+      JOIN r0 r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             CAST(150000000000 + (85 * SUM(r.r // d.deg)) // 100
+                  AS BIGINT) AS r
+      FROM edges e
+      JOIN r1 r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             CAST(150000000000 + (85 * SUM(r.r // d.deg)) // 100
+                  AS BIGINT) AS r
+      FROM edges e
+      JOIN r2 r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT node, r AS rank_fp FROM r3
+    """,
+    doc="PageRank (damping 0.85, 3 unrolled power iterations) over the "
+    "near-dup document graph — ranks the hub documents inside "
+    "duplicate neighborhoods, the centrality signal used to pick "
+    "canonical survivors and to spot crawler-loop templates. The "
+    "entire iteration runs in FIXED-POINT int64 (rank scale 1e12; "
+    "0.85*x as (85*x) DIV 100, share as rank DIV degree) so every "
+    "intermediate is exact and order-independent — float PageRank "
+    "can never hash-match across engines, integer PageRank must. "
+    "Shapes: edges from the SAME blocked Jaccard kernel as "
+    "dedup_ngram_jaccard; each iteration is one equi-join + one "
+    "map-side-combinable integer aggregation on the edge list "
+    "(E rows, not N^2); 3 iterations = 3 bounded shuffles, the "
+    "standard Pregel-style plan GraphX/GraphFrames run, expressed in "
+    "pure DataFrame ops. Undirected graph => no dangling-mass term.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    # the edge list feeds deg + 3 iterations: materialize once, not 4x
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src").persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1000000000000).cast("bigint").alias("r")
+    )
+    for _ in range(3):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .groupBy(ed.dst)
+            .agg(
+                (
+                    F.lit(150000000000)
+                    + F.expr("(85 * SUM(r DIV deg)) DIV 100")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+@Q.add(
+    "compact_binpack",
+    """
+    WITH cum AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    SELECT CAST((cum - n_chars) // 20000 AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY bin
+    """,
+    doc="small-file compaction / shard-writing planner: documents in "
+    "stable doc_id order are packed into contiguous ~20 KB output "
+    "bins by their running byte offset (bin = floor(start_offset / "
+    "target)) — the table-maintenance pass that turns millions of "
+    "tiny files into right-sized ones, and the same math "
+    "shard_plan_tokens uses for token budgets, here on bytes. The "
+    "running offset comes from operators/prefix.global_cumsum — bin "
+    "-> parallel local cumsum -> broadcast bin offsets — so NO "
+    "single-task global window touches the corpus at any scale; the "
+    "rollup after it is one bounded integer aggregation.",
+)
+def compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_cumsum
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = global_cumsum(d, order_col="doc_id", value_col="n_chars")
+    return (
+        cum.select(
+            "doc_id",
+            "n_chars",
+            F.expr("(cum - n_chars) DIV 20000").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

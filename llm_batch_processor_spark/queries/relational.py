@@ -3010,3 +3010,241 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@Q.add(
+    "agg_gini",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS x,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS i
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             SUM(x * CAST(i AS DECIMAL(10,0))) AS num,
+             SUM(x) AS den
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders,
+           CAST(den AS DOUBLE) AS total,
+           ROUND(2 * CAST(num AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                   / CAST(den AS DOUBLE)
+                 - CAST(n_orders + 1 AS DOUBLE) / CAST(n_orders AS DOUBLE),
+                 4) AS gini
+    FROM m
+    """,
+    doc="Gini concentration of order value per priority class — the "
+    "inequality/skew audit run on revenue, token budgets, or shard "
+    "sizes before capacity planning (G = 2*sum(i*x_i)/(n*sum(x)) - "
+    "(n+1)/n over ascending-ranked x). Rank ties are broken by "
+    "o_orderkey, which leaves the statistic unchanged (equal x values "
+    "commute in sum(i*x)) but makes every intermediate row "
+    "deterministic. The moment sums are exact DECIMAL "
+    "(order-independent, map-side combinable); doubles appear only in "
+    "the final scalar expression, written with identical text both "
+    "engines. Shapes: ONE o_orderpriority Exchange serves both the "
+    "rank window and the rollup — a single shuffle at 100 TB; the "
+    "per-group sort is the window's, not a global one.",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        F.expr("CAST(o_totalprice AS DECIMAL(18,6))").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    m = ranked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("SUM(x * CAST(i AS DECIMAL(10,0)))").alias("num"),
+        F.sum("x").alias("den"),
+    )
+    return m.select(
+        "o_orderpriority",
+        "n_orders",
+        F.expr("CAST(den AS DOUBLE)").alias("total"),
+        F.expr(
+            "ROUND(2 * CAST(num AS DOUBLE) / CAST(n_orders AS DOUBLE)"
+            "        / CAST(den AS DOUBLE)"
+            "      - CAST(n_orders + 1 AS DOUBLE) / CAST(n_orders AS DOUBLE),"
+            "      4)"
+        ).alias("gini"),
+    )
+
+
+@Q.add(
+    "anomaly_iqr",
+    """
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+                THEN 'low' ELSE 'high' END AS side
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    WHERE e.value < q1 - 1.5 * (q3 - q1)
+       OR e.value > q3 + 1.5 * (q3 - q1)
+    """,
+    doc="Tukey-fence outlier detection per event type: flag events "
+    "outside [q1 - 1.5*IQR, q3 + 1.5*IQR] — the robust anomaly screen "
+    "that, unlike z-scores (win_rolling_anomaly / feature_zscore), "
+    "is not itself dragged by the outliers it hunts. The quartiles "
+    "are exact type-7 interpolation (Spark percentile() == DuckDB "
+    "quantile_cont, the agg_percentiles identity) and the fence "
+    "arithmetic uses identical expression text both engines, so the "
+    "boundary compare is bit-identical and no row can flip in or "
+    "out. Shapes: fences are a bounded per-type rollup (5 rows) "
+    "broadcast back onto the fact table — the filter runs map-side "
+    "in the scan stage; the only full shuffle is the quartile "
+    "groupBy. Exact quantiles sort per group; at 100 TB swap in "
+    "percentile_approx with the same fence expression.",
+)
+def anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    j = e.select("event_id", "event_type", "value").join(
+        F.broadcast(fences), "event_type"
+    )
+    lo = F.expr("q1 - 1.5 * (q3 - q1)")
+    hi = F.expr("q3 + 1.5 * (q3 - q1)")
+    return j.filter((F.col("value") < lo) | (F.col("value") > hi)).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("value") < lo, F.lit("low"))
+        .otherwise(F.lit("high"))
+        .alias("side"),
+    )
+
+
+@Q.add(
+    "win_ewma",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM events GROUP BY event_type, d
+    ),
+    framed AS (
+      SELECT event_type, d, rev,
+             list(rev) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+      FROM daily
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, rev,
+           floor(list_reduce(l, (acc, x) -> 0.3 * x + 0.7 * acc)
+                 * 10000 + 0.5) / 10000 AS ewma
+    FROM framed
+    """,
+    doc="exponentially-weighted moving average (alpha=0.3) of daily "
+    "value volume per event type over a trailing-10-day frame — the "
+    "trend smoother behind burn-rate dashboards and drift alerts, "
+    "where a plain moving average lags and a full-history EWMA can't "
+    "be windowed. The recurrence acc = 0.3*x + 0.7*acc is evaluated "
+    "by FOLDING the frame's value list oldest-to-newest with "
+    "identical lambda text both engines (Spark aggregate() == DuckDB "
+    "list_reduce, same seed = first element, same association "
+    "order), so the float arithmetic is bit-identical — no pow(), "
+    "whose libm rounding differs across engines. Shapes: daily "
+    "rollup map-side combines into one event_type Exchange; the "
+    "frame window rides the SAME partitioning over the tiny "
+    "aggregate, and the frame is 10 elements — constant memory.",
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+            "rev"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    framed = daily.select(
+        "event_type", "d", "rev", F.collect_list("rev").over(w).alias("l")
+    )
+    return framed.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "rev",
+        # floor(x*1e4 + 0.5)/1e4 instead of ROUND: Spark ROUND goes
+        # through BigDecimal(shortest-repr) HALF_UP while DuckDB rounds
+        # the binary double, so values landing on a .xxxx5 boundary
+        # (common here: the fold's inputs are 2-decimal money) differ by
+        # 1e-4 — floor/add/divide are IEEE-exact in both engines
+        F.expr(
+            "floor(aggregate(slice(l, 2, size(l) - 1), element_at(l, 1),"
+            " (acc, x) -> 0.3 * x + 0.7 * acc) * 10000 + 0.5) / 10000"
+        ).alias("ewma"),
+    )
+
+
+@Q.add(
+    "conversion_lag",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(epoch_ns(ts) // 1000000000) AS signup_s
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             MIN(epoch_ns(e.ts) // 1000000000) AS purchase_s
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_ns(e.ts) // 1000000000 >= s.signup_s
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_s, p.purchase_s,
+           p.purchase_s - s.signup_s AS lag_s
+    FROM s JOIN p ON s.user_id = p.user_id
+    """,
+    doc="time-to-convert: seconds from each user's first signup to "
+    "their first purchase at-or-after it — the activation-funnel "
+    "latency metric (funnel_steps counts who converts; this measures "
+    "how long they take). All epoch math is integer seconds (DIV), "
+    "so no float touches the compare or the lag. Shapes: the signup "
+    "rollup is a bounded per-user table joined back on the SAME "
+    "user_id key the purchase rollup shuffles on — one key, two "
+    "map-side-combined aggregations, and AQE picks broadcast for "
+    "the converter side when it is small (it always is: conversions "
+    "are a fraction of traffic).",
+)
+def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    t_s = F.expr("ts_ns DIV 1000000000")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(t_s).alias("signup_s"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", t_s.alias("t_s"))
+        .join(s, "user_id")
+        .filter(F.col("t_s") >= F.col("signup_s"))
+        .groupBy("user_id")
+        .agg(F.min("t_s").alias("purchase_s"))
+    )
+    return s.join(p, "user_id").select(
+        "user_id",
+        "signup_s",
+        "purchase_s",
+        (F.col("purchase_s") - F.col("signup_s")).alias("lag_s"),
+    )

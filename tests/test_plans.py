@@ -144,6 +144,12 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row broadcast of (n_total, n_labels) onto the bounded label
     # dimension — a scalar attach on both sides
     "label_weights",
+    # reuses ngram_jaccard_pairs (the allowlisted exact kernel) to
+    # build the edge list its fixed-point iterations run on
+    "graph_pagerank",
+    # 1-row broadcast of the source count onto per-source ranks — a
+    # scalar attach; the corpus side streams once
+    "interleave_shards",
 }
 
 
@@ -218,9 +224,9 @@ def test_recommend_conf_scales():
 
 
 def test_map_only_queries_have_zero_shuffles(spark, qs):
-    # chunk_overlap and quality_classifier claim "map-only, preserves scan
-    # partitioning" in their docs — pin it: no Exchange anywhere
-    for name in ("chunk_overlap", "quality_classifier"):
+    # these claim "map-only, preserves scan partitioning" in their docs —
+    # pin it: no Exchange anywhere
+    for name in ("chunk_overlap", "quality_classifier", "quality_gopher"):
         df = _df(qs, name, spark)
         assert shuffle_count(df) == 0, (name, formatted_plan(df))
 
