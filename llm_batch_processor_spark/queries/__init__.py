@@ -104,6 +104,19 @@ _CHECK_PRIORITY = [
     "split_kfold", "agg_gini", "anomaly_iqr", "quality_gopher",
     "interleave_shards", "conversion_lag", "win_ewma",
     "compact_binpack", "sparse_cosine_pairs", "graph_pagerank",
+    # -- round-4 additions, second wave (cheap first)
+    "one_hot_encode", "split_grouped", "feature_hashing",
+    "partial_agg_merge", "gaps_islands", "ab_test_proportions",
+    "table_diff", "referential_check", "cohort_ltv",
+    "interpolate_linear", "tokenizer_pair_counts", "rfm_segmentation",
+    "basket_pairs_lift", "perplexity_unigram",
+    # -- round-4 additions, third wave (cheap first)
+    "weighted_sample_det", "seasonality_profile", "robust_scaler",
+    "event_path_topk", "join_interval_overlap", "impute_median",
+    "attribution_linear", "zipf_fit", "survival_km",
+    # -- round-4 additions, fourth wave (cheap first)
+    "zorder_cluster", "join_spatial_grid", "histogram_equidepth",
+    "dedup_containment",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

@@ -3240,3 +3240,625 @@ def compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@Q.add(
+    "perplexity_unigram",
+    """
+    WITH dt AS (
+      SELECT doc_id, t.tok, COUNT(*) AS c
+      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+           unnest(sp) AS t(tok)
+      GROUP BY doc_id, t.tok
+    ),
+    corpus AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM dt GROUP BY tok),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM corpus),
+    lp AS (
+      SELECT tok, log2(CAST(ct AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot)) AS lp
+      FROM corpus
+    ),
+    per AS (
+      SELECT doc_id,
+             list_sum(list(c * lp ORDER BY dt.tok)) AS s,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM dt JOIN lp USING (tok)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens,
+           ROUND(-s / CAST(n AS DOUBLE), 4) AS xent_unigram
+    FROM per
+    """,
+    doc="per-document cross-entropy under the corpus unigram LM "
+    "(avg -log2 p(token)) — the cheap perplexity proxy CCNet-style "
+    "pipelines use to rank documents by 'LM surprise' before a real "
+    "LM scores a shortlist. Determinism: the only float accumulation "
+    "is the per-doc sum of c*log2(p), folded over the token list "
+    "SORTED lexicographically in both engines (sort_array+aggregate "
+    "vs ordered list()+list_sum) — identical addition order, then one "
+    "final ROUND(4). Shapes: token counts shuffle on (doc_id,tok); "
+    "the vocab logprob table joins back on tok (plain equi-join — at "
+    "100 TB the vocab is still ~millions of rows, shuffle-joinable); "
+    "the corpus total is a 1-row broadcast, never a driver constant.",
+)
+def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    corpus = dt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("ct"))
+    tot = corpus.agg(F.sum("ct").cast("bigint").alias("n"))
+    lp = corpus.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.log2(F.col("ct").cast("double") / F.col("n").cast("double")).alias(
+            "lp"
+        ),
+    )
+    per = (
+        dt.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("tok"), (F.col("c") * F.col("lp")).alias("cl")
+                    )
+                )
+            ).alias("arr"),
+            F.sum("c").cast("bigint").alias("n"),
+        )
+    )
+    s = F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["cl"])
+    return per.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.round(-s / F.col("n").cast("double"), 4).alias("xent_unigram"),
+    )
+
+
+@Q.add(
+    "basket_pairs_lift",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+    item AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM basket
+      GROUP BY l_partkey HAVING COUNT(*) >= 15
+    ),
+    freq AS (
+      SELECT b.l_orderkey, b.l_partkey
+      FROM basket b JOIN item USING (l_partkey)
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS pair_n
+      FROM freq a
+      JOIN freq b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, pair_n,
+           ROUND(CAST(pair_n AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(pair_n AS DOUBLE) / ia.cnt, 6) AS confidence,
+           ROUND(CAST(pair_n * n_orders AS DOUBLE)
+                 / CAST(ia.cnt * ib.cnt AS DOUBLE), 6) AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN tot
+    """,
+    doc="market-basket association mining (support / confidence / lift "
+    "over item pairs co-purchased in an order) with the Apriori "
+    "monotonicity prune: items below min-support (15 orders) are "
+    "dropped BEFORE pair generation, so the per-basket self-join "
+    "explodes only frequent items and is bounded by basket size "
+    "squared, never catalog size squared. All counts are integers; "
+    "support/confidence/lift are single divisions of exact integer "
+    "products, ROUND(6). Shapes: one shuffle for baskets, one for "
+    "item counts (small -> broadcast back), the pair self-join "
+    "co-partitions on l_orderkey, the metric joins broadcast the "
+    "frequent-item table and the 1-row order total.",
+)
+def basket_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    tot = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = (
+        basket.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 15)
+    )
+    freq = basket.join(F.broadcast(item.select("l_partkey")), "l_partkey")
+    a = freq.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = freq.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            F.round(
+                F.col("pair_n").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(
+                F.col("pair_n").cast("double") / F.col("cnt_a"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("pair_n") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@Q.add(
+    "tokenizer_pair_counts",
+    """
+    WITH words AS (
+      SELECT t.w FROM (SELECT string_split(text, ' ') AS sp FROM documents),
+           unnest(sp) AS t(w)
+      WHERE len(t.w) >= 2
+    ),
+    pairs AS (
+      SELECT u.p
+      FROM (SELECT [substr(w, i, 2) FOR i IN range(1, len(w))] AS ps
+            FROM words),
+           unnest(ps) AS u(p)
+    )
+    SELECT p AS pair, COUNT(*) AS n
+    FROM pairs GROUP BY p
+    ORDER BY n DESC, pair
+    LIMIT 100
+    """,
+    doc="corpus-wide adjacent-character-pair frequencies inside words, "
+    "top-100 — exactly the statistic a BPE tokenizer trainer computes "
+    "to pick its first merge (and re-computes per merge round); also "
+    "the char-bigram table n-gram language-ID models train on. "
+    "Integer counts only; top-k is fully tie-broken (n DESC, pair). "
+    "Shapes: the pair explode is a row-local transform over "
+    "sequence(1, len-1) fused into the scan stage; ONE "
+    "map-side-combined aggregation on a bounded key space "
+    "(alphabet^2), then a 100-row TakeOrdered — no global sort of "
+    "the counts table.",
+)
+def tokenizer_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(100)
+    )
+
+
+@Q.add(
+    "feature_hashing",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+           unnest(sp) AS t(tok)
+    )
+    SELECT doc_id,
+           (16 * (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64
+             AS bucket,
+           COUNT(*) AS n
+    FROM toks
+    GROUP BY doc_id, bucket
+    """,
+    doc="hashing-trick featurization (Weinberger et al.): every token "
+    "maps to one of 64 buckets via two md5 hex digits (md5 is the one "
+    "hash both engines spell identically), yielding a fixed-width "
+    "sparse bag-of-words per document with NO vocab table to build, "
+    "broadcast, or keep consistent across shards — the property that "
+    "makes the trick the default featurizer at 100 TB. Integer "
+    "counts; bucket is a row-local expression fused into the scan; "
+    "ONE map-side-combined aggregation on (doc_id, bucket).",
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+
+    def hexpos(i: int):
+        return (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("tok")), i, 1),
+            )
+            - 1
+        )
+
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", ((16 * hexpos(1) + hexpos(2)) % 64).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@Q.add(
+    "one_hot_encode",
+    """
+    SELECT doc_id,
+           CAST(lang = 'en' AS INT) AS lang_en,
+           CAST(lang = 'de' AS INT) AS lang_de,
+           CAST(lang = 'es' AS INT) AS lang_es,
+           CAST(lang = 'fr' AS INT) AS lang_fr,
+           CAST(lang = 'zh' AS INT) AS lang_zh,
+           CAST(lang NOT IN ('en','de','es','fr','zh') AS INT) AS lang_other
+    FROM documents
+    """,
+    doc="one-hot encoding of a low-cardinality categorical into fixed "
+    "indicator columns with an explicit 'other' catch-all — the "
+    "standard tabular-ML featurizer. The category list is DECLARED "
+    "(not discovered at plan time), so the schema is stable across "
+    "shards and days — the property that matters in production; a "
+    "discovery pass would be one tiny distinct-agg. Pure row-local "
+    "projection fused into the scan: zero shuffles, zero Python.",
+)
+def one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    known = ["en", "de", "es", "fr", "zh"]
+    cols = [(F.col("lang") == k).cast("int").alias(f"lang_{k}") for k in known]
+    return d.select(
+        "doc_id",
+        *cols,
+        (~F.col("lang").isin(known)).cast("int").alias("lang_other"),
+    )
+
+
+@Q.add(
+    "split_grouped",
+    """
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(source), 1, 1)) - 1) % 10 < 8
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(DISTINCT source) AS n_sources,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY split
+    """,
+    doc="leakage-safe GROUP-level train/holdout split: the hash is taken "
+    "on the source (group) key, not the row, so every document from "
+    "one source lands in the same split — the guard against "
+    "near-duplicate leakage across splits that a row-hash split "
+    "(split_train_val) cannot give. Same md5-hex-digit determinism "
+    "contract as split_kfold: stable across engines, runs, and "
+    "partitionings. One map-side-combined aggregation on a 2-key "
+    "space; the split tag is a row-local expression.",
+)
+def split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("source")), 1, 1),
+        )
+        - 1
+    )
+    return (
+        d.select(
+            "source",
+            "n_chars",
+            F.when((digit % 10) < 8, "train")
+            .otherwise("holdout")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@Q.add(
+    "robust_scaler",
+    """
+    WITH f AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS med,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents GROUP BY lang
+      HAVING quantile_cont(n_chars, 0.75) > quantile_cont(n_chars, 0.25)
+    )
+    SELECT d.doc_id, d.lang,
+           ROUND((d.n_chars - med) / (q3 - q1), 4) AS len_robust
+    FROM documents d JOIN f ON d.lang = f.lang
+    """,
+    doc="robust (median/IQR) feature scaling of doc length within "
+    "language — the outlier-immune alternative to feature_zscore's "
+    "mean/std standardization (one pathological 100 MB doc cannot "
+    "drag the scale). Quartiles are exact type-7 interpolation "
+    "(Spark percentile() == DuckDB quantile_cont, the "
+    "agg_percentiles identity); the scale expression is spelled "
+    "identically in both engines, ROUND(4); zero-IQR groups are "
+    "excluded up front so no division by zero crosses an engine "
+    "boundary. Shapes: per-lang fences are a bounded rollup "
+    "broadcast back onto the fact side — zero fact-table shuffle; "
+    "at 100 TB swap percentile for percentile_approx, same "
+    "expression.",
+)
+def robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    f = (
+        d.groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.25)").alias("q1"),
+            F.expr("percentile(n_chars, 0.50)").alias("med"),
+            F.expr("percentile(n_chars, 0.75)").alias("q3"),
+        )
+        .filter(F.col("q3") > F.col("q1"))
+    )
+    return (
+        d.join(F.broadcast(f), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                (F.col("n_chars") - F.col("med")) / (F.col("q3") - F.col("q1")),
+                4,
+            ).alias("len_robust"),
+        )
+    )
+
+
+@Q.add(
+    "zipf_fit",
+    """
+    WITH freq AS (
+      SELECT t.tok, COUNT(*) AS c
+      FROM (SELECT string_split(text, ' ') AS sp FROM documents),
+           unnest(sp) AS t(tok)
+      GROUP BY t.tok
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM freq
+    ),
+    fp AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y,
+             CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                        * 1000000) AS BIGINT) AS xy,
+             CAST(ROUND(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                        * 1000000) AS BIGINT) AS xx
+      FROM ranked
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) / 1000000 AS sx,
+             CAST(SUM(y) AS DOUBLE) / 1000000 AS sy,
+             CAST(SUM(xy) AS DOUBLE) / 1000000 AS sxy,
+             CAST(SUM(xx) AS DOUBLE) / 1000000 AS sxx
+      FROM fp
+    )
+    SELECT n AS n_vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 4) AS intercept
+    FROM s
+    """,
+    doc="Zipf's-law fit: OLS slope/intercept of ln(freq) on ln(rank) "
+    "over the corpus vocabulary — the corpus-health diagnostic "
+    "(natural text ~ -1; template/boilerplate corpora bend the "
+    "curve). Token rank comes from operators/prefix.global_cumsum "
+    "over (-freq, tok) — a distributed row_number, no one-task "
+    "window over the vocab; the oracle's row_number() is the "
+    "semantic twin. The regression moments are rounded PER ROW to "
+    "1e-6 fixed-point int64 and summed EXACTLY (order-independent "
+    "integer sums — float moment sums would be partition-order "
+    "dependent), with the slope/intercept derived in one identical "
+    "double expression at the end, ROUND(4). Shapes: one vocab "
+    "shuffle, one prefix-sum pass, one 1-row moment rollup.",
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_cumsum
+
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = global_cumsum(
+        freq.withColumn("negc", -F.col("c")).withColumn("one", F.lit(1)),
+        order_col="negc",
+        value_col="one",
+        out_col="r",
+        tiebreak_col="tok",
+    )
+    lr = F.log(F.col("r").cast("double"))
+    lc = F.log(F.col("c").cast("double"))
+    fp = ranked.select(
+        F.round(lr * 1000000).cast("bigint").alias("x"),
+        F.round(lc * 1000000).cast("bigint").alias("y"),
+        F.round(lr * lc * 1000000).cast("bigint").alias("xy"),
+        F.round(lr * lr * 1000000).cast("bigint").alias("xx"),
+    )
+    s = fp.agg(
+        F.count("*").alias("n"),
+        (F.sum("x").cast("double") / 1000000).alias("sx"),
+        (F.sum("y").cast("double") / 1000000).alias("sy"),
+        (F.sum("xy").cast("double") / 1000000).alias("sxy"),
+        (F.sum("xx").cast("double") / 1000000).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_vocab"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )
+
+
+@Q.add(
+    "weighted_sample_det",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             16 * (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS h256
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h256 * 2 < n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN h256 * 2 < n_chars THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM h GROUP BY lang
+    """,
+    doc="deterministic length-weighted sampling: doc kept iff "
+    "hash256(doc_id) * 2 < n_chars, i.e. keep probability "
+    "proportional to document length (the importance-sampling step "
+    "of corpus mixing, where longer docs carry more tokens and "
+    "deserve proportionally more of the sample) — but decided by a "
+    "content hash, so the SAME docs are kept on every engine, run, "
+    "and partitioning, unlike rand()-based sampling which can never "
+    "hash-match. Pure integer comparison (two md5 hex digits vs "
+    "n_chars); one map-side-combined rollup per language; the "
+    "keep decision is a row-local expression fused into the scan.",
+)
+def weighted_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+
+    def hexpos(i: int):
+        return (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("doc_id").cast("string")), i, 1),
+            )
+            - 1
+        )
+
+    h256 = 16 * hexpos(1) + hexpos(2)
+    keep = (h256 * 2) < F.col("n_chars")
+    return (
+        d.select("lang", "n_chars", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
+
+
+@Q.add(
+    "dedup_containment",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                FOR i IN range(1, len(string_split(text, ' ')))] AS gs
+        FROM documents
+      ), unnest(gs) AS t(g)
+    ),
+    rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 40),
+    post AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM post GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM post a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, i AS n_shared,
+           ROUND(CAST(i AS DOUBLE) / sa.sz, 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    WHERE i * 10 >= sa.sz * 6
+    """,
+    doc="DIRECTED shingle containment |A∩B| / |A| >= 0.6 — the "
+    "asymmetric near-dup measure that catches a document quoted or "
+    "wrapped inside a larger one, which symmetric Jaccard "
+    "(dedup_ngram_jaccard) dilutes away when the host is much "
+    "longer. Same scale skeleton as sparse_cosine_pairs: distinct "
+    "bigram postings, hot shingles (df > 40) dropped to bound every "
+    "posting list, candidates from the inverted-index self-join "
+    "(never doc-by-doc pairs), and the 0.6 threshold decided by the "
+    "INTEGER identity i*10 >= |A|*6 — no float membership. The "
+    "reported containment is one division, ROUND(4). Directed "
+    "output: (a,b) and (b,a) are judged independently.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # materialize the split ONCE as an attribute ref before the indexed
+    # transform — element_at over an expression would re-split the text
+    # per element (the O(len^2) trap cooccur_events documents)
+    sp = d.select("doc_id", F.split("text", " ").alias("sp"))
+    grams = F.transform(
+        F.slice("sp", 1, F.size("sp") - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("sp"), i + 2)),
+    )
+    sh = sp.select("doc_id", F.explode(grams).alias("g")).distinct()
+    rare = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 40)
+        .select("g")
+    )
+    post = sh.join(rare, "g").persist()
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = post.select(F.col("g"), F.col("doc_id").alias("id_a"))
+    b = post.select(F.col("g"), F.col("doc_id").alias("id_b"))
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz"))
+    return (
+        inter.join(sa, "id_a")
+        .filter(F.col("i") * 10 >= F.col("sz") * 6)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("i").alias("n_shared"),
+            F.round(F.col("i").cast("double") / F.col("sz"), 4).alias(
+                "containment"
+            ),
+        )
+    )

@@ -3248,3 +3248,1232 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_s",
         (F.col("purchase_s") - F.col("signup_s")).alias("lag_s"),
     )
+
+
+@Q.add(
+    "rfm_segmentation",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+               AS last_day,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM cust),
+    ranked AS (
+      SELECT o_custkey, monetary,
+             row_number() OVER (ORDER BY last_day, o_custkey) AS r_rank,
+             row_number() OVER (ORDER BY freq, o_custkey) AS f_rank,
+             row_number() OVER (ORDER BY monetary, o_custkey) AS m_rank
+      FROM cust
+    )
+    SELECT CAST((r_rank - 1) * 4 // n + 1 AS INT) AS r_q,
+           CAST((f_rank - 1) * 4 // n + 1 AS INT) AS f_q,
+           CAST((m_rank - 1) * 4 // n + 1 AS INT) AS m_q,
+           COUNT(*) AS n_cust,
+           ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 2) AS avg_monetary
+    FROM ranked CROSS JOIN tot
+    GROUP BY r_q, f_q, m_q
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quartiles -> 64 cells) — the classic CRM / targeting rollup. The "
+    "quartile is RANK-based ((rank-1)*4 DIV n + 1 on a fully "
+    "tie-broken order), and each global rank comes from "
+    "operators/prefix.global_cumsum over the per-customer aggregate "
+    "(bin -> parallel local row_number -> broadcast bin offsets) — "
+    "NOT a global ntile window, which would serialize every customer "
+    "through one task; the oracle's row_number() is the semantic "
+    "twin at toy scale. Monetary sums are exact DECIMAL; the only "
+    "float is the final avg division, ROUND(2). Shapes: one shuffle "
+    "to the per-customer grain, three bounded prefix-sum passes over "
+    "it, one 64-cell rollup.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_cumsum
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+        ).alias("last_day"),
+        F.count("*").alias("freq"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,6)))").alias("monetary"),
+    )
+    tot = cust.agg(F.count("*").alias("n"))
+    ranked = cust.withColumn("one", F.lit(1))
+    for dim, out in (("last_day", "r_rank"), ("freq", "f_rank")):
+        ranked = global_cumsum(
+            ranked, order_col=dim, value_col="one", out_col=out,
+            tiebreak_col="o_custkey",
+        )
+    ranked = ranked.withColumn("m_d", F.col("monetary").cast("double"))
+    ranked = global_cumsum(
+        ranked, order_col="m_d", value_col="one", out_col="m_rank",
+        tiebreak_col="o_custkey",
+    )
+    q = lambda c: ((F.col(c) - 1) * 4 / F.col("n")).cast("int") + 1
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST((r_rank - 1) * 4 DIV n + 1 AS INT)").alias("r_q"),
+            F.expr("CAST((f_rank - 1) * 4 DIV n + 1 AS INT)").alias("f_q"),
+            F.expr("CAST((m_rank - 1) * 4 DIV n + 1 AS INT)").alias("m_q"),
+            "monetary",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(
+                F.expr("CAST(SUM(monetary) AS DOUBLE)") / F.count("*"), 2
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+@Q.add(
+    "partial_agg_merge",
+    """
+    WITH shard AS (
+      SELECT o_orderkey % 8 AS shard_id, o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+             MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+      FROM orders GROUP BY shard_id, o_orderpriority
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_shards,
+           CAST(SUM(n) AS BIGINT) AS n_orders,
+           CAST(SUM(s) AS DOUBLE) AS total_price,
+           ROUND(CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 4)
+             AS avg_price,
+           MIN(mn) AS min_price, MAX(mx) AS max_price
+    FROM shard GROUP BY o_orderpriority
+    """,
+    doc="re-aggregatable partial-state merge: shard-local partial "
+    "aggregates (count / exact DECIMAL sum / min / max per 8-way "
+    "hash shard) merge to exact global statistics — the algebraic- "
+    "aggregate contract that makes map-side combine, incremental "
+    "rollups, and cross-datacenter merges correct. count merges by "
+    "sum, sum by sum, min/max by min/max; avg is derived ONLY at the "
+    "final merge (merging avgs would be wrong — that is the point "
+    "the query pins). Two map-side-combinable shuffles, both on "
+    "bounded key spaces (8 x priorities, then priorities).",
+)
+def partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    shard = (
+        o.select(
+            (F.col("o_orderkey") % 8).alias("shard_id"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .groupBy("shard_id", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,6)))").alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+    )
+    return shard.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_shards"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.expr("CAST(SUM(s) AS DOUBLE)").alias("total_price"),
+        F.round(
+            F.expr("CAST(SUM(s) AS DOUBLE)")
+            / F.sum("n").cast("double"),
+            4,
+        ).alias("avg_price"),
+        F.min("mn").alias("min_price"),
+        F.max("mx").alias("max_price"),
+    )
+
+
+@Q.add(
+    "gaps_islands",
+    """
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             date_part('year', o_orderdate) * 12
+               + date_part('month', o_orderdate) AS m
+      FROM orders
+    ),
+    seq AS (
+      SELECT o_custkey, m,
+             m - row_number() OVER (PARTITION BY o_custkey ORDER BY m)
+               AS isl
+      FROM months
+    ),
+    isl AS (
+      SELECT o_custkey, isl, COUNT(*) AS len, MIN(m) AS start_m
+      FROM seq GROUP BY o_custkey, isl
+    )
+    SELECT o_custkey, COUNT(*) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS max_run_months,
+           CAST(MIN(start_m) AS BIGINT) AS first_month
+    FROM isl GROUP BY o_custkey
+    """,
+    doc="gaps-and-islands: per customer, runs of CONSECUTIVE active "
+    "months (the m - row_number() constant-difference trick) rolled "
+    "up to island count / longest streak — the engagement-streak / "
+    "uptime-interval primitive. Entirely integer month arithmetic "
+    "(year*12+month), so no date-binning drift between engines. "
+    "Shapes: the window partitions by o_custkey (parallel across "
+    "customers, bounded within one), and both rollups combine "
+    "map-side; one Exchange on o_custkey serves all three steps.",
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate").cast("bigint") * 12
+            + F.month("o_orderdate")
+        ).alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    seq = months.select(
+        "o_custkey", "m", (F.col("m") - F.row_number().over(w)).alias("isl")
+    )
+    isl = seq.groupBy("o_custkey", "isl").agg(
+        F.count("*").alias("len"), F.min("m").alias("start_m")
+    )
+    return isl.groupBy("o_custkey").agg(
+        F.count("*").alias("n_islands"),
+        F.max("len").cast("bigint").alias("max_run_months"),
+        F.min("start_m").cast("bigint").alias("first_month"),
+    )
+
+
+@Q.add(
+    "interpolate_linear",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM orders GROUP BY d
+    ),
+    marked AS (
+      SELECT d, v, (d % 3 <> 0) AS known FROM daily
+    ),
+    nb AS (
+      SELECT d, v, known,
+             last_value(CASE WHEN known THEN d END IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+             last_value(CASE WHEN known THEN v END IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             first_value(CASE WHEN known THEN d END IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd,
+             first_value(CASE WHEN known THEN v END IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+      FROM marked
+    )
+    SELECT d,
+           CASE WHEN known THEN ROUND(v, 4)
+                WHEN pd IS NULL OR nd IS NULL THEN NULL
+                ELSE ROUND(pv + (nv - pv) * CAST(d - pd AS DOUBLE)
+                                / CAST(nd - pd AS DOUBLE), 4)
+           END AS v_filled,
+           CAST(known AS INT) AS is_observed
+    FROM nb
+    """,
+    doc="linear interpolation of a gappy daily series (every day "
+    "divisible by 3 is masked, then reconstructed from its nearest "
+    "known neighbors on both sides) — the time-series-repair "
+    "companion to win_fill_forward's step-fill. value = pv + "
+    "(nv-pv)*(d-pd)/(nd-pd): neighbor values are exact-DECIMAL day "
+    "sums cast once to double, day distances are integers, so both "
+    "engines evaluate the identical float expression; ROUND(4). "
+    "Series edges with no neighbor on one side stay NULL rather "
+    "than inventing data. The global-order window is over the "
+    "per-DAY series — calendar-bounded (~2.4k rows here, 36.5k rows "
+    "even for a century), not data-bounded, so the single-task "
+    "window is safe at any corpus scale once the day grain is "
+    "aggregated (that aggregation IS distributed).",
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+            "o_totalprice",
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("v")
+        )
+    )
+    marked = daily.select("d", "v", (F.col("d") % 3 != 0).alias("known"))
+    kd = F.when(F.col("known"), F.col("d"))
+    kv = F.when(F.col("known"), F.col("v"))
+    w_prev = (
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = Window.orderBy("d").rowsBetween(1, Window.unboundedFollowing)
+    nb = marked.select(
+        "d",
+        "v",
+        "known",
+        F.last(kd, ignorenulls=True).over(w_prev).alias("pd"),
+        F.last(kv, ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(kd, ignorenulls=True).over(w_next).alias("nd"),
+        F.first(kv, ignorenulls=True).over(w_next).alias("nv"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("d") - F.col("pd")).cast("double")
+        / (F.col("nd") - F.col("pd")).cast("double")
+    )
+    return nb.select(
+        "d",
+        F.when(F.col("known"), F.round(F.col("v"), 4))
+        .when(F.col("pd").isNull() | F.col("nd").isNull(), F.lit(None))
+        .otherwise(F.round(interp, 4))
+        .alias("v_filled"),
+        F.col("known").cast("int").alias("is_observed"),
+    )
+
+
+@Q.add(
+    "table_diff",
+    """
+    WITH a AS (SELECT o_orderkey, o_totalprice AS price FROM orders),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0
+    ),
+    d AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+             CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN a.price <> b.price THEN 'changed'
+                  ELSE 'unchanged' END AS class
+      FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT class, COUNT(*) AS n,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM d GROUP BY class
+    """,
+    doc="snapshot reconciliation / data-diff: a full-outer join on the "
+    "primary key classifies every row of two table versions as "
+    "added / removed / changed / unchanged (the audit behind "
+    "migration sign-offs and replication checks). The second "
+    "version is derived in-query by deterministic integer-key rules "
+    "(drop %101, restate %97 price, insert shifted %103 keys), so "
+    "both engines diff byte-identical inputs; the price comparison "
+    "is on identically-derived doubles — exact. Shapes: ONE "
+    "co-partitioned full-outer shuffle join on the key, then a "
+    "4-row rollup; at 100 TB this is the plan you want (sort-merge "
+    "on the PK both sides, no broadcast of a full snapshot).",
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    b = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    d = (
+        a.alias("a")
+        .join(b.alias("b"), ak == bk, "full_outer")
+        .select(
+            F.coalesce(ak, bk).alias("k"),
+            F.when(bk.isNull(), "removed")
+            .when(ak.isNull(), "added")
+            .when(F.col("a.price") != F.col("b.price"), "changed")
+            .otherwise("unchanged")
+            .alias("class"),
+        )
+    )
+    return d.groupBy("class").agg(
+        F.count("*").alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+@Q.add(
+    "referential_check",
+    """
+    WITH parent AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0),
+    e1 AS (
+      SELECT 'orders.o_custkey->customer(degraded)' AS fk,
+             COUNT(*) AS n_child,
+             CAST(SUM(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM orders LEFT JOIN parent p ON o_custkey = p.c_custkey
+    ),
+    e2 AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_child,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem LEFT JOIN orders o ON l_orderkey = o.o_orderkey
+    ),
+    e3 AS (
+      SELECT 'lineitem.l_partkey->part' AS fk, COUNT(*) AS n_child,
+             CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem LEFT JOIN part p ON l_partkey = p.p_partkey
+    ),
+    u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+          UNION ALL SELECT * FROM e3)
+    SELECT fk, n_child, n_orphans,
+           ROUND(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+    FROM u
+    """,
+    doc="referential-integrity audit over three FK edges at once "
+    "(orders->customer, lineitem->orders, lineitem->part), each a "
+    "LEFT probe join rolled straight into (child count, orphan "
+    "count, orphan rate) — the DQ gate run before every load "
+    "promotion. The customer parent is deliberately degraded "
+    "in-query (%7 keys removed) so the audit provably reports "
+    "nonzero violations, not a vacuous all-green. Shapes: each edge "
+    "is one equi-join whose dimension side broadcasts when small "
+    "(customer, part) and sort-merges when not (orders); the "
+    "per-edge rollup is a 1-row map-side-combined aggregate, and "
+    "the final union is 3 rows.",
+)
+def referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    parent = cust.filter(F.col("c_custkey") % 7 != 0).select("c_custkey")
+
+    def edge(child, ckey, par, pkey, label):
+        return (
+            child.select(ckey)
+            .join(par, F.col(ckey) == F.col(pkey), "left")
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count("*").alias("n_child"),
+                F.sum(F.col(pkey).isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(
+                "fk",
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double") / F.col("n_child"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+
+    e1 = edge(
+        o, "o_custkey", F.broadcast(parent), "c_custkey",
+        "orders.o_custkey->customer(degraded)",
+    )
+    e2 = edge(
+        li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+        "lineitem.l_orderkey->orders",
+    )
+    e3 = edge(
+        li, "l_partkey", F.broadcast(part.select("p_partkey")), "p_partkey",
+        "lineitem.l_partkey->part",
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
+@Q.add(
+    "cohort_ltv",
+    """
+    WITH first AS (
+      SELECT o_custkey,
+             MIN(date_part('year', o_orderdate) * 12
+                 + date_part('month', o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT f.cm AS cohort_m,
+             (date_part('year', o.o_orderdate) * 12
+              + date_part('month', o.o_orderdate)) - f.cm AS offs,
+             CAST(o.o_totalprice AS DECIMAL(18,6)) AS p,
+             o.o_custkey
+      FROM orders o JOIN first f USING (o_custkey)
+    ),
+    g AS (
+      SELECT cohort_m, offs, COUNT(DISTINCT o_custkey) AS n_active,
+             SUM(p) AS rev
+      FROM r GROUP BY cohort_m, offs
+    )
+    SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+           CAST(offs AS BIGINT) AS offs, n_active,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (PARTITION BY cohort_m ORDER BY offs)
+                AS DOUBLE) AS cum_revenue
+    FROM g
+    """,
+    doc="cohort lifetime-value curve: customers grouped by first-order "
+    "month, revenue rolled to (cohort, month-offset) cells, then the "
+    "running LTV via a cumulative window WITHIN each cohort — the "
+    "payback-period table every growth team reads. Cohort/offset are "
+    "integer month arithmetic; revenue is exact DECIMAL end-to-end "
+    "(the cumulative sum runs on DECIMAL, cast to double only on "
+    "output) — so the running totals are order-independent and "
+    "bit-identical. Shapes: first-order table shuffles on o_custkey "
+    "and joins back co-partitioned; the cumulative window partitions "
+    "by cohort with calendar-bounded rows per partition.",
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    m = (
+        F.year("o_orderdate").cast("bigint") * 12 + F.month("o_orderdate")
+    )
+    first = o.groupBy("o_custkey").agg(F.min(m).alias("cm"))
+    r = o.join(first, "o_custkey").select(
+        F.col("cm").alias("cohort_m"),
+        (m - F.col("cm")).alias("offs"),
+        F.expr("CAST(o_totalprice AS DECIMAL(18,6))").alias("p"),
+        "o_custkey",
+    )
+    g = r.groupBy("cohort_m", "offs").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("p").alias("rev"),
+    )
+    w = Window.partitionBy("cohort_m").orderBy("offs")
+    return g.select(
+        F.col("cohort_m").cast("bigint").alias("cohort_m"),
+        F.col("offs").cast("bigint").alias("offs"),
+        "n_active",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+@Q.add(
+    "ab_test_proportions",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                               ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      FROM u GROUP BY variant
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN c END) AS c1
+      FROM v
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+           ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 4) AS z
+    FROM w
+    """,
+    doc="two-proportion A/B z-test (pooled standard error) on a "
+    "user-level conversion metric: users split by id parity, "
+    "'converted' = >= 14 purchase events, z = (p1-p0)/SE_pooled — "
+    "the experimentation readout. Every input to the float "
+    "expression is an integer count, the expression tree is spelled "
+    "identically in both engines, and the result is ROUND(4) — "
+    "deterministic. Shapes: one map-side-combined rollup to the "
+    "user grain (the only data-sized shuffle), a 2-row variant agg, "
+    "a 1-row pivot; the z-score math touches 4 integers.",
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("variant"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        )
+        .cast("int")
+        .alias("conv"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("conv").cast("bigint").alias("c")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0"), F.col("c0")
+    n1, c1 = F.col("n1"), F.col("c1")
+    pp = (c0 + c1).cast("double") / (n0 + n1)
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(c0.cast("double") / n0, 6).alias("p0"),
+        F.round(c1.cast("double") / n1, 6).alias("p1"),
+        F.round(
+            (c1.cast("double") / n1 - c0.cast("double") / n0)
+            / F.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)),
+            4,
+        ).alias("z"),
+    )
+
+
+@Q.add(
+    "survival_km",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(epoch_ns(ts) // 1000000000) AS first_s,
+             MAX(epoch_ns(ts) // 1000000000) AS last_s
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(last_s) AS max_s FROM u),
+    lives AS (
+      SELECT (last_s - first_s) // 86400 AS dur_d,
+             CASE WHEN (max_s - last_s) // 86400 >= 14 THEN 1 ELSE 0 END
+               AS observed
+      FROM u CROSS JOIN mx
+    ),
+    grp AS (
+      SELECT dur_d, CAST(SUM(observed) AS BIGINT) AS n_event,
+             CAST(COUNT(*) - SUM(observed) AS BIGINT) AS n_censored,
+             COUNT(*) AS n_total
+      FROM lives GROUP BY dur_d
+    ),
+    risk AS (
+      SELECT dur_d, n_event, n_censored,
+             CAST(SUM(n_total) OVER (ORDER BY dur_d DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS at_risk
+      FROM grp
+    )
+    SELECT dur_d, n_event, n_censored, at_risk,
+           ROUND(exp(SUM(ln(1 - CAST(n_event AS DOUBLE) / at_risk))
+                     OVER (ORDER BY dur_d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 4) AS survival
+    FROM risk
+    """,
+    doc="Kaplan-Meier survival estimator over user lifetimes (first-to-"
+    "last-event span; users still active in the final 14 days are "
+    "right-CENSORED, not counted as deaths — the distinction that "
+    "separates KM from a naive duration histogram). at-risk counts "
+    "come from a suffix cumulative sum (ORDER BY dur DESC), not a "
+    "total-broadcast; the survival curve is the running product "
+    "folded as exp(cumsum(ln(factor))) in ascending-duration order — "
+    "the same frame order in both engines, so the float fold is "
+    "bit-reproducible, ROUND(4). Shapes: one shuffle to the user "
+    "grain; everything after runs on the per-DAY duration grain, "
+    "which is calendar-bounded, so the unpartitioned windows are "
+    "safe at any corpus scale.",
+)
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    t_s = F.expr("ts_ns DIV 1000000000")
+    u = e.groupBy("user_id").agg(
+        F.min(t_s).alias("first_s"), F.max(t_s).alias("last_s")
+    )
+    mx = u.agg(F.max("last_s").alias("max_s"))
+    lives = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("(last_s - first_s) DIV 86400").alias("dur_d"),
+        F.expr(
+            "CASE WHEN (max_s - last_s) DIV 86400 >= 14 THEN 1 ELSE 0 END"
+        ).alias("observed"),
+    )
+    grp = lives.groupBy("dur_d").agg(
+        F.sum("observed").cast("bigint").alias("n_event"),
+        (F.count("*") - F.sum("observed")).cast("bigint").alias("n_censored"),
+        F.count("*").alias("n_total"),
+    )
+    w_suffix = Window.orderBy(F.desc("dur_d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grp.select(
+        "dur_d",
+        "n_event",
+        "n_censored",
+        F.sum("n_total").over(w_suffix).cast("bigint").alias("at_risk"),
+    )
+    w_cum = Window.orderBy("dur_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lnf = F.log(1 - F.col("n_event").cast("double") / F.col("at_risk"))
+    return risk.select(
+        "dur_d",
+        "n_event",
+        "n_censored",
+        "at_risk",
+        F.round(F.exp(F.sum(lnf).over(w_cum)), 4).alias("survival"),
+    )
+
+
+@Q.add(
+    "attribution_linear",
+    """
+    WITH fp AS (
+      SELECT user_id,
+             MIN(ROW(epoch_ns(ts), event_id)) AS p
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type,
+             'ch' || (CAST(json_extract_string(e.props, '$.k') AS BIGINT) % 5)
+               AS channel
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE e.event_type IN ('click', 'view')
+        AND ROW(epoch_ns(e.ts), e.event_id) < fp.p
+    ),
+    per_user AS (
+      SELECT user_id, channel, COUNT(*) AS n_ch
+      FROM touches GROUP BY user_id, channel
+    ),
+    tot AS (
+      SELECT user_id, CAST(SUM(n_ch) AS BIGINT) AS n_touches
+      FROM per_user GROUP BY user_id
+    )
+    SELECT channel,
+           CAST(SUM(n_ch) AS BIGINT) AS n_touches,
+           COUNT(DISTINCT p.user_id) AS n_users,
+           CAST(SUM(n_ch * (1000000 // t.n_touches)) AS BIGINT)
+             AS credit_fp
+    FROM per_user p JOIN tot t ON p.user_id = t.user_id
+    GROUP BY channel
+    """,
+    doc="linear (equal-credit) multi-touch attribution: every "
+    "click/view before the user's FIRST purchase shares the "
+    "conversion credit equally — the complement to "
+    "attribution_last_touch's winner-takes-all. Credit is "
+    "FIXED-POINT integer (1e6 DIV n_touches per touch), so the "
+    "per-channel totals sum exactly and order-independently — "
+    "fractional float credit could never hash-match across engines. "
+    "The 'before first purchase' cut is a (ts_ns, event_id) row "
+    "tuple compare against a per-user MIN — total order, no ties. "
+    "Shapes: everything shuffles once on user_id (first-purchase "
+    "agg, the touch filter join, the per-user totals are all "
+    "co-partitioned), then one bounded rollup on ~5 channels.",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts_ns", "event_id")).alias("p"))
+    )
+    touches = (
+        e.join(fp, "user_id")
+        .filter(
+            F.col("event_type").isin("click", "view")
+            & (F.struct("ts_ns", "event_id") < F.col("p"))
+        )
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("ch"),
+                (
+                    F.get_json_object("props", "$.k").cast("bigint") % 5
+                ).cast("string"),
+            ).alias("channel"),
+        )
+    )
+    per_user = touches.groupBy("user_id", "channel").agg(
+        F.count("*").alias("n_ch")
+    )
+    tot = per_user.groupBy("user_id").agg(
+        F.sum("n_ch").cast("bigint").alias("n_touches")
+    )
+    return (
+        per_user.join(tot, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.sum("n_ch").cast("bigint").alias("n_touches"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.col("n_ch") * F.expr("1000000 DIV n_touches")
+            )
+            .cast("bigint")
+            .alias("credit_fp"),
+        )
+    )
+
+
+@Q.add(
+    "event_path_topk",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+    doc="top-20 behavioral trigrams (3-step event-type paths within a "
+    "user's timeline) — the sequence-mining rollup behind journey "
+    "analysis and next-action models, generalizing "
+    "event_transitions' bigrams. The path window is fully "
+    "tie-broken ((ts_ns, event_id)); counts are integers and the "
+    "top-k is tie-broken (n DESC, path) — deterministic. Shapes: "
+    "ONE Exchange on user_id serves the lead() window; the "
+    "trigram rollup combines map-side on a bounded key space "
+    "(|event types|^3 = 125), then a 20-row TakeOrdered.",
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@Q.add(
+    "join_interval_overlap",
+    """
+    SELECT a.o_custkey,
+           a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(30 - abs(da - db) AS BIGINT) AS overlap_days
+    FROM (SELECT o_custkey, o_orderkey,
+                 datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS da
+          FROM orders) a
+    JOIN (SELECT o_custkey, o_orderkey,
+                 datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS db
+          FROM orders) b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND db < da + 30 AND da < db + 30
+    """,
+    doc="interval-overlap self-join: pairs of orders from the SAME "
+    "customer whose 30-day service windows overlap, with the "
+    "overlap length — the temporal-join primitive behind "
+    "concurrent-session / overlapping-contract detection. The join "
+    "is an EQUI-join on o_custkey with the range predicates as "
+    "residual filters — co-partitioned, bounded by per-customer "
+    "order count, never a global range join; contrast "
+    "join_theta_range (banded global range) which solves the "
+    "no-equi-key case. Pure integer day arithmetic both engines.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    a = d.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("key_a"),
+        F.col("d").alias("da"),
+    )
+    b = d.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("key_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("db") < F.col("da") + 30)
+            & (F.col("da") < F.col("db") + 30)
+        )
+        .select(
+            "o_custkey",
+            "key_a",
+            "key_b",
+            (30 - F.abs(F.col("da") - F.col("db")))
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+    )
+
+
+@Q.add(
+    "impute_median",
+    """
+    WITH masked AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS m
+      FROM masked GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(COALESCE(e.v, med.m), 4) AS v_imputed,
+           CAST(e.v IS NULL AS INT) AS was_missing
+    FROM masked e JOIN med USING (event_type)
+    """,
+    doc="missing-value imputation with the per-group median (every "
+    "event_id %% 5 value is masked to NULL in-query, then repaired) "
+    "— the standard ML-preprocessing step, median-based so the fill "
+    "is robust to the outliers anomaly_iqr hunts. The median is "
+    "exact type-7 interpolation over the NON-NULL values (both "
+    "engines' quantile aggregates skip NULLs — that shared contract "
+    "is what the query pins); COALESCE + ROUND(4) are spelled "
+    "identically. Shapes: 5 fence rows broadcast onto the fact "
+    "side, zero fact shuffle; percentile_approx swaps in at scale.",
+)
+def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    med = masked.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("m")
+    )
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.coalesce(F.col("v"), F.col("m")), 4).alias("v_imputed"),
+            F.col("v").isNull().cast("int").alias("was_missing"),
+        )
+    )
+
+
+@Q.add(
+    "seasonality_profile",
+    """
+    WITH b AS (
+      SELECT ((epoch_ns(ts) // 1000000000 // 86400) + 4) % 7 AS dow,
+             (epoch_ns(ts) // 1000000000 % 86400) // 3600 AS hod,
+             value
+      FROM events
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_value
+    FROM b GROUP BY dow, hod
+    """,
+    doc="day-of-week x hour-of-day seasonality profile (168 cells) of "
+    "event volume and value — the baseline every anomaly detector "
+    "and capacity planner subtracts first. Weekday comes from pure "
+    "INTEGER epoch arithmetic ((epoch_day + 4) %% 7, anchored on "
+    "1970-01-01 = Thursday) — not the engines' dayofweek() "
+    "functions, whose 0-vs-1-based and Sunday-vs-Monday conventions "
+    "differ; averages are exact-DECIMAL-sum / count. ONE map-side-"
+    "combined aggregation on a fixed 168-key space, keys computed "
+    "row-local in the scan stage.",
+)
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    es = F.expr("ts_ns DIV 1000000000")
+    return (
+        e.select(
+            (((es / F.lit(86400)).cast("bigint") + 4) % 7).alias("dow"),
+            F.expr("(ts_ns DIV 1000000000 % 86400) DIV 3600").alias("hod"),
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
+                / F.count("*"),
+                4,
+            ).alias("avg_value"),
+        )
+    )
+
+
+@Q.add(
+    "histogram_equidepth",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+      FROM orders
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT CAST((r - 1) * 10 // n AS INT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS bucket_sum
+    FROM ranked CROSS JOIN tot
+    GROUP BY bucket
+    """,
+    doc="equi-DEPTH histogram (10 buckets of equal row count, the "
+    "optimizer-statistics / data-profiling twin of agg_histogram's "
+    "equi-WIDTH bins): bucket = (rank-1)*10 DIV n over a fully "
+    "tie-broken order. The rank comes from operators/prefix."
+    "global_cumsum — a distributed row_number, no one-task global "
+    "window over the fact table (the oracle's row_number() is the "
+    "toy-scale twin); per-bucket sums are exact DECIMAL. Shapes: "
+    "one prefix-sum pass (each row shuffled once on its range bin), "
+    "one 10-key map-side-combined rollup, a 1-row count broadcast.",
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_cumsum
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_cumsum(
+        o.withColumn("one", F.lit(1)),
+        order_col="o_totalprice",
+        value_col="one",
+        out_col="r",
+        tiebreak_col="o_orderkey",
+    )
+    tot = o.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST((r - 1) * 10 DIV n AS INT)").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("bucket_sum"),
+        )
+    )
+
+
+@Q.add(
+    "zorder_cluster",
+    """
+    WITH pts AS (
+      SELECT o_orderkey, o_custkey % 256 AS xb,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               % 256 AS yb
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, xb, yb,
+             (xb // 1 % 2) * 1 + (yb // 1 % 2) * 2
+           + (xb // 2 % 2) * 4 + (yb // 2 % 2) * 8
+           + (xb // 4 % 2) * 16 + (yb // 4 % 2) * 32
+           + (xb // 8 % 2) * 64 + (yb // 8 % 2) * 128
+           + (xb // 16 % 2) * 256 + (yb // 16 % 2) * 512
+           + (xb // 32 % 2) * 1024 + (yb // 32 % 2) * 2048
+           + (xb // 64 % 2) * 4096 + (yb // 64 % 2) * 8192
+           + (xb // 128 % 2) * 16384 + (yb // 128 % 2) * 32768 AS zv
+      FROM pts
+    )
+    SELECT CAST(zv // 1024 AS BIGINT) AS cluster,
+           COUNT(*) AS n_rows,
+           CAST(MIN(zv) AS BIGINT) AS min_z, CAST(MAX(zv) AS BIGINT) AS max_z,
+           CAST(MAX(xb) - MIN(xb) AS BIGINT) AS x_span,
+           CAST(MAX(yb) - MIN(yb) AS BIGINT) AS y_span
+    FROM z GROUP BY cluster
+    """,
+    doc="Z-order (Morton) clustering assignment: interleave 8 bits of "
+    "two dimensions (customer bucket x day bucket) into a 16-bit "
+    "z-value, cluster = zv DIV 1024 — the multi-dimensional "
+    "data-layout key behind Delta/Iceberg Z-ORDER table "
+    "maintenance, which lets a scan prune on EITHER dimension. The "
+    "per-cluster x_span/y_span output IS the payoff measurement: "
+    "every 64-row cluster spans <= 32 of 256 in both dimensions "
+    "(against 256 for a 1-D sort's minor key). Bit extraction is "
+    "spelled as pure integer DIV/%% arithmetic — identical text in "
+    "both engines, no bitwise-operator dialect drift. Zero joins; "
+    "one 64-key map-side-combined rollup.",
+)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_custkey") % 256).alias("xb"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            % 256
+        ).alias("yb"),
+    )
+    zv = sum(
+        (
+            F.expr(f"(xb DIV {1 << i} % 2) * {1 << (2 * i)}")
+            + F.expr(f"(yb DIV {1 << i} % 2) * {1 << (2 * i + 1)}")
+        )
+        for i in range(8)
+    )
+    return (
+        pts.select("xb", "yb", zv.alias("zv"))
+        .groupBy(F.expr("zv DIV 1024").cast("bigint").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zv").cast("bigint").alias("min_z"),
+            F.max("zv").cast("bigint").alias("max_z"),
+            (F.max("xb") - F.min("xb")).cast("bigint").alias("x_span"),
+            (F.max("yb") - F.min("yb")).cast("bigint").alias("y_span"),
+        )
+    )
+
+
+@Q.add(
+    "join_spatial_grid",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             (16 * (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 1)) - 1)
+              + (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 2, 1)) - 1))
+             * 256
+             + 16 * (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 3, 1)) - 1)
+              + (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 4, 1)) - 1)
+               AS hx,
+             (16 * (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 1)) - 1)
+              + (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 2, 1)) - 1))
+             * 256
+             + 16 * (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 3, 1)) - 1)
+              + (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 4, 1)) - 1)
+               AS hy
+      FROM customer
+    ),
+    km AS (
+      SELECT c_custkey, hx % 2000 AS x, hy % 2000 AS y FROM pts
+    ),
+    cells AS (
+      SELECT c_custkey, x, y, x // 50 AS cx, y // 50 AS cy FROM km
+    ),
+    probe AS (
+      SELECT c.c_custkey, c.x, c.y, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+      FROM cells c,
+           (VALUES (-1), (0), (1)) AS dx(d),
+           (VALUES (-1), (0), (1)) AS dy(d)
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           ROUND(sqrt(CAST((a.x - b.x) * (a.x - b.x)
+                           + (a.y - b.y) * (a.y - b.y) AS DOUBLE)), 3)
+             AS dist_km
+    FROM probe a
+    JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy
+    WHERE a.c_custkey < b.c_custkey
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 2500
+    """,
+    doc="grid-blocked spatial neighbor join: customers placed at "
+    "deterministic planar km coordinates (md5-derived, so both "
+    "engines site every point identically), find all pairs within "
+    "50 km. The classic spatial-join plan: bucket into 50 km grid "
+    "cells, probe side explodes to its 9 neighboring cells (a "
+    "bounded 9x fan-out), EQUI-join on the cell id, exact distance "
+    "as a residual filter — candidate count is bounded by local "
+    "density x 9 cells, never n^2; the same shape scales to "
+    "geohash/S2/H3 cells at planetary size. Membership is decided "
+    "by the INTEGER squared distance (< 2500), so no float can "
+    "flip a pair; the reported distance is one IEEE-exact sqrt, "
+    "ROUND(3).",
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+
+    def h16(salt: str):
+        s = F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt)))
+
+        def d(i: int):
+            return F.instr(F.lit("0123456789abcdef"), F.substring(s, i, 1)) - 1
+
+        return (16 * d(1) + d(2)) * 256 + 16 * d(3) + d(4)
+
+    km = c.select(
+        "c_custkey",
+        (h16(":x") % 2000).alias("x"),
+        (h16(":y") % 2000).alias("y"),
+    )
+    cells = km.select(
+        "c_custkey", "x", "y",
+        F.expr("x DIV 50").alias("cx"), F.expr("y DIV 50").alias("cy"),
+    )
+    offs = spark.range(-1, 2).select(F.col("id").cast("int").alias("d"))
+    probe = (
+        cells.crossJoin(F.broadcast(offs.select(F.col("d").alias("dxo"))))
+        .crossJoin(F.broadcast(offs.select(F.col("d").alias("dyo"))))
+        .select(
+            F.col("c_custkey").alias("key_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dxo")).alias("ncx"),
+            (F.col("cy") + F.col("dyo")).alias("ncy"),
+        )
+    )
+    b = cells.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx"),
+        F.col("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(
+            b,
+            (F.col("ncx") == F.col("cx")) & (F.col("ncy") == F.col("cy")),
+        )
+        .filter((F.col("key_a") < F.col("key_b")) & (d2 < 2500))
+        .select(
+            "key_a",
+            "key_b",
+            F.round(F.sqrt(d2.cast("double")), 3).alias("dist_km"),
+        )
+    )

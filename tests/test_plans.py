@@ -150,6 +150,24 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row broadcast of the source count onto per-source ranks — a
     # scalar attach; the corpus side streams once
     "interleave_shards",
+    # 1-row broadcast of the corpus token total onto the vocab table —
+    # a scalar attach; the (doc, token) side never re-shuffles for it
+    "perplexity_unigram",
+    # 1-row broadcast of the basket count onto the frequent-pair rows —
+    # a scalar attach; pair generation itself is an equi-join
+    "basket_pairs_lift",
+    # 1-row broadcast of the customer count onto per-customer ranks —
+    # a scalar attach feeding the quartile expression
+    "rfm_segmentation",
+    # 1-row broadcast of the global max event time onto the per-user
+    # lifetimes — a scalar attach deciding censoring
+    "survival_km",
+    # 1-row broadcast of the row count onto ranked rows — a scalar
+    # attach feeding the equi-depth bucket expression
+    "histogram_equidepth",
+    # 3-row broadcast of the neighbor-cell offsets (-1,0,1)^2 — the
+    # documented bounded 9x fan-out of the spatial grid probe
+    "join_spatial_grid",
 }
 
 
