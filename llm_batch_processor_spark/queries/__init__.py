@@ -117,6 +117,15 @@ _CHECK_PRIORITY = [
     # -- round-4 additions, fourth wave (cheap first)
     "zorder_cluster", "join_spatial_grid", "histogram_equidepth",
     "dedup_containment",
+    # -- round-4 additions, fifth wave (cheap first)
+    "multimodal_dedup_exact", "bigram_nextword", "dedup_url_canonical",
+    "dedup_replay", "sliding_distinct_users", "anomaly_mahalanobis",
+    # -- round-4 additions, sixth wave (cheap first)
+    "source_diversity", "skew_audit", "dedup_normalized",
+    "decayed_engagement", "bigram_xent", "concentration_8020",
+    # -- round-4 additions, seventh wave (cheap first)
+    "embedding_pq_assign", "embedding_silhouette",
+    "embedding_random_projection",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

@@ -3862,3 +3862,639 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@Q.add(
+    "dedup_url_canonical",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             upper('https://www.' || source || '.example.com/page/'
+                   || CAST(doc_id % 40 AS VARCHAR))
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '?utm_source=feed&ref=x' ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               replace(string_split(lower(url), '?')[1],
+                       'https://www.', 'https://'),
+               '/$', '') AS curl
+      FROM raw
+    )
+    SELECT curl, MIN(doc_id) AS survivor_id, COUNT(*) AS n_docs
+    FROM canon GROUP BY curl
+    """,
+    doc="URL canonicalization dedup — the first pass of every web-crawl "
+    "pipeline: lowercase, strip the query string (tracking params), "
+    "strip 'www.', strip the trailing slash, then group identical "
+    "canonical URLs and keep the min-id survivor. The raw URL is "
+    "derived in-query by deterministic rules (case noise, %5 "
+    "trailing slash, %3 utm params) so both engines canonicalize "
+    "byte-identical inputs; the canonicalizer itself is the real "
+    "operator (lower/split/replace/regexp_replace — all codegen, "
+    "zero Python). ONE map-side-combined aggregation on the "
+    "canonical key; at 100 TB this is the same digest-style "
+    "shuffle as dedup_exact (canonical URL, not raw text, rides "
+    "the wire).",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.upper(
+            F.concat(
+                F.lit("https://www."),
+                F.col("source"),
+                F.lit(".example.com/page/"),
+                (F.col("doc_id") % 40).cast("string"),
+            )
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&ref=x")
+        ).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.replace(
+            F.element_at(F.split(F.lower(raw), r"\?"), 1),
+            F.lit("https://www."),
+            F.lit("https://"),
+        ),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@Q.add(
+    "bigram_nextword",
+    """
+    WITH big AS (
+      SELECT w1, w2, COUNT(*) AS c
+      FROM (
+        SELECT sp[i] AS w1, sp[i+1] AS w2
+        FROM (SELECT string_split(text, ' ') AS sp FROM documents),
+             unnest(range(1, len(sp))) AS t(i)
+      )
+      GROUP BY w1, w2
+    ),
+    ranked AS (
+      SELECT w1, w2, c,
+             CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS total,
+             row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+      FROM big
+    )
+    SELECT w1, w2 AS next_w, c,
+           ROUND(CAST(c AS DOUBLE) / total, 4) AS p
+    FROM ranked WHERE rn = 1
+    """,
+    doc="bigram language model argmax: for every word, its most likely "
+    "successor and P(next|word) — the next-token table a Markov "
+    "text model or autocomplete baseline reads, and the conditional "
+    "twin of tokenizer_pair_counts' joint counts. The argmax is "
+    "fully tie-broken (c DESC, w2) through a per-w1 window; the "
+    "probability is one integer division, ROUND(4). Shapes: bigram "
+    "counts shuffle on (w1,w2) with map-side combine; ONE more "
+    "Exchange on w1 serves both the total and the rank — partitions "
+    "bounded by per-word successor fan-out, never corpus size.",
+)
+def bigram_nextword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sp = d.select(F.split("text", " ").alias("sp"))
+    pairs = sp.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(sp) - 1),"
+                " i -> struct(sp[i-1] AS w1, sp[i] AS w2))"
+            )
+        ).alias("pr")
+    )
+    big = (
+        pairs.select("pr.w1", "pr.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("w1")
+    wr = Window.partitionBy("w1").orderBy(F.desc("c"), "w2")
+    ranked = big.select(
+        "w1",
+        "w2",
+        "c",
+        F.sum("c").over(w).cast("bigint").alias("total"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "w1",
+        F.col("w2").alias("next_w"),
+        "c",
+        F.round(F.col("c").cast("double") / F.col("total"), 4).alias("p"),
+    )
+
+
+@Q.add(
+    "multimodal_dedup_exact",
+    """
+    SELECT md5(text) AS content_digest,
+           MIN(CAST(doc_id AS VARCHAR)) AS survivor_media_id,
+           COUNT(*) AS n_copies,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY content_digest
+    """,
+    doc="exact dedup over the BINARY media payload (md5 of the bytes, "
+    "computed JVM-side on the binary column) — the first dedup pass "
+    "of any image/audio corpus: identical files collapse before any "
+    "expensive perceptual hashing runs. Uses the same "
+    "attach_payload plumbing as the multimodal family, so the "
+    "digest is over the payload bytes (the oracle's md5(text) hashes "
+    "the identical UTF-8 bytes - DuckDB md5 takes VARCHAR only); "
+    "only the 32-hex digest rides the shuffle, never the blob — "
+    "the invariant that makes this safe when payloads are "
+    "megabytes. ONE map-side-combined aggregation.",
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload
+
+    d = load(spark, sf_dir, "documents")
+    media = attach_payload(d, "doc_id", "text")
+    return (
+        media.select(
+            F.md5(F.col("payload")).alias("content_digest"),
+            F.col("media_id"),
+            F.col("n_bytes").alias("nb"),
+        )
+        .groupBy("content_digest")
+        .agg(
+            F.min("media_id").alias("survivor_media_id"),
+            F.count("*").alias("n_copies"),
+            F.min("nb").cast("bigint").alias("n_bytes"),
+        )
+    )
+
+
+@Q.add(
+    "bigram_xent",
+    """
+    WITH pairs AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, sp[i] AS w1, sp[i+1] AS w2
+        FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             unnest(range(1, len(sp))) AS t(i)
+      )
+      GROUP BY doc_id, w1, w2
+    ),
+    big AS (
+      SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb
+      FROM pairs GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM big GROUP BY w1
+    ),
+    lp AS (
+      SELECT w1, w2,
+             log2(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) AS l
+      FROM big JOIN uni USING (w1)
+    ),
+    per AS (
+      SELECT doc_id,
+             list_sum(list(c * l ORDER BY pairs.w1, pairs.w2)) AS s,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM pairs JOIN lp USING (w1, w2)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_bigrams,
+           ROUND(-s / CAST(n AS DOUBLE), 4) AS xent_bigram
+    FROM per
+    """,
+    doc="per-document cross-entropy under the corpus BIGRAM LM (avg "
+    "-log2 P(w2|w1)) — the sharper perplexity proxy next to "
+    "perplexity_unigram: template/boilerplate text scores near zero "
+    "because its transitions are memorized corpus-wide, which the "
+    "unigram model cannot see. Same determinism contract as the "
+    "unigram twin: the only float accumulation folds over the "
+    "(w1,w2)-SORTED per-doc list in both engines, then ROUND(4). "
+    "Shapes: per-doc bigram counts shuffle on (doc,w1,w2); the "
+    "conditional-probability table is two bounded rollups joined "
+    "back on (w1,w2) — an equi-join against the vocab-sized LM "
+    "table, shuffle-joinable at any corpus size.",
+)
+def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sp = d.select("doc_id", F.split("text", " ").alias("sp"))
+    pr = sp.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(sp) - 1),"
+                " i -> struct(sp[i-1] AS w1, sp[i] AS w2))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.w1", "pr.w2")
+    pairs = pr.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
+    big = pairs.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("cb"))
+    uni = big.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))
+    lp = big.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.log2(F.col("cb").cast("double") / F.col("cu").cast("double")).alias(
+            "l"
+        ),
+    )
+    per = (
+        pairs.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("w1", "w2", (F.col("c") * F.col("l")).alias("cl"))
+                )
+            ).alias("arr"),
+            F.sum("c").cast("bigint").alias("n"),
+        )
+    )
+    s = F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["cl"])
+    return per.select(
+        "doc_id",
+        F.col("n").alias("n_bigrams"),
+        F.round(-s / F.col("n").cast("double"), 4).alias("xent_bigram"),
+    )
+
+
+@Q.add(
+    "source_diversity",
+    """
+    WITH lc AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents
+      GROUP BY source, lang
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                   COUNT(*) AS n_langs
+            FROM lc GROUP BY source)
+    SELECT t.source, t.n_langs, t.n AS n_docs,
+           ROUND(1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+                       / (t.n * (t.n - 1)), 4) AS simpson,
+           ROUND((log2(CAST(t.n AS DOUBLE))
+                  - list_sum(list(c * log2(CAST(c AS DOUBLE)) ORDER BY lang))
+                    / t.n)
+                 / log2(CAST(t.n_langs AS DOUBLE)), 4) AS evenness
+    FROM lc JOIN tot t USING (source)
+    GROUP BY t.source, t.n_langs, t.n
+    HAVING t.n > 1 AND t.n_langs > 1
+    """,
+    doc="per-source corpus-composition diagnostics: Simpson diversity "
+    "(1 - sum c(c-1)/n(n-1), the probability two random docs differ "
+    "in language) and Shannon evenness (H / log2(k)) of the "
+    "language mix — the dashboard that catches a 'web' source "
+    "silently collapsing to one language. Simpson is integer "
+    "arithmetic to one final division; the entropy uses the "
+    "entropy_score identity with the float fold over the "
+    "lang-SORTED count list in both engines, ROUND(4); singleton "
+    "and monolingual sources are excluded so no 0/0 crosses an "
+    "engine boundary. Two bounded map-side-combined rollups.",
+)
+def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = lc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"), F.count("*").alias("n_langs")
+    )
+    j = lc.join(tot, "source")
+    per = j.groupBy("source", "n_langs", "n").agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("ss"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "lang",
+                    (F.col("c") * F.log2(F.col("c").cast("double"))).alias(
+                        "cl"
+                    ),
+                )
+            )
+        ).alias("arr"),
+    )
+    plogp = F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["cl"])
+    h = F.log2(F.col("n").cast("double")) - plogp / F.col("n")
+    return per.filter((F.col("n") > 1) & (F.col("n_langs") > 1)).select(
+        "source",
+        "n_langs",
+        F.col("n").alias("n_docs"),
+        F.round(
+            1.0
+            - F.col("ss").cast("double")
+            / (F.col("n") * (F.col("n") - 1)),
+            4,
+        ).alias("simpson"),
+        F.round(h / F.log2(F.col("n_langs").cast("double")), 4).alias(
+            "evenness"
+        ),
+    )
+
+
+@Q.add(
+    "dedup_normalized",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nd
+      FROM documents
+    )
+    SELECT nd AS norm_digest, MIN(doc_id) AS survivor_id,
+           COUNT(*) AS n_docs
+    FROM norm GROUP BY nd
+    """,
+    doc="normalization-then-dedup (casefold + whitespace collapse + "
+    "trim, then exact grouping on the md5 of the normal form) — the "
+    "C4-style near-exact pass that catches duplicates differing "
+    "only in case or spacing, which dedup_exact misses and MinHash "
+    "wastes candidate budget on. Only the 32-hex digest of the "
+    "NORMALIZED text rides the shuffle — the same digest-only "
+    "invariant as dedup_exact, with the normalizer fused into the "
+    "scan stage as pure codegen string ops. ONE map-side-combined "
+    "aggregation.",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    nd = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    return (
+        d.select("doc_id", nd.alias("nd"))
+        .groupBy(F.col("nd").alias("norm_digest"))
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@Q.add(
+    "embedding_random_projection",
+    """
+    WITH proj AS (
+      SELECT vec_id, j.j AS dim_out,
+             list_sum(
+               [CASE WHEN strpos('0123456789abcdef',
+                       substr(md5(CAST(j.j AS VARCHAR) || ':'
+                                  || CAST(i AS VARCHAR)), 1, 1)) - 1 < 8
+                     THEN CAST(embedding[i + 1] AS DOUBLE)
+                     ELSE -CAST(embedding[i + 1] AS DOUBLE) END
+                FOR i IN range(64)]) AS y
+      FROM embeddings, unnest(range(8)) AS j(j)
+    )
+    SELECT vec_id, CAST(dim_out AS INT) AS dim_out,
+           ROUND(y, 4) AS y
+    FROM proj
+    """,
+    doc="random-projection dimensionality reduction 64-d -> 8-d "
+    "(Achlioptas-style +/-1 signs): the Johnson-Lindenstrauss step "
+    "that shrinks embeddings before ANN indexing or sketching. The "
+    "sign matrix is DERIVED from md5(j:i) — no RNG, no broadcast "
+    "state, the same matrix on every engine, executor, and shard — "
+    "and each output coordinate folds over input dims in ascending "
+    "index order IN-ROW (array fold, not a groupBy over exploded "
+    "dims whose float addition order would be partition-dependent), "
+    "so the sums are bit-identical; ROUND(4). Zero shuffles: the "
+    "8x fan-out and the 64-element fold are row-local.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    y = F.expr(
+        """
+        transform(sequence(0, 7), j ->
+          aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, i) ->
+            acc + CASE WHEN instr('0123456789abcdef',
+                         substring(md5(concat(CAST(j AS STRING), ':',
+                                              CAST(i AS STRING))), 1, 1)) - 1 < 8
+                       THEN CAST(embedding[i] AS DOUBLE)
+                       ELSE -CAST(embedding[i] AS DOUBLE) END))
+        """
+    )
+    return (
+        emb.select("vec_id", F.posexplode(y).alias("dim_out", "y"))
+        .select(
+            "vec_id",
+            F.col("dim_out").cast("int").alias("dim_out"),
+            F.round("y", 4).alias("y"),
+        )
+    )
+
+
+@Q.add(
+    "embedding_pq_assign",
+    """
+    WITH cb AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+    ),
+    d AS (
+      SELECT e.vec_id, s.s AS sub, cb.cid,
+             list_sum(
+               [(CAST(e.embedding[s.s * 32 + i + 1] AS DOUBLE)
+                 - CAST(cb.ce[s.s * 32 + i + 1] AS DOUBLE))
+                * (CAST(e.embedding[s.s * 32 + i + 1] AS DOUBLE)
+                   - CAST(cb.ce[s.s * 32 + i + 1] AS DOUBLE))
+                FOR i IN range(32)]) AS d2
+      FROM embeddings e, unnest(range(2)) AS s(s), cb
+    ),
+    best AS (
+      SELECT vec_id, sub, cid, d2,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d2, cid) AS rn
+      FROM d
+    )
+    SELECT vec_id, CAST(sub AS INT) AS sub, cid AS code,
+           ROUND(d2, 6) AS d2
+    FROM best WHERE rn = 1
+    """,
+    doc="product-quantization code assignment (the faiss IVF-PQ "
+    "building block): each 64-d vector splits into 2 subvectors, "
+    "each assigned to its nearest of 16 codebook centroids -> a "
+    "2-byte code replacing 256 bytes of floats. The codebook is "
+    "DECLARED deterministically (first 16 vectors by id — a real "
+    "trainer would k-means, but assignment, the scale-critical "
+    "inner loop, is what this pins); every subvector-centroid "
+    "distance folds over dims in ascending order IN-ROW, so the "
+    "doubles are bit-identical and the argmin (tie-broken by "
+    "centroid id) picks the same code on every engine. Shapes: the "
+    "16-row codebook broadcasts; the 2x sub fan-out and 32-element "
+    "folds are row-local; one (vec,sub)-partitioned argmin window.",
+)
+def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cb = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    subs = spark.range(0, 2).select(F.col("id").cast("int").alias("sub"))
+    d = (
+        emb.crossJoin(F.broadcast(subs))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "sub",
+            "cid",
+            F.expr(
+                """
+                aggregate(sequence(0, 31), CAST(0.0 AS DOUBLE), (acc, i) ->
+                  acc + (CAST(embedding[sub * 32 + i] AS DOUBLE)
+                         - CAST(ce[sub * 32 + i] AS DOUBLE))
+                      * (CAST(embedding[sub * 32 + i] AS DOUBLE)
+                         - CAST(ce[sub * 32 + i] AS DOUBLE)))
+                """
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("sub").cast("int").alias("sub"),
+            F.col("cid").alias("code"),
+            F.round("d2", 6).alias("d2"),
+        )
+    )
+
+
+@Q.add(
+    "embedding_silhouette",
+    """
+    WITH fp AS (
+      SELECT vec_id, label, i.i AS dim,
+             CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x_fp
+      FROM embeddings, unnest(range(64)) AS i(i)
+    ),
+    cent AS (
+      SELECT label, dim, CAST(SUM(x_fp) AS BIGINT) AS s_fp,
+             COUNT(*) AS n
+      FROM fp GROUP BY label, dim
+    ),
+    cvec AS (
+      SELECT label, list(CAST(s_fp AS DOUBLE) / n / 1000000
+                         ORDER BY dim) AS c
+      FROM cent GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label AS own, cv.label AS other,
+             list_sum(
+               [(CAST(e.embedding[i + 1] AS DOUBLE) - cv.c[i + 1])
+                * (CAST(e.embedding[i + 1] AS DOUBLE) - cv.c[i + 1])
+                FOR i IN range(64)]) AS d2
+      FROM embeddings e, cvec cv
+    ),
+    a AS (
+      SELECT vec_id, own,
+             CAST(ROUND(MIN(CASE WHEN other = own THEN d2 END) * 1000000)
+                  AS BIGINT) AS intra_fp,
+             CAST(ROUND(MIN(CASE WHEN other <> own THEN d2 END) * 1000000)
+                  AS BIGINT) AS inter_fp
+      FROM dists GROUP BY vec_id, own
+    )
+    SELECT own AS label, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(intra_fp) AS DOUBLE) / COUNT(*) / 1000000, 4)
+             AS mean_intra_d2,
+           ROUND(CAST(SUM(inter_fp) AS DOUBLE) / COUNT(*) / 1000000, 4)
+             AS mean_inter_d2,
+           ROUND(CAST(SUM(inter_fp) AS DOUBLE) / SUM(intra_fp), 4)
+             AS separation
+    FROM a GROUP BY own
+    """,
+    doc="cluster-separation audit (centroid silhouette): per label, "
+    "mean squared distance to the OWN-label centroid vs the nearest "
+    "OTHER centroid, and their ratio — the embedding-quality gate "
+    "run before trusting labels for dedup or sampling. Every float "
+    "crossing an aggregation boundary is fixed-point int64 first: "
+    "centroids come from exact per-dim integer sums (1e-6 scaled), "
+    "per-vector distances fold in-row over ascending dims, then "
+    "round to fp before the per-label mean — so no "
+    "partition-order-dependent float sum exists anywhere. Shapes: "
+    "the 64x dim explode shuffles once to (label,dim) — 640 cells; "
+    "the 10-row centroid table broadcasts back; argmin + rollup "
+    "combine map-side.",
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    fp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x ->"
+                " CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("dim", "x_fp"),
+    )
+    cent = fp.groupBy("label", "dim").agg(
+        F.sum("x_fp").cast("bigint").alias("s_fp"),
+        F.count("*").alias("n"),
+    )
+    cvec = (
+        cent.groupBy("label")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "dim",
+                        (
+                            F.col("s_fp").cast("double")
+                            / F.col("n")
+                            / 1000000
+                        ).alias("v"),
+                    )
+                )
+            ).alias("cs")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.expr("transform(cs, s -> s.v)").alias("c"),
+        )
+    )
+    d2 = F.expr(
+        """
+        aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, i) ->
+          acc + (CAST(embedding[i] AS DOUBLE) - c[i])
+              * (CAST(embedding[i] AS DOUBLE) - c[i]))
+        """
+    )
+    dists = emb.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.col("clabel").alias("other"),
+        d2.alias("d2"),
+    )
+    a = dists.groupBy("vec_id", "own").agg(
+        F.round(
+            F.min(F.when(F.col("other") == F.col("own"), F.col("d2")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("intra_fp"),
+        F.round(
+            F.min(F.when(F.col("other") != F.col("own"), F.col("d2")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("inter_fp"),
+    )
+    return a.groupBy(F.col("own").alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("intra_fp").cast("double") / F.count("*") / 1000000, 4
+        ).alias("mean_intra_d2"),
+        F.round(
+            F.sum("inter_fp").cast("double") / F.count("*") / 1000000, 4
+        ).alias("mean_inter_d2"),
+        F.round(
+            F.sum("inter_fp").cast("double") / F.sum("intra_fp"), 4
+        ).alias("separation"),
+    )

@@ -4477,3 +4477,393 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(d2.cast("double")), 3).alias("dist_km"),
         )
     )
+
+
+@Q.add(
+    "sliding_distinct_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) // 1000000000 // 86400 AS d
+      FROM events
+    ),
+    contrib AS (
+      SELECT user_id, d + t.i AS wd
+      FROM ud, unnest(range(7)) AS t(i)
+    )
+    SELECT CAST(wd AS BIGINT) AS day_end,
+           COUNT(DISTINCT user_id) AS u7
+    FROM contrib GROUP BY wd
+    """,
+    doc="7-day sliding distinct users (the WAU curve): each (user, "
+    "active-day) pair CONTRIBUTES to the 7 window-end days it falls "
+    "inside — a bounded 7x fan-out + one distinct-count per day — "
+    "instead of a per-day window with COUNT(DISTINCT), which no "
+    "engine can express over sliding frames without re-scanning 7 "
+    "days per day. This contribute-then-count shape is the standard "
+    "scalable rewrite for sliding distinct aggregates (same trick "
+    "streaming engines use for sliding-window dedup). Leading days "
+    "(< 6 full days of history) appear with their partial truth — "
+    "the same rows both engines derive. Pure integer epoch-day "
+    "math; two shuffles (user-day dedup, then day).",
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.expr("ts_ns DIV 1000000000 DIV 86400").alias("d")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", (F.col("d") + F.col("i")).alias("wd"))
+    return contrib.groupBy(F.col("wd").cast("bigint").alias("day_end")).agg(
+        F.countDistinct("user_id").alias("u7")
+    )
+
+
+@Q.add(
+    "anomaly_mahalanobis",
+    """
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    cov AS (
+      SELECT l_returnflag, sx / n AS mx, sy / n AS my,
+             (sxx - sx * sx / n) / (n - 1) AS vxx,
+             (syy - sy * sy / n) / (n - 1) AS vyy,
+             (sxy - sx * sy / n) / (n - 1) AS vxy
+      FROM m WHERE n > 2
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           ROUND(((l.l_quantity - mx) * (l.l_quantity - mx) * vyy
+                  - 2 * (l.l_quantity - mx) * (l.l_extendedprice - my) * vxy
+                  + (l.l_extendedprice - my) * (l.l_extendedprice - my) * vxx)
+                 / (vxx * vyy - vxy * vxy), 4) AS d2
+    FROM lineitem l JOIN cov USING (l_returnflag)
+    WHERE ((l.l_quantity - mx) * (l.l_quantity - mx) * vyy
+           - 2 * (l.l_quantity - mx) * (l.l_extendedprice - my) * vxy
+           + (l.l_extendedprice - my) * (l.l_extendedprice - my) * vxx)
+          / (vxx * vyy - vxy * vxy) > 5
+    """,
+    doc="2-D Mahalanobis outlier detection per group ((quantity, "
+    "price) against the group's mean/covariance, flag d^2 > 5): the "
+    "correlation-aware generalization of "
+    "feature_zscore — a row can be normal in each margin yet "
+    "anomalous jointly, which is exactly what the cross term "
+    "catches. The five moments are exact DECIMAL(38,6) sums "
+    "(integer-scaled products, order-independent); mean/cov/d^2 "
+    "derive in ONE identically-spelled double expression (the 2x2 "
+    "inverse inlined), ROUND(4). Shapes: per-group moments are a "
+    "bounded rollup broadcast back onto the fact scan — zero fact "
+    "shuffle; the d^2 filter runs map-side in the scan stage.",
+)
+def anomaly_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)").alias("sx"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)"
+        ).alias("sy"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))"
+            " AS DOUBLE)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))"
+            " AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    cov = m.filter(F.col("n") > 2).select(
+        "l_returnflag",
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias("vxx"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)).alias("vyy"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)).alias("vxy"),
+    )
+    j = li.join(F.broadcast(cov), "l_returnflag")
+    dx = F.col("l_quantity") - F.col("mx")
+    dy = F.col("l_extendedprice") - F.col("my")
+    d2 = (
+        dx * dx * F.col("vyy") - 2 * dx * dy * F.col("vxy") + dy * dy * F.col("vxx")
+    ) / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+    return j.filter(d2 > 5).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(d2, 4).alias("d2"),
+    )
+
+
+@Q.add(
+    "dedup_replay",
+    """
+    WITH stream AS (
+      SELECT event_id, event_type, epoch_ns(ts) AS t_ns, 0 AS replica
+      FROM events
+      UNION ALL
+      SELECT event_id, event_type, epoch_ns(ts) + 3600000000000, 1
+      FROM events WHERE event_id % 7 = 0
+    ),
+    kept AS (
+      SELECT event_id, event_type, replica,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY replica, t_ns) AS rn
+      FROM stream
+    )
+    SELECT event_type,
+           COUNT(*) AS n_delivered,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicates
+    FROM kept GROUP BY event_type
+    """,
+    doc="at-least-once delivery dedup (exactly-once semantics restored "
+    "in batch): an event stream where every %%7 event is redelivered "
+    "an hour later collapses back to one row per event_id, keeping "
+    "the FIRST delivery ((replica, ts) order) — the idempotent-sink "
+    "pattern behind every Kafka->warehouse loader, and the batch "
+    "twin of streaming/dedup's watermarked dropDuplicates. The "
+    "replay is derived in-query so both engines dedup identical "
+    "streams. Shapes: one Exchange on event_id serves the "
+    "first-delivery window (per-key partitions are delivery-count "
+    "bounded); the audit rollup combines map-side on 5 types.",
+)
+def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "event_type", F.col("ts_ns").alias("t_ns"),
+        F.lit(0).alias("replica"),
+    )
+    replay = (
+        e.filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("ts_ns") + F.lit(3600000000000)).alias("t_ns"),
+            F.lit(1).alias("replica"),
+        )
+    )
+    w = Window.partitionBy("event_id").orderBy("replica", "t_ns")
+    kept = base.unionByName(replay).select(
+        "event_type", F.row_number().over(w).alias("rn")
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_delivered"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_unique"),
+        F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_duplicates"),
+    )
+
+
+@Q.add(
+    "concentration_8020",
+    """
+    WITH cust AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS r,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM cust
+    ),
+    tot AS (SELECT SUM(rev) AS total, COUNT(*) AS n FROM cust)
+    SELECT CAST(MIN(r) AS BIGINT) AS n_top_customers,
+           CAST(MAX(t.n) AS BIGINT) AS n_customers,
+           ROUND(CAST(MIN(r) AS DOUBLE) / MAX(t.n), 4) AS top_frac,
+           CAST(MAX(t.total) AS DOUBLE) AS total_revenue
+    FROM ranked CROSS JOIN tot t
+    WHERE cum * 10 >= t.total * 8
+    """,
+    doc="revenue-concentration (Pareto 80/20) analysis: the smallest "
+    "prefix of customers, ranked by revenue, whose cumulative "
+    "revenue reaches 80%% of the total. Both the rank and the "
+    "running revenue come from ONE operators/prefix.global_cumsum "
+    "pass over the per-customer rollup (order: rev DESC fully "
+    "tie-broken) — no one-task global window; the 80%% cut is the "
+    "exact-DECIMAL integer-free comparison cum*10 >= total*8, so "
+    "no float decides the boundary customer. Output is a 1-row "
+    "summary (count, fraction, total). Shapes: customer rollup "
+    "shuffle, one prefix-sum pass, a 1-row total broadcast, a "
+    "min/max fold.",
+)
+def concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_cumsum
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,6)))").alias("rev")
+    )
+    # one prefix-sum pass yields BOTH the rank (cumsum of 1s) and the
+    # running revenue: order by (-rev double, custkey)
+    cust = cust.withColumn("negrev", -F.col("rev").cast("double")).withColumn(
+        "one", F.lit(1)
+    )
+    ranked = global_cumsum(
+        cust, order_col="negrev", value_col="one", out_col="r",
+        tiebreak_col="o_custkey",
+    )
+    ranked = global_cumsum(
+        ranked, order_col="negrev", value_col="rev", out_col="cum",
+        tiebreak_col="o_custkey",
+    )
+    tot = cust.agg(
+        F.sum("rev").alias("total"), F.count("*").alias("n")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 10 >= F.col("total") * 8)
+        .agg(
+            F.min("r").cast("bigint").alias("n_top_customers"),
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(
+                F.min("r").cast("double") / F.max("n"), 4
+            ).alias("top_frac"),
+            F.max("total").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@Q.add(
+    "decayed_engagement",
+    """
+    WITH mx AS (
+      SELECT MAX(epoch_ns(ts) // 1000000000) AS max_s FROM events
+    ),
+    w AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(exp(ln(0.5)
+                            * CAST((max_s - epoch_ns(ts) // 1000000000)
+                                   // 86400 AS DOUBLE) / 7.0)
+                        * 1000000) AS BIGINT) AS w_fp
+      FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(SUM(w_fp) AS BIGINT) AS score_fp,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN w_fp ELSE 0 END)
+                AS BIGINT) AS purchase_fp,
+           COUNT(*) AS n_events
+    FROM w GROUP BY user_id
+    """,
+    doc="exponentially time-decayed engagement score per user "
+    "(half-life 7 days, anchored on the corpus max event time) — "
+    "the recency-weighted activity feature every feature store "
+    "materializes, where yesterday's click outweighs last month's. "
+    "Each event's weight 0.5^(age_days/7) is computed as "
+    "exp(ln(0.5)*age/7) — identical expression text both engines — "
+    "then ROUNDED PER ROW to 1e-6 fixed-point int64, so the "
+    "per-user sums are exact integer arithmetic, order-independent "
+    "across any partitioning (a float weight sum would be "
+    "partition-order dependent). Age is integer epoch-day math. "
+    "Shapes: 1-row max broadcast, then ONE map-side-combined "
+    "rollup on user_id.",
+)
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.expr("MAX(ts_ns DIV 1000000000)").alias("max_s"))
+    age_d = F.expr("(max_s - ts_ns DIV 1000000000) DIV 86400")
+    w_fp = F.round(
+        F.exp(F.lit(math.log(0.5)) * age_d.cast("double") / F.lit(7.0))
+        * 1000000
+    ).cast("bigint")
+    w = e.crossJoin(F.broadcast(mx)).select(
+        "user_id", "event_type", w_fp.alias("w_fp")
+    )
+    return w.groupBy("user_id").agg(
+        F.sum("w_fp").cast("bigint").alias("score_fp"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("w_fp")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("purchase_fp"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@Q.add(
+    "skew_audit",
+    """
+    WITH b AS (
+      SELECT (16 * (strpos('0123456789abcdef',
+                    substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1)
+              + (strpos('0123456789abcdef',
+                    substr(md5(CAST(l_orderkey AS VARCHAR)), 2, 1)) - 1)) % 32
+               AS bucket,
+             l_orderkey
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_keys,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT CAST(COUNT(*) AS DOUBLE) / 32 FROM lineitem),
+                 4) AS skew_ratio
+    FROM b GROUP BY bucket
+    """,
+    doc="partition-skew audit: row and distinct-key counts per "
+    "simulated shuffle bucket (32-way, bucketed by the md5 both "
+    "engines share) with each bucket's load as a ratio to the "
+    "uniform ideal — the diagnostic run BEFORE a big join to "
+    "decide whether join_salted / AQE skew handling is needed, "
+    "and the measurement tool behind SCALE_AUDIT's shuffle "
+    "posture. A ratio near 1.0 everywhere clears the join; a "
+    "hot bucket names the keys to salt. ONE map-side-combined "
+    "rollup on a fixed 32-key space + a 1-row total broadcast.",
+)
+def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def hexpos(i: int):
+        return (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(F.col("l_orderkey").cast("string")), i, 1
+                ),
+            )
+            - 1
+        )
+
+    tot = li.agg((F.count("*").cast("double") / 32).alias("ideal"))
+    return (
+        li.select(
+            ((16 * hexpos(1) + hexpos(2)) % 32).alias("bucket"),
+            "l_orderkey",
+        )
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_keys"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_rows",
+            "n_keys",
+            F.round(F.col("n_rows").cast("double") / F.col("ideal"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+    )

@@ -168,6 +168,18 @@ _NESTED_LOOP_ALLOWED = {
     # 3-row broadcast of the neighbor-cell offsets (-1,0,1)^2 — the
     # documented bounded 9x fan-out of the spatial grid probe
     "join_spatial_grid",
+    # 1-row broadcast of (total revenue, customer count) onto ranked
+    # customers — a scalar attach deciding the 80% cut
+    "concentration_8020",
+    # 1-row broadcast of the corpus max event time — the decay anchor
+    "decayed_engagement",
+    # 1-row broadcast of the uniform-load ideal onto 32 bucket rows
+    "skew_audit",
+    # bounded broadcasts: the 2-row subvector ids and the DECLARED
+    # 16-row PQ codebook — the vector side streams once
+    "embedding_pq_assign",
+    # 10-row label-centroid broadcast onto the vector stream
+    "embedding_silhouette",
 }
 
 
