@@ -126,6 +126,9 @@ _CHECK_PRIORITY = [
     # -- round-4 additions, seventh wave (cheap first)
     "embedding_pq_assign", "embedding_silhouette",
     "embedding_random_projection",
+    # -- round-4 additions, eighth wave (cheap first)
+    "pretokenize_gpt", "join_null_safe", "union_schema_evolve",
+    "sentence_split",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

@@ -4498,3 +4498,93 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("inter_fp").cast("double") / F.sum("intra_fp"), 4
         ).alias("separation"),
     )
+
+
+@Q.add(
+    "sentence_split",
+    """
+    WITH sents AS (
+      SELECT doc_id, unnest(ss) AS s, generate_subscripts(ss, 1) AS i
+      FROM (
+        SELECT doc_id, string_split_regex(text, '\\.\\s+') AS ss
+        FROM documents
+      )
+    )
+    SELECT doc_id, CAST(i AS INT) AS sent_idx, trim(s) AS sentence,
+           CAST(length(trim(s)) AS BIGINT) AS n_chars
+    FROM sents
+    WHERE trim(s) <> ''
+    """,
+    doc="sentence segmentation with stable per-doc ordinals (split on "
+    "'. ' boundaries, empties dropped, 1-based index) — the "
+    "chunking precursor every RAG/embedding pipeline runs before "
+    "windowing text into model-sized pieces (chunk_overlap then "
+    "consumes such units). posexplode gives the ordinal "
+    "deterministically from array order — the SAME order both "
+    "engines derive from the same regex split, no window needed. "
+    "Row-local split + explode fused into the scan; zero shuffles.",
+)
+def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\.\s+")).alias("i", "s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i") + 1).cast("int").alias("sent_idx"),
+            F.trim("s").alias("sentence"),
+        )
+        .filter(F.col("sentence") != "")
+        .select(
+            "doc_id",
+            "sent_idx",
+            "sentence",
+            F.length("sentence").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+@Q.add(
+    "pretokenize_gpt",
+    """
+    WITH toks AS (
+      SELECT t.tok
+      FROM (
+        SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')
+                 AS ts
+        FROM documents
+      ), unnest(ts) AS t(tok)
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+    doc="GPT-style pre-tokenization: regexp_extract_all splits text "
+    "into letter runs / digit runs / single punctuation marks (the "
+    "simplified form of the GPT-2 pretokenizer pattern, spelled in "
+    "the regex subset Java and RE2 interpret identically — no "
+    "lookaheads, no \\p classes), then corpus-wide counts, top-50 "
+    "fully tie-broken. This is the unit BPE actually trains over — "
+    "complementing token_count_bpe (counting) and "
+    "tokenizer_pair_counts (merge stats). Row-local extract fused "
+    "into the scan; one bounded-key map-side-combined rollup; "
+    "50-row TakeOrdered.",
+)
+def pretokenize_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.expr(
+                    r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(50)
+    )

@@ -4867,3 +4867,114 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@Q.add(
+    "union_schema_evolve",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS channel
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice,
+             'ch' || CAST(o_orderkey % 3 AS VARCHAR) AS channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (
+      SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
+    )
+    SELECT COALESCE(channel, 'unknown') AS channel,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM unioned GROUP BY COALESCE(channel, 'unknown')
+    """,
+    doc="schema-evolution union: an old snapshot (no 'channel' column) "
+    "and a new one (with it) combine BY NAME with the missing column "
+    "null-filled — Spark's unionByName(allowMissingColumns=True) / "
+    "DuckDB's UNION ALL BY NAME, the append path every evolving "
+    "table needs when readers span schema versions (position-based "
+    "UNION would silently misalign). The old-snapshot rows surface "
+    "under an explicit 'unknown' bucket. One map-side-combined "
+    "rollup; the version split is derived in-query so both engines "
+    "union identical inputs.",
+)
+def union_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.concat(F.lit("ch"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "channel"
+        ),
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce("channel", F.lit("unknown")).alias("channel")
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("total"),
+    )
+
+
+@Q.add(
+    "join_null_safe",
+    """
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 0 THEN NULL
+                  ELSE user_id % 50 END AS k
+      FROM events WHERE event_id % 2 = 0
+    ),
+    r AS (
+      SELECT CASE WHEN g % 7 = 0 THEN NULL ELSE g END AS k,
+             'grp' || CAST(g AS VARCHAR) AS tag
+      FROM (SELECT DISTINCT user_id % 50 AS g FROM events)
+    )
+    SELECT COALESCE(CAST(l.k AS VARCHAR), 'NULL') AS key_class,
+           COUNT(*) AS n_matches,
+           COUNT(DISTINCT tag) AS n_tags
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY key_class
+    """,
+    doc="null-safe equi-join (Spark's <=> operator == SQL IS NOT "
+    "DISTINCT FROM): NULL keys MATCH each other instead of silently "
+    "dropping — the semantic needed when NULL is a real category "
+    "(unknown cohort, missing dimension) rather than absence; a "
+    "plain equi-join would lose every NULL row on both sides. "
+    "Catalyst plans <=> as a hash join key (EqualNullSafe), so this "
+    "stays a shuffle/broadcast HASH join, not a nested loop — the "
+    "property the plan sweep pins. Both sides' NULLs are derived "
+    "in-query by the same integer rules.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 50)
+        .alias("k"),
+    )
+    right = (
+        e.select((F.col("user_id") % 50).alias("g"))
+        .distinct()
+        .select(
+            F.when(F.col("g") % 7 == 0, F.lit(None))
+            .otherwise(F.col("g"))
+            .alias("k"),
+            F.concat(F.lit("grp"), F.col("g").cast("string")).alias("tag"),
+        )
+    )
+    j = left.join(right, left.k.eqNullSafe(right.k))
+    return j.groupBy(
+        F.coalesce(left.k.cast("string"), F.lit("NULL")).alias("key_class")
+    ).agg(
+        F.count("*").alias("n_matches"),
+        F.countDistinct("tag").alias("n_tags"),
+    )

@@ -41,6 +41,34 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    window_width: str = "20 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Overlapping (sliding) windows: each event lands in
+    width/slide concurrent windows — the streaming twin of the batch
+    ``sliding_distinct_users`` contribute-then-count rewrite (Spark's
+    ``window(ts, width, slide)`` performs exactly that bounded fan-out
+    inside the state store). Watermark bounds open-window state the
+    same way as tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_width, slide).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def session_counts_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -158,6 +158,44 @@ def test_tumbling_stream_emits_closed_windows_and_drops_late(spark, tmp_path):
     assert not any(k[0].startswith("2026-01-01 06") for k in got)
 
 
+def test_sliding_stream_lands_events_in_overlapping_windows(spark, tmp_path):
+    from llm_batch_processor_spark.streaming.windows import (
+        sliding_counts_stream,
+    )
+
+    src, ckpt = tmp_path / "events", tmp_path / "ckpt"
+    # one event at 00:15 -> two 20-min/10-min-slide windows:
+    # [00:00,00:20) and [00:10,00:30)
+    _write_events(src, [("2026-01-01 00:15:00", "u1", "click", 1.0)])
+    # watermark jump closes both
+    _write_events(src, [("2026-01-01 06:00:00", "u3", "view", 1.0)])
+    _write_events(src, [("2026-01-01 06:30:00", "u3", "view", 1.0)])
+
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    counts = sliding_counts_stream(events, "20 minutes", "10 minutes", "30 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (str(r["win_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    # the single click appears in BOTH overlapping closed windows —
+    # the bounded width/slide fan-out the batch twin documents
+    assert got[("2026-01-01 00:00:00", "click")] == 1
+    assert got[("2026-01-01 00:10:00", "click")] == 1
+
+
 def test_stateful_sessionizer_gap_close_and_timeout(spark, tmp_path):
     src, ckpt = tmp_path / "events", tmp_path / "ckpt"
     # batch 1: one session for u1 (2 events, 10 min apart)
