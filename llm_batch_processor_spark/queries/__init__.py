@@ -129,6 +129,10 @@ _CHECK_PRIORITY = [
     # -- round-4 additions, eighth wave (cheap first)
     "pretokenize_gpt", "join_null_safe", "union_schema_evolve",
     "sentence_split",
+    # -- round-4 additions, ninth wave (cheap first)
+    "dict_encode", "changepoint_cusum", "rolling_corr_daily",
+    "resample_ohlc", "golden_record", "chi2_independence",
+    "drift_psi", "drift_ks",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

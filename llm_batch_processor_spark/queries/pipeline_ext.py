@@ -4588,3 +4588,306 @@ def pretokenize_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "tok")
         .limit(50)
     )
+
+
+# ===========================================================================
+# round-4 additions, ninth wave: distribution drift, changepoints,
+# dictionary encoding
+# ===========================================================================
+
+
+@Q.add(
+    "drift_ks",
+    """
+    WITH f AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    g AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      FROM f GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             SUM(c1) OVER (ORDER BY value) AS cum1,
+             SUM(c2) OVER (ORDER BY value) AS cum2
+      FROM g
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM g)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE) AS d_stat
+    FROM cum, tot
+    GROUP BY n1, n2
+    """,
+    doc="two-sample Kolmogorov-Smirnov drift statistic between the "
+    "click and purchase value distributions: D = max |F1 - F2| over "
+    "the pooled support, computed ENTIRELY in integers — per-value "
+    "counts, then cross-multiplied cumulative counts "
+    "|cum1*n2 - cum2*n1| so no float CDF ever forms; one exact "
+    "division at the end. The cumulative counts come from "
+    "operators/prefix.global_cumsum (distributed two-phase prefix "
+    "sum, no one-task global window), chained once per sample — at "
+    "100 TB the support after the per-value rollup is what sorts, "
+    "not the raw events. The standard drift gate a training-data "
+    "pipeline runs between ingestion snapshots.",
+)
+def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_cumsum
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("c1"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("c2"),
+    )
+    c = global_cumsum(g, order_col="value", value_col="c1", out_col="cum1")
+    c = global_cumsum(c, order_col="value", value_col="c2", out_col="cum2")
+    tot = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.abs(
+                F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+            ).alias("ad"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("ad").alias("d_num"))
+    )
+    return d.select(
+        "n1",
+        "n2",
+        "d_num",
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("d_stat"),
+    )
+
+
+@Q.add(
+    "drift_psi",
+    """
+    WITH bounds AS (
+      SELECT MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi FROM events
+    ),
+    lab AS (
+      SELECT LEAST(9, CAST(floor(value / 50) AS INT)) AS bucket,
+             CASE WHEN epoch_ns(ts) * 2 >= lo + hi THEN 1 ELSE 0 END AS late
+      FROM events, bounds
+    ),
+    cnt AS (
+      SELECT bucket, SUM(1 - late) AS ca, SUM(late) AS cb
+      FROM lab GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM cnt),
+    spine AS (SELECT CAST(r AS INT) AS bucket FROM range(10) t(r)),
+    j AS (
+      SELECT spine.bucket,
+             CAST(COALESCE(ca, 0) AS BIGINT) AS n_early,
+             CAST(COALESCE(cb, 0) AS BIGINT) AS n_late, na, nb
+      FROM spine LEFT JOIN cnt ON spine.bucket = cnt.bucket, tot
+    ),
+    terms AS (
+      SELECT bucket, n_early, n_late,
+             CAST(floor(
+               (CAST(n_early + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+                - CAST(n_late + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+               * ln((CAST(n_early + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+                    / (CAST(n_late + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS term_fp
+      FROM j
+    )
+    SELECT bucket, n_early, n_late,
+           CAST(term_fp AS DOUBLE) / 1000000 AS psi_term,
+           CAST(SUM(term_fp) OVER () AS DOUBLE) / 1000000 AS psi_total
+    FROM terms
+    """,
+    doc="population-stability-index drift between the early and late "
+    "half of the time range (integer epoch-ns midpoint split, no "
+    "float time math), 10 fixed-width value buckets on an explicit "
+    "range(10) spine so empty buckets still report, add-one "
+    "smoothing so ln never sees zero. Each bucket's "
+    "(p-q)*ln(p/q) term is snapped to 1e-6 fixed-point BEFORE the "
+    "cross-bucket total, so the PSI reduction is order-independent "
+    "(zipf_fit's ln discipline). Distributed work is one "
+    "map-side-combinable bucket rollup over the events scan; the "
+    "spine join and PSI math run on 10 rows. The PSI/KS pair is "
+    "the standard snapshot-drift audit for training-data refresh.",
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    b = e.agg(F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi"))
+    lab = e.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(9), F.floor(F.col("value") / 50).cast("int")
+        ).alias("bucket"),
+        F.when(
+            F.col("ts_ns") * 2 >= F.col("lo") + F.col("hi"), 1
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    cnt = lab.groupBy("bucket").agg(
+        F.sum(F.lit(1) - F.col("late")).alias("ca"),
+        F.sum("late").alias("cb"),
+    )
+    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        spine.join(F.broadcast(cnt), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("n_early"),
+            F.coalesce("cb", F.lit(0)).alias("n_late"),
+            "na",
+            "nb",
+        )
+    )
+    p = (F.col("n_early") + 1).cast("double") / (F.col("na") + 10).cast(
+        "double"
+    )
+    q = (F.col("n_late") + 1).cast("double") / (F.col("nb") + 10).cast(
+        "double"
+    )
+    terms = j.select(
+        "bucket",
+        "n_early",
+        "n_late",
+        F.floor((p - q) * F.log(p / q) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("term_fp"),
+    )
+    wall = Window.partitionBy()
+    return terms.select(
+        "bucket",
+        "n_early",
+        "n_late",
+        (F.col("term_fp").cast("double") / 1000000).alias("psi_term"),
+        (F.sum("term_fp").over(wall).cast("double") / 1000000).alias(
+            "psi_total"
+        ),
+    )
+
+
+@Q.add(
+    "changepoint_cusum",
+    """
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x
+      FROM events GROUP BY day
+    ),
+    tot AS (SELECT COUNT(*) AS nd, SUM(x) AS s FROM daily),
+    p AS (
+      SELECT day, x, nd, s,
+             SUM(nd * x - s) OVER (ORDER BY day) AS psum
+      FROM daily, tot
+    ),
+    m AS (
+      SELECT day, x, nd, s, psum,
+             LEAST(0, MIN(psum) OVER (ORDER BY day)) AS base
+      FROM p
+    )
+    SELECT day, x AS n_events,
+           CAST(psum - base AS BIGINT) AS cusum_fp,
+           CAST(psum - base AS DOUBLE) / nd AS cusum_dev,
+           (psum - base) > 2 * s AS alarm
+    FROM m
+    """,
+    doc="CUSUM changepoint detection on the daily event-count series "
+    "via the prefix-sum identity S_t = P_t - min(0, min_{j<=t} P_j) "
+    "— the recursive max(0, S+d) unrolled into two window passes "
+    "(cumulative sum + running min), which is what makes CUSUM "
+    "expressible declaratively at all. Deviations are exact "
+    "integers scaled by the day count (nd*x - s), so no float mean "
+    "ever enters the recursion; alarm threshold is an integer "
+    "comparison. The distributed stage is the daily rollup; the "
+    "windows run over a days-bounded series.",
+)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    tot = daily.agg(F.count("*").alias("nd"), F.sum("x").alias("s"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "psum",
+            F.sum(F.col("nd") * F.col("x") - F.col("s")).over(w),
+        )
+        .withColumn("base", F.least(F.lit(0), F.min("psum").over(w)))
+    )
+    cus = F.col("psum") - F.col("base")
+    return p.select(
+        "day",
+        F.col("x").alias("n_events"),
+        cus.alias("cusum_fp"),
+        (cus.cast("double") / F.col("nd")).alias("cusum_dev"),
+        (cus > 2 * F.col("s")).alias("alarm"),
+    )
+
+
+@Q.add(
+    "dict_encode",
+    """
+    SELECT doc_id, source,
+           CAST(dense_rank() OVER (ORDER BY source) AS INT) AS source_id,
+           lang,
+           CAST(dense_rank() OVER (ORDER BY lang) AS INT) AS lang_id
+    FROM documents
+    """,
+    doc="dictionary (categorical) encoding of low-cardinality string "
+    "columns to dense 1-based integer ids in lexicographic order — "
+    "the feature-store / tokenizer-vocab primitive. The oracle "
+    "spells it as dense_rank over every row; the Spark plan instead "
+    "builds each tiny distinct dictionary once (distinct -> "
+    "row_number over the sorted domain, a few rows on one "
+    "partition) and BROADCAST-joins it back, so the 100 TB fact "
+    "scan never sorts and never shuffles on the string — same "
+    "result, O(domain) window instead of O(rows). Two independent "
+    "dictionaries compose by chained broadcast joins.",
+)
+def dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    srcm = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy("source"))
+            .cast("int")
+            .alias("source_id"),
+        )
+    )
+    langm = (
+        d.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            F.row_number()
+            .over(Window.orderBy("lang"))
+            .cast("int")
+            .alias("lang_id"),
+        )
+    )
+    return (
+        d.join(F.broadcast(srcm), "source")
+        .join(F.broadcast(langm), "lang")
+        .select("doc_id", "source", "source_id", "lang", "lang_id")
+    )

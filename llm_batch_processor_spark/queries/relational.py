@@ -4978,3 +4978,252 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_matches"),
         F.countDistinct("tag").alias("n_tags"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions, ninth wave: time-series resampling, rolling
+# correlation, survivorship merge, independence testing
+# ---------------------------------------------------------------------------
+
+
+@Q.add(
+    "resample_ohlc",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           arg_min(value, CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
+             AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
+             AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY day, event_type
+    """,
+    doc="time-series downsampling to daily OHLC bars per series "
+    "(event_type): open/close are the first/last value by the unique "
+    "(ts_ns, event_id) composite — Spark min_by/max_by over a struct "
+    "key, DuckDB arg_min/arg_max over the equivalent HUGEINT "
+    "composite (DuckDB's arg_min has no struct overload; the int128 "
+    "encoding is collision-free because event_id < 1e6). One "
+    "map-side-combinable hash aggregate — min/max/count/decimal-sum "
+    "and min_by/max_by are all associative partial aggs, so 100 TB "
+    "of ticks reduce to days*series rows with no window and no "
+    "second shuffle. Volume sum is exact DECIMAL, order-independent.",
+)
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.expr("min_by(value, struct(ts_ns, event_id))").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("max_by(value, struct(ts_ns, event_id))").alias("close"),
+        F.count("*").alias("n_ticks"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+            "volume"
+        ),
+    )
+
+
+@Q.add(
+    "rolling_corr_daily",
+    """
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+      FROM events GROUP BY day
+    ),
+    win AS (
+      SELECT day, x, y,
+             COUNT(*)    OVER w AS nw,
+             SUM(x)      OVER w AS sx,
+             SUM(y)      OVER w AS sy,
+             SUM(x * y)  OVER w AS sxy,
+             SUM(x * x)  OVER w AS sxx,
+             SUM(y * y)  OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, x, y, nw,
+           CASE WHEN nw * sxx - sx * sx > 0 AND nw * syy - sy * sy > 0
+                THEN CAST(nw * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(nw * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(nw * syy - sy * sy AS DOUBLE)))
+           END AS corr7
+    FROM win
+    """,
+    doc="7-day rolling Pearson correlation between two daily series "
+    "(click count vs view count): every moment (sums, sums of "
+    "squares, cross products) is an exact INTEGER window sum over "
+    "the daily counts, so the rolling frame is order-independent "
+    "and bit-stable; the only float ops are the final sqrt (IEEE "
+    "correctly-rounded in both engines) and one division. The "
+    "distributed stage is the daily rollup (map-side combinable "
+    "hash agg over 100 TB of raw events); the window then runs "
+    "over a days-bounded series — thousands of rows, one "
+    "partition by construction, not a scale risk.",
+)
+def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    t = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count("*").over(w).alias("nw"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    denx = F.col("nw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("nw") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("nw") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.when(
+        (denx > 0) & (deny > 0),
+        num.cast("double")
+        / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+    )
+    return t.select("day", "x", "y", "nw", corr.alias("corr7"))
+
+
+@Q.add(
+    "golden_record",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(epoch_ns(ts) // 1000000000) AS first_s,
+           MAX(epoch_ns(ts) // 1000000000) AS last_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           arg_max(event_type,
+                   CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
+             AS last_event_type,
+           arg_max(CAST(json_extract_string(props, '$.k') AS BIGINT),
+                   CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
+             AS last_k
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="survivorship merge (golden record): collapse each entity's "
+    "event history into one canonical row — recency-winning "
+    "attributes (last_event_type, last JSON prop) via max_by over "
+    "the unique (ts_ns, event_id) key, lifetime extent as integer "
+    "epoch seconds, exact DECIMAL value total. The whole record "
+    "builds in ONE map-side-combinable hash aggregate keyed on "
+    "user_id — no self-join, no window, no second shuffle; at 100 "
+    "TB this is the canonical MDM compaction pattern (same agg "
+    "family as compact_latest, but column-wise survivorship rather "
+    "than whole-row latest).",
+)
+def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "k_val", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("MIN(ts_ns DIV 1000000000)").alias("first_s"),
+        F.expr("MAX(ts_ns DIV 1000000000)").alias("last_s"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+            "total_value"
+        ),
+        F.expr("max_by(event_type, struct(ts_ns, event_id))").alias(
+            "last_event_type"
+        ),
+        F.expr("max_by(k_val, struct(ts_ns, event_id))").alias("last_k"),
+    )
+
+
+@Q.add(
+    "chi2_independence",
+    """
+    WITH obs AS (
+      SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+             event_type, COUNT(*) AS o
+      FROM events GROUP BY dow, event_type
+    ),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    r AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY event_type),
+    c AS (SELECT dow, SUM(o) AS ct FROM obs GROUP BY dow),
+    cells AS (
+      SELECT obs.dow, obs.event_type, obs.o,
+             CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+               / CAST(tot.n AS DOUBLE) AS expected
+      FROM obs JOIN r USING (event_type) JOIN c USING (dow), tot
+    ),
+    terms AS (
+      SELECT dow, event_type, o, expected,
+             CAST(floor((CAST(o AS DOUBLE) - expected)
+                        * (CAST(o AS DOUBLE) - expected)
+                        / expected * 1000000 + 0.5) AS BIGINT) AS term_fp
+      FROM cells
+    )
+    SELECT dow, event_type, o AS n_obs, expected,
+           CAST(SUM(term_fp) OVER () AS DOUBLE) / 1000000 AS chi2_total
+    FROM terms
+    """,
+    doc="chi-square test of independence on the event_type x "
+    "day-of-week contingency table: expected counts from broadcast "
+    "marginals (r*c/N over exact integer totals), per-cell "
+    "(o-e)^2/e computed with the identical double expression in "
+    "both engines (int->double conversions exact, every op "
+    "correctly rounded), and the cross-cell chi2 total summed in "
+    "1e-6 fixed-point int64 so the 35-cell reduction is "
+    "order-independent. Day-of-week is integer epoch-day math "
+    "((days+4)%7 — no timezone, no locale), not engine dow(). The "
+    "distributed stage is the contingency rollup; everything after "
+    "runs on a 35-row frame.",
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.expr("CAST((ts_ns DIV 86400000000000 + 4) % 7 AS INT)").alias(
+            "dow"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    r = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    c = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    cells = (
+        obs.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "expected",
+            F.col("rt").cast("double")
+            * F.col("ct").cast("double")
+            / F.col("n").cast("double"),
+        )
+    )
+    d = F.col("o").cast("double") - F.col("expected")
+    terms = cells.withColumn(
+        "term_fp",
+        F.floor(d * d / F.col("expected") * 1000000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    wall = Window.partitionBy()
+    return terms.select(
+        "dow",
+        "event_type",
+        F.col("o").alias("n_obs"),
+        "expected",
+        (F.sum("term_fp").over(wall).cast("double") / 1000000).alias(
+            "chi2_total"
+        ),
+    )

@@ -156,6 +156,18 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row broadcast of the basket count onto the frequent-pair rows —
     # a scalar attach; pair generation itself is an equi-join
     "basket_pairs_lift",
+    # 1-row broadcast of (day count, grand total) onto the days-bounded
+    # daily series — a scalar attach feeding the integer CUSUM
+    "changepoint_cusum",
+    # 1-row broadcast of the contingency grand total onto the 35-cell
+    # table — a scalar attach; the marginals join by equi-keys
+    "chi2_independence",
+    # 1-row broadcast of (n1, n2) onto the pooled-support CDF rows — a
+    # scalar attach; the cumulative counts come from global_cumsum
+    "drift_ks",
+    # 1-row broadcasts of the epoch-ns bounds and the half totals onto
+    # the events scan / 10-row bucket spine — scalar attaches
+    "drift_psi",
     # 1-row broadcast of the customer count onto per-customer ranks —
     # a scalar attach feeding the quartile expression
     "rfm_segmentation",
