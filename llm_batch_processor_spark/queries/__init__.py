@@ -133,6 +133,10 @@ _CHECK_PRIORITY = [
     "dict_encode", "changepoint_cusum", "rolling_corr_daily",
     "resample_ohlc", "golden_record", "chi2_independence",
     "drift_psi", "drift_ks",
+    # -- round-4 additions, tenth wave (cheap first)
+    "blocklist_filter", "topp_per_source", "split_time_leakage",
+    "winsorize_pct", "mutual_info_feature", "skipgram_pairs",
+    "bpe_train_merges",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

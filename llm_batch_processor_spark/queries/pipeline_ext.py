@@ -4891,3 +4891,271 @@ def dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(langm), "lang")
         .select("doc_id", "source", "source_id", "lang", "lang_id")
     )
+
+
+# ===========================================================================
+# round-4 additions, tenth wave: BPE training, skip-gram pairs,
+# blocklist curation, per-source quality budget
+# ===========================================================================
+
+_BPE_PAIRS = (
+    "list_transform(generate_series(1, len(string_split(w, ' ')) - 1), "
+    "i -> string_split(w, ' ')[i] || ' ' || string_split(w, ' ')[i + 1])"
+)
+
+
+def _bpe_merge_sql(w: str) -> str:
+    out = f"' ' || {w} || ' '"
+    for _ in range(4):
+        out = (
+            f"replace({out}, ' ' || pair || ' ', "
+            "' ' || replace(pair, ' ', '') || ' ')"
+        )
+    return f"trim({out})"
+
+
+def _bpe_iteration_sql(k: int) -> str:
+    return f"""
+    p{k} AS (
+      SELECT t.pr AS pair, CAST(SUM(f) AS BIGINT) AS pair_count
+      FROM w{k - 1}, unnest({_BPE_PAIRS}) AS t(pr)
+      GROUP BY t.pr
+    ),
+    b{k} AS (SELECT pair, pair_count FROM p{k}
+             ORDER BY pair_count DESC, pair LIMIT 1),
+    w{k} AS (SELECT {_bpe_merge_sql('w')} AS w, f FROM w{k - 1}, b{k})"""
+
+
+@Q.add(
+    "bpe_train_merges",
+    """
+    WITH w0 AS (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
+             COUNT(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY 1
+    ),"""
+    + ",".join(_bpe_iteration_sql(k) for k in (1, 2, 3))
+    + """
+    SELECT 1 AS step, pair, pair_count FROM b1
+    UNION ALL SELECT 2, pair, pair_count FROM b2
+    UNION ALL SELECT 3, pair, pair_count FROM b3
+    """,
+    doc="BPE tokenizer training, three merge steps: distinct words with "
+    "corpus frequencies -> symbol-pair counts weighted by word freq -> "
+    "argmax pair (count desc, pair asc tie-break) -> merge applied to "
+    "the vocabulary -> recount. The merge is leftmost-non-overlapping "
+    "space-guarded replace applied 4x (a fixed point for every word "
+    "in this corpus — words are <=12 symbols, and each pass halves "
+    "the boundary-sharing remainder), bit-identical in both engines. "
+    "The iteration state is the DISTINCT-WORD table, not the corpus "
+    "— at 100 TB the corpus collapses to a vocab-bounded frame in "
+    "the first map-side-combined count and all three iterations "
+    "shuffle only vocab rows; the argmax is a 1-row broadcast "
+    "(same driver-bounded fixed-point shape as graph_pagerank).",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+        .select(
+            F.trim(
+                F.regexp_replace(F.col("word"), "(.)", "$1 ")
+            ).alias("w"),
+            "f",
+        )
+    )
+    pair_expr = (
+        "transform(sequence(1, size(split(w, ' ')) - 1), "
+        "i -> concat(element_at(split(w, ' '), i), ' ', "
+        "element_at(split(w, ' '), i + 1)))"
+    )
+    merges = []
+    cur = words
+    for k in (1, 2, 3):
+        pc = (
+            cur.filter(F.expr("size(split(w, ' ')) >= 2"))
+            .select(F.explode(F.expr(pair_expr)).alias("pair"), "f")
+            .groupBy("pair")
+            .agg(F.sum("f").alias("pair_count"))
+        )
+        top = pc.orderBy(F.desc("pair_count"), "pair").limit(1)
+        merges.append(
+            top.select(
+                F.lit(k).alias("step"), "pair", "pair_count"
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            F.expr(_bpe_merge_sql("w")).alias("w"), "f"
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+@Q.add(
+    "skipgram_pairs",
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS a FROM documents
+    ),
+    pairs AS (
+      SELECT t.pr AS pair
+      FROM toks, unnest(list_concat(
+        list_transform(generate_series(1, len(a) - 1),
+                       i -> a[i] || ' ' || a[i + 1]),
+        list_transform(generate_series(1, len(a) - 2),
+                       i -> a[i] || ' ' || a[i + 2])
+      )) AS t(pr)
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 100
+    """,
+    doc="skip-gram training-pair generation (word2vec-style): forward "
+    "(center, context) pairs at offsets +1 and +2 generated "
+    "ROW-LOCALLY from each document's token array (transform over an "
+    "index sequence — no positional self-join, no shuffle until the "
+    "count), then corpus-wide pair counts, top-100 fully tie-broken. "
+    "The self-join formulation would shuffle the corpus twice per "
+    "offset; the in-row fan-out is x2 and fuses into the scan. "
+    "Feeds embedding pretraining and collocation mining.",
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    p1 = (
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) END"
+    )
+    p2 = (
+        "CASE WHEN size(split(text, ' ')) < 3 THEN array() ELSE "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 2))) END"
+    )
+    return (
+        d.select(
+            F.explode(
+                F.expr(f"concat(cast({p1} as array<string>), "
+                       f"cast({p2} as array<string>))")
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(100)
+    )
+
+
+@Q.add(
+    "blocklist_filter",
+    """
+    WITH fan AS (
+      SELECT d.doc_id, t.term,
+             len(list_filter(string_split(d.text, ' '), x -> x = t.term))
+               AS occ
+      FROM documents d,
+           (VALUES ('slow'), ('error'), ('spam'), ('junk')) t(term)
+    )
+    SELECT term,
+           CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences
+    FROM fan GROUP BY term
+    """,
+    doc="blocklist curation audit: exact word-match occurrence counts "
+    "for each banned term across the corpus (token-level filter over "
+    "the split array — no substring false positives, no regex "
+    "boundary hacks), per-term hit-document and total-occurrence "
+    "counts, zero-hit terms still reported. The term list fans out "
+    "ROW-LOCALLY (explode of a literal array — no join operator at "
+    "all), so the plan is scan -> project -> map-side-combined "
+    "rollup; at 100 TB the corpus streams once regardless of "
+    "blocklist size. The keep/drop variant is the same frame "
+    "filtered on occ = 0.",
+)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fan = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.lit("slow"), F.lit("error"), F.lit("spam"), F.lit("junk")
+            )
+        ).alias("term"),
+        "text",
+    ).select(
+        "term",
+        F.expr(
+            "size(filter(split(text, ' '), x -> x = term))"
+        ).alias("occ"),
+    )
+    return fan.groupBy("term").agg(
+        F.sum(F.when(F.col("occ") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs"),
+        F.sum("occ").cast("bigint").alias("n_occurrences"),
+    )
+
+
+@Q.add(
+    "topp_per_source",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN (cum - n_chars) * 10 < tot * 9
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN (cum - n_chars) * 10 < tot * 9
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM ranked GROUP BY source
+    """,
+    doc="top-p (nucleus-style) per-source quality budget: within each "
+    "source, keep documents in (n_chars desc, doc_id) order until "
+    "90% of the source's character mass is covered — the boundary "
+    "test (cum_before * 10 < total * 9) is pure integer arithmetic, "
+    "no float share ever computed, and the crossing document is "
+    "included (standard top-p). Keyed windows partition by source, "
+    "so the sort distributes across the cluster (one source's docs "
+    "per partition via the hash shuffle — skewed sources are the "
+    "salting candidate); no global sort, no scalar attach.",
+)
+def topp_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    wo = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(wo).alias("cum"),
+        F.sum("n_chars").over(wp).alias("tot"),
+    )
+    keep = (F.col("cum") - F.col("n_chars")) * 10 < F.col("tot") * 9
+    return r.groupBy("source").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.count("*").alias("n_total"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )

@@ -5227,3 +5227,196 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_total"
         ),
     )
+
+
+@Q.add(
+    "mutual_info_feature",
+    """
+    WITH obs AS (
+      SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+             event_type, COUNT(*) AS o
+      FROM events GROUP BY dow, event_type
+    ),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    r AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY event_type),
+    c AS (SELECT dow, SUM(o) AS ct FROM obs GROUP BY dow),
+    cells AS (
+      SELECT obs.dow, obs.event_type, obs.o,
+             ln(CAST(obs.o AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                / (CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE))) AS pmi,
+             CAST(tot.n AS BIGINT) AS n
+      FROM obs JOIN r USING (event_type) JOIN c USING (dow), tot
+    ),
+    terms AS (
+      SELECT dow, event_type, o, pmi, n,
+             CAST(floor(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) * pmi
+                        * 1000000 + 0.5) AS BIGINT) AS term_fp
+      FROM cells
+    )
+    SELECT dow, event_type, o AS n_obs, pmi,
+           CAST(SUM(term_fp) OVER () AS DOUBLE) / 1000000 AS mi_total
+    FROM terms
+    """,
+    doc="mutual information between a categorical feature "
+    "(integer-epoch day-of-week) and the label (event_type) — the "
+    "feature-selection twin of chi2_independence: per-cell pointwise "
+    "MI ln(p(x,y)/(p(x)p(y))) computed from exact integer counts "
+    "with the identical double expression both engines (marginals "
+    "broadcast), the cross-cell expectation summed in 1e-6 "
+    "fixed-point int64. Distributed work is the contingency rollup; "
+    "the MI math runs on 35 rows.",
+)
+def mutual_info_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.expr("CAST((ts_ns DIV 86400000000000 + 4) % 7 AS INT)").alias(
+            "dow"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    r = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    c = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    cells = (
+        obs.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("o").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+            ),
+        )
+    )
+    terms = cells.withColumn(
+        "term_fp",
+        F.floor(
+            F.col("o").cast("double")
+            / F.col("n").cast("double")
+            * F.col("pmi")
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    wall = Window.partitionBy()
+    return terms.select(
+        "dow",
+        "event_type",
+        F.col("o").alias("n_obs"),
+        "pmi",
+        (F.sum("term_fp").over(wall).cast("double") / 1000000).alias(
+            "mi_total"
+        ),
+    )
+
+
+@Q.add(
+    "winsorize_pct",
+    """
+    WITH th AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(MIN(lo), 4) AS p05,
+           ROUND(MIN(hi), 4) AS p95,
+           CAST(SUM(CAST(LEAST(GREATEST(e.value, lo), hi)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean
+    FROM events e JOIN th USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="per-group winsorization: clamp values into the exact "
+    "interpolated [p05, p95] band (Spark percentile == DuckDB "
+    "quantile_cont, both type-7 — the agg_percentiles parity) and "
+    "report the robust mean via an exact DECIMAL sum of the clamped "
+    "values — order-independent, no float accumulation. Thresholds "
+    "are a 5-row broadcast joined back to the fact scan, so the "
+    "events table streams exactly twice (once for the percentile "
+    "sort, once clamped) with no self-shuffle; at 100 TB swap the "
+    "exact percentile for percentile_approx and stream once.",
+)
+def winsorize_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    th = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = e.join(F.broadcast(th), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("lo"), 4).alias("p05"),
+        F.round(F.min("hi"), 4).alias("p95"),
+        (
+            F.expr(
+                "CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi) "
+                "AS DECIMAL(18,6))) AS DOUBLE)"
+            )
+            / F.count("*")
+        ).alias("winsorized_mean"),
+    )
+
+
+@Q.add(
+    "split_time_leakage",
+    """
+    WITH bounds AS (
+      SELECT MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi FROM events
+    ),
+    u AS (
+      SELECT user_id, MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT CASE WHEN mn * 2 < lo + hi THEN 1 ELSE 0 END AS early_any,
+             CASE WHEN mx * 2 >= lo + hi THEN 1 ELSE 0 END AS late_any
+      FROM u, bounds
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(early_any) AS BIGINT) AS n_early,
+           CAST(SUM(late_any) AS BIGINT) AS n_late,
+           CAST(SUM(early_any * late_any) AS BIGINT) AS n_both,
+           CAST(SUM(early_any * late_any) AS DOUBLE) / COUNT(*)
+             AS leakage_rate
+    FROM flags
+    """,
+    doc="temporal train/test split leakage audit: split the corpus at "
+    "the integer epoch-ns midpoint (the drift_psi split — no float "
+    "time math) and count entities that appear on BOTH sides — each "
+    "such user leaks future information into a time-based holdout. "
+    "One per-user min/max rollup (map-side combinable) + a 1-row "
+    "bounds broadcast + a scalar reduction; the events table "
+    "streams once. Companion to contamination_ngram (content "
+    "leakage) and split_train_val (random splits).",
+)
+def split_time_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    b = e.agg(F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi"))
+    u = e.groupBy("user_id").agg(
+        F.min("ts_ns").alias("mn"), F.max("ts_ns").alias("mx")
+    )
+    flags = u.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("mn") * 2 < F.col("lo") + F.col("hi"), 1)
+        .otherwise(0)
+        .alias("early_any"),
+        F.when(F.col("mx") * 2 >= F.col("lo") + F.col("hi"), 1)
+        .otherwise(0)
+        .alias("late_any"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_users"),
+        F.sum("early_any").cast("bigint").alias("n_early"),
+        F.sum("late_any").cast("bigint").alias("n_late"),
+        F.sum(F.col("early_any") * F.col("late_any"))
+        .cast("bigint")
+        .alias("n_both"),
+        (
+            F.sum(F.col("early_any") * F.col("late_any")).cast("double")
+            / F.count("*")
+        ).alias("leakage_rate"),
+    )

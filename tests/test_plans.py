@@ -159,6 +159,16 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row broadcast of (day count, grand total) onto the days-bounded
     # daily series — a scalar attach feeding the integer CUSUM
     "changepoint_cusum",
+    # 1-row broadcast of each iteration's argmax pair onto the
+    # vocab-bounded word table — three scalar attaches, same
+    # driver-bounded fixed-point shape as graph_pagerank
+    "bpe_train_merges",
+    # 1-row broadcast of the contingency grand total onto the 35-cell
+    # table — a scalar attach; the marginals join by equi-keys
+    "mutual_info_feature",
+    # 1-row broadcast of the epoch-ns bounds onto the per-user extent
+    # rollup — a scalar attach feeding the split flags
+    "split_time_leakage",
     # 1-row broadcast of the contingency grand total onto the 35-cell
     # table — a scalar attach; the marginals join by equi-keys
     "chi2_independence",

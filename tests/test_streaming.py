@@ -515,3 +515,90 @@ def test_cdc_merge_event_time_precedence_across_batches(spark):
     }
     assert merged["k1"] == ("U", 10, "new")  # stale upsert lost
     assert merged["k2"][0] == "D"  # tombstone survives tie + zombie
+
+
+def test_stream_static_enrich_broadcasts_dim_and_keeps_unmatched(
+    spark, tmp_path
+):
+    from llm_batch_processor_spark.streaming.joins import (
+        enrich_stream_static,
+    )
+
+    src, ckpt = tmp_path / "events", tmp_path / "ckpt"
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:00:00", "u1", "click", 1.0),
+            ("2026-01-01 00:01:00", "u2", "view", 2.0),
+            ("2026-01-01 00:02:00", "u9", "click", 3.0),  # no dim row
+        ],
+    )
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], ["user_id", "segment"]
+    )
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        enrich_stream_static(events, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        r["user_id"]: r["segment"]
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    # matched events carry the dim attribute; unmatched kept with NULL
+    assert got == {"u1": "gold", "u2": "silver", "u9": None}
+
+
+def test_stream_stream_interval_join_attributes_within_gap(spark, tmp_path):
+    from llm_batch_processor_spark.streaming.joins import (
+        interval_join_stream,
+    )
+
+    csrc, psrc, ckpt = tmp_path / "clicks", tmp_path / "purch", tmp_path / "ck"
+    _write_events(
+        csrc,
+        [
+            ("2026-01-01 00:00:00", "u1", "click", 1.0),
+            ("2026-01-01 00:30:00", "u1", "click", 2.0),  # > gap before buy
+            ("2026-01-01 00:55:00", "u2", "click", 3.0),  # other user
+        ],
+    )
+    _write_events(
+        psrc,
+        [
+            ("2026-01-01 00:05:00", "u1", "purchase", 10.0),
+            ("2026-01-01 01:00:00", "u1", "purchase", 20.0),
+        ],
+    )
+    clicks = spark.readStream.schema(EVENT_SCHEMA).json(str(csrc))
+    purchases = spark.readStream.schema(EVENT_SCHEMA).json(str(psrc))
+    q = (
+        interval_join_stream(clicks, purchases, "10 minutes", "2 hours")
+        .writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r["user_id"], str(r["c_ts"]), str(r["p_ts"]))
+        for r in spark.sql("SELECT * FROM ij_test").collect()
+    }
+    # only the click within 10 min BEFORE the same user's purchase joins:
+    # u1 00:00 click -> 00:05 purchase. The 00:30 click is 30 min before
+    # the 01:00 purchase (outside gap), u2's click is another user.
+    assert got == {
+        ("u1", "2026-01-01 00:00:00", "2026-01-01 00:05:00")
+    }
