@@ -137,6 +137,9 @@ _CHECK_PRIORITY = [
     "blocklist_filter", "topp_per_source", "split_time_leakage",
     "winsorize_pct", "mutual_info_feature", "skipgram_pairs",
     "bpe_train_merges",
+    # -- round-4 additions, eleventh wave (cheap first)
+    "readability_score", "autocorrelation", "vocab_overlap_sources",
+    "bootstrap_ci_det",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

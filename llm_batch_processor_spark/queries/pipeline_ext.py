@@ -5159,3 +5159,115 @@ def topp_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_kept"),
         F.sum("n_chars").cast("bigint").alias("chars_total"),
     )
+
+
+@Q.add(
+    "readability_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(string_split_regex(text, '\\.\\s+')) AS BIGINT)
+               AS n_sents,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+               AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           206.835
+           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+           - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+             AS flesch
+    FROM f
+    """,
+    doc="Flesch reading-ease readability per document: word count, "
+    "sentence count ('. ' boundaries, sentence_split's rule), and a "
+    "vowel-group syllable heuristic (runs of [aeiou] — the standard "
+    "dictionary-free approximation), then the classic 206.835 - "
+    "1.015(W/S) - 84.6(Syl/W) formula from integer ratios (identical "
+    "double expressions both engines). Entirely row-local — fuses "
+    "into the scan, zero shuffles; the quality-filter family's "
+    "readability axis (quality_score covers length/punct ratios).",
+)
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.size(F.split("text", r"\.\s+")).cast("bigint").alias("n_sents"),
+        F.expr("size(regexp_extract_all(text, '[aeiou]+', 0))")
+        .cast("bigint")
+        .alias("n_syll"),
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+            - F.lit(84.6)
+            * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+        ).alias("flesch"),
+    )
+
+
+@Q.add(
+    "vocab_overlap_sources",
+    """
+    WITH st AS (
+      SELECT DISTINCT source, t.tok
+      FROM (SELECT source, string_split(text, ' ') AS sp FROM documents),
+           unnest(sp) AS t(tok)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS nv FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_inter
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s1, s2, n_inter,
+           za.nv + zb.nv - n_inter AS n_union,
+           CAST(n_inter AS DOUBLE) / (za.nv + zb.nv - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.source = s1
+    JOIN sizes zb ON zb.source = s2
+    """,
+    doc="pairwise vocabulary Jaccard overlap between sources — the "
+    "corpus-diversity / redundancy audit run before mixing sources "
+    "into a training blend: distinct (source, token) pairs, "
+    "intersections via a token-keyed equi-join (NOT a source-pair "
+    "cross join — pairs materialize only where tokens co-occur), "
+    "per-source vocab sizes broadcast back. At 100 TB the "
+    "(source, token) frame is vocab-bounded per source (the first "
+    "distinct collapses the corpus); hot tokens appearing in every "
+    "source are the skew candidates — salt or drop stopwords first.",
+)
+def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("nv"))
+    a = st.select(F.col("source").alias("s1"), "tok")
+    b = st.select(F.col("source").alias("s2"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("source").alias("s1"), F.col("nv").alias("nva"))
+    zb = sizes.select(F.col("source").alias("s2"), F.col("nv").alias("nvb"))
+    j = inter.join(F.broadcast(za), "s1").join(F.broadcast(zb), "s2")
+    uni = F.col("nva") + F.col("nvb") - F.col("n_inter")
+    return j.select(
+        "s1",
+        "s2",
+        "n_inter",
+        uni.alias("n_union"),
+        (F.col("n_inter").cast("double") / uni).alias("jaccard"),
+    )

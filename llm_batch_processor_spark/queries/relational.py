@@ -5420,3 +5420,153 @@ def split_time_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("leakage_rate"),
     )
+
+
+@Q.add(
+    "autocorrelation",
+    """
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x
+      FROM events GROUP BY day
+    ),
+    lagged AS (
+      SELECT lag, x, y FROM (
+        SELECT 1 AS lag, x, lag(x, 1) OVER (ORDER BY day) AS y FROM daily
+        UNION ALL
+        SELECT 2, x, lag(x, 2) OVER (ORDER BY day) FROM daily
+        UNION ALL
+        SELECT 3, x, lag(x, 3) OVER (ORDER BY day) FROM daily
+        UNION ALL
+        SELECT 4, x, lag(x, 4) OVER (ORDER BY day) FROM daily
+        UNION ALL
+        SELECT 5, x, lag(x, 5) OVER (ORDER BY day) FROM daily
+      ) WHERE y IS NOT NULL
+    ),
+    m AS (
+      SELECT lag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM lagged GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS acf
+    FROM m
+    """,
+    doc="autocorrelation function of the daily event-count series at "
+    "lags 1-5 (the seasonality detector feeding ARIMA-style lag "
+    "choice): each lag's Pearson r over (x_t, x_{t-lag}) pairs is "
+    "computed from exact INTEGER moments — only the final sqrt and "
+    "one division touch floats (rolling_corr_daily's discipline). "
+    "The distributed stage is the daily rollup; the lag fan-out and "
+    "correlation run over a days-bounded series (5x ~days rows).",
+)
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    wd = Window.orderBy("day")
+    lagged = None
+    for lag in (1, 2, 3, 4, 5):
+        part = daily.select(
+            F.lit(lag).alias("lag"),
+            "x",
+            F.lag("x", lag).over(wd).alias("y"),
+        ).filter(F.col("y").isNotNull())
+        lagged = part if lagged is None else lagged.unionAll(part)
+    m = lagged.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    acf = F.when(
+        (denx > 0) & (deny > 0),
+        num.cast("double")
+        / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+    )
+    return m.select("lag", "n", acf.alias("acf"))
+
+
+@Q.add(
+    "bootstrap_ci_det",
+    """
+    WITH fan AS (
+      SELECT b.b, e.value,
+             CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                                      || CAST(b.b AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 3 AS m
+      FROM events e, (SELECT CAST(r AS INT) + 1 AS b FROM range(20) t(r)) b
+    ),
+    reps AS (
+      SELECT b,
+             CAST(SUM(m * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / SUM(m) AS rep_mean
+      FROM fan GROUP BY b
+    )
+    SELECT COUNT(*) AS n_boot,
+           ROUND(quantile_cont(rep_mean, 0.05), 6) AS boot_p05,
+           ROUND(quantile_cont(rep_mean, 0.50), 6) AS boot_p50,
+           ROUND(quantile_cont(rep_mean, 0.95), 6) AS boot_p95
+    FROM reps
+    """,
+    doc="deterministic Poisson-style bootstrap CI for the mean event "
+    "value: 20 replicates, each row's multiplicity in replicate b is "
+    "md5(event_id:b) %% 3 in {0,1,2} (E~1 — the hash plays the RNG, "
+    "so both engines draw the SAME resamples; no seed state, no "
+    "collect). Replicate means are exact DECIMAL sums over integer "
+    "multiplicities; the CI is the type-7 quantile over 20 "
+    "replicate rows. The 20x fan-out is row-local (explode of a "
+    "literal range — no join), map-side combines into 20 groups; "
+    "this is the one-pass distributed bootstrap pattern (Kleiner's "
+    "BLB without the blocking).",
+)
+def bootstrap_ci_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fan = e.select(
+        F.explode(F.expr("sequence(1, 20)")).alias("b"), "value", "event_id"
+    ).select(
+        "b",
+        "value",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 3
+        ).alias("m"),
+    )
+    reps = fan.groupBy("b").agg(
+        (
+            F.expr(
+                "CAST(SUM(m * CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            )
+            / F.sum("m")
+        ).alias("rep_mean")
+    )
+    return reps.agg(
+        F.count("*").alias("n_boot"),
+        F.expr("ROUND(percentile(rep_mean, 0.05), 6)").alias("boot_p05"),
+        F.expr("ROUND(percentile(rep_mean, 0.50), 6)").alias("boot_p50"),
+        F.expr("ROUND(percentile(rep_mean, 0.95), 6)").alias("boot_p95"),
+    )
