@@ -140,6 +140,9 @@ _CHECK_PRIORITY = [
     # -- round-4 additions, eleventh wave (cheap first)
     "readability_score", "autocorrelation", "vocab_overlap_sources",
     "bootstrap_ci_det",
+    # -- round-4 additions, twelfth wave (cheap first)
+    "weighted_median", "brier_calibration", "feature_variance_audit",
+    "knn_classify",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

@@ -5271,3 +5271,215 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         uni.alias("n_union"),
         (F.col("n_inter").cast("double") / uni).alias("jaccard"),
     )
+
+
+@Q.add(
+    "knn_classify",
+    """
+    WITH nb AS (
+      SELECT q.vec_id AS query_id, v.label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, v.embedding)
+                          DESC,
+                        v.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings v ON v.vec_id >= 50
+      WHERE q.vec_id < 50
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS c
+      FROM nb WHERE rank <= 5 GROUP BY query_id, label
+    )
+    SELECT query_id, label AS pred_label, c AS n_votes FROM (
+      SELECT query_id, label, c,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY c DESC, label ASC) AS r
+      FROM votes
+    ) WHERE r = 1
+    """,
+    doc="k-NN classification over the embedding column: 50 held-out "
+    "query vectors classified by majority label of their 5 exact "
+    "cosine nearest neighbors among the training split (vec_id >= "
+    "50), vote ties broken to the smallest label — every ordering "
+    "fully tie-broken. Built on operators/similarity.brute_force_topk "
+    "(bounded query set broadcast against the vector corpus — the "
+    "corpus streams once, no pairwise shuffle); label attach is an "
+    "equi-join on neighbor id. The eval twin of sim_topk: same "
+    "kernel, downstream majority vote.",
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") >= 50)
+    queries = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nb = brute_force_topk(train, queries, k=5)
+    labeled = nb.join(
+        train.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count("*").alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            F.col("c").alias("n_votes"),
+        )
+    )
+
+
+@Q.add(
+    "brier_calibration",
+    """
+    WITH scored AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) AS draw,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    b AS (
+      SELECT LEAST(9, CAST(floor(CAST(draw AS DOUBLE) / 16777216 * 10)
+                           AS INT)) AS bucket,
+             draw, y,
+             CAST(floor((CAST(draw AS DOUBLE) / 16777216 - y)
+                        * (CAST(draw AS DOUBLE) / 16777216 - y)
+                        * 1000000 + 0.5) AS BIGINT) AS sq_fp
+      FROM scored
+    ),
+    agg AS (
+      SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(draw) AS BIGINT) AS sdraw,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(sq_fp) AS BIGINT) AS ssq
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, n,
+           CAST(sdraw AS DOUBLE) / n / 16777216 AS mean_pred,
+           CAST(sy AS DOUBLE) / n AS obs_rate,
+           CAST(SUM(ssq) OVER () AS DOUBLE) / 1000000
+             / SUM(n) OVER () AS brier
+    FROM agg
+    """,
+    doc="probability-calibration audit (reliability bins + Brier "
+    "score) for a deterministic pseudo-classifier: score = md5 "
+    "24-bit uniform (the hash-as-RNG discipline — identical draws "
+    "both engines), outcome = lang=='en'. Per-decile mean predicted "
+    "probability comes from the INTEGER draw sum (no float "
+    "accumulation); the Brier total sums per-row squared errors "
+    "snapped to 1e-6 fixed-point. One map-side-combinable rollup "
+    "over the scan; calibration math on 10 rows. Swap the hash "
+    "score for a real model score column and the plan is unchanged "
+    "— this is the model-eval primitive at 100 TB.",
+)
+def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint")
+    p = draw.cast("double") / 16777216
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    b = d.select(
+        F.least(F.lit(9), F.floor(p * 10).cast("int")).alias("bucket"),
+        draw.alias("draw"),
+        y.alias("y"),
+        F.floor((p - y) * (p - y) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sq_fp"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("draw").cast("bigint").alias("sdraw"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("sq_fp").cast("bigint").alias("ssq"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        "bucket",
+        "n",
+        (F.col("sdraw").cast("double") / F.col("n") / 16777216).alias(
+            "mean_pred"
+        ),
+        (F.col("sy").cast("double") / F.col("n")).alias("obs_rate"),
+        (
+            F.sum("ssq").over(wall).cast("double")
+            / 1000000
+            / F.sum("n").over(wall)
+        ).alias("brier"),
+    )
+
+
+@Q.add(
+    "feature_variance_audit",
+    """
+    WITH comp AS (
+      SELECT CAST(i AS INT) AS dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS fp
+      FROM (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+    ),
+    agg AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(fp) AS BIGINT) AS s,
+             CAST(SUM(fp * fp) AS BIGINT) AS ss
+      FROM comp GROUP BY dim
+    )
+    SELECT dim, n,
+           CAST(s AS DOUBLE) / n / 1000000 AS mean,
+           CAST(n * ss - s * s AS DOUBLE) / (n * n) / 1000000000000
+             AS variance,
+           (n * ss - s * s) * 1000 < n * n * 1000000000000 AS low_variance
+    FROM agg
+    """,
+    doc="near-zero-variance feature audit over the embedding matrix: "
+    "per-dimension mean/variance with every float snapped to 1e-6 "
+    "fixed-point int64 BEFORE any aggregation (embedding_silhouette's "
+    "discipline — the sums are order-independent), variance from the "
+    "exact integer moments n*ss - s^2, and the drop flag "
+    "(variance < 1e-3) decided by a PURE INTEGER cross-multiplied "
+    "comparison — no float threshold tie. Row-local 64x fan-out "
+    "fused into the scan + one map-side-combined rollup; at larger "
+    "n route the moment sums through DECIMAL(38,0) before n*ss "
+    "approaches int64 range.",
+)
+def feature_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode("embedding").alias("i", "x")
+    ).select(
+        (F.col("i") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("fp"),
+    )
+    agg = comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("fp").cast("bigint").alias("s"),
+        F.sum(F.col("fp") * F.col("fp")).cast("bigint").alias("ss"),
+    )
+    num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return agg.select(
+        "dim",
+        "n",
+        (F.col("s").cast("double") / F.col("n") / 1000000).alias("mean"),
+        (
+            num.cast("double")
+            / (F.col("n") * F.col("n"))
+            / F.lit(1000000000000.0)
+        ).alias("variance"),
+        (
+            num * 1000
+            < F.col("n") * F.col("n") * F.lit(1000000000000).cast("bigint")
+        ).alias("low_variance"),
+    )

@@ -5570,3 +5570,62 @@ def bootstrap_ci_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ROUND(percentile(rep_mean, 0.50), 6)").alias("boot_p50"),
         F.expr("ROUND(percentile(rep_mean, 0.95), 6)").alias("boot_p95"),
     )
+
+
+@Q.add(
+    "weighted_median",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1,
+                      1) AS wt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, value, wt,
+             SUM(wt) OVER (
+               PARTITION BY event_type
+               ORDER BY value, wt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(wt) OVER (PARTITION BY event_type) AS tot
+      FROM w
+    )
+    SELECT event_type, CAST(MIN(tot) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cum * 2 >= tot THEN value END) AS w_median
+    FROM c GROUP BY event_type
+    """,
+    doc="weighted median of value per event_type (weights = the "
+    "integer JSON prop + 1, so every weight is positive): the "
+    "smallest value whose cumulative weight reaches half the total "
+    "— the boundary test cum*2 >= tot is pure integer, no float "
+    "quantile interpolation, and the keyed window distributes by "
+    "group (one sort per event_type partition, no global sort). "
+    "The robust-aggregation sibling of agg_median_mode (unweighted) "
+    "and winsorize_pct (trimmed mean).",
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("bigint") + 1, F.lit(1)
+        ).alias("wt"),
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    c = e.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(wo).alias("cum"),
+        F.sum("wt").over(wp).alias("tot"),
+    )
+    return c.groupBy("event_type").agg(
+        F.min("tot").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("value"))
+        ).alias("w_median"),
+    )

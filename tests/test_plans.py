@@ -112,6 +112,9 @@ _NESTED_LOOP_ALLOWED = {
     # broadcast cross join against a BOUNDED query set (top-k requests
     # are small by definition); the big side streams once
     "sim_topk",
+    # same brute_force_topk kernel as sim_topk (bounded query set
+    # broadcast); the majority vote downstream is equi-join + window
+    "knn_classify",
     # exact all-pairs kernels: the block-pair join is the documented
     # O(n_blocks^2) sharding of an inherently quadratic computation,
     # size-gated to corpora where that is the honest plan
