@@ -143,6 +143,8 @@ _CHECK_PRIORITY = [
     # -- round-4 additions, twelfth wave (cheap first)
     "weighted_median", "brier_calibration", "feature_variance_audit",
     "knn_classify",
+    # -- round-4 additions, thirteenth wave (cheap first)
+    "minmax_downsample", "novelty_score", "embedding_power_iteration",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

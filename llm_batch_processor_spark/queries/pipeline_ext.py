@@ -5483,3 +5483,167 @@ def feature_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("n") * F.col("n") * F.lit(1000000000000).cast("bigint")
         ).alias("low_variance"),
     )
+
+
+@Q.add(
+    "novelty_score",
+    """
+    WITH g AS (
+      SELECT doc_id, t.g
+      FROM (
+        SELECT doc_id,
+               list_distinct([sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]
+                              FOR i IN range(1, len(sp) - 1)]) AS gs
+        FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+      ), unnest(gs) AS t(g)
+    ),
+    first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM g JOIN first_seen f USING (g)
+    GROUP BY g.doc_id
+    """,
+    doc="corpus novelty curve: per document, the fraction of its "
+    "distinct token 3-grams whose FIRST occurrence (min doc_id over "
+    "the whole corpus) is this document — the ingestion-order "
+    "diminishing-returns audit that tells a crawl when additional "
+    "data stops adding new content. One gram->min(doc_id) rollup "
+    "(map-side combinable) joined back to the per-doc gram stream "
+    "by gram key; at 100 TB the join key space is gram-bounded and "
+    "hot stopword grams are the salting candidates. Built on the "
+    "same distinct-3-gram frame as contamination_ngram.",
+)
+def novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import token_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(token_ngrams(F.col("text"), 3))).alias(
+            "g"
+        ),
+    )
+    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = g.join(first, "g")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+        (F.sum(novel).cast("double") / F.count("*")).alias("novelty"),
+    )
+
+
+def _power_iter_sql(k: int) -> str:
+    """One power-iteration round in DuckDB SQL: s = Xv (in-row fold),
+    w = X^T s (1e-6 fixed-point terms, exact int sums), v' = w/|w|
+    snapped back to 1e-6. Mirrors the Spark builder step-for-step."""
+    return f"""
+    s{k} AS (
+      SELECT e.embedding,
+             list_sum([CAST(e.embedding[i + 1] AS DOUBLE) * v.v[i + 1]
+                       FOR i IN range(64)]) AS s
+      FROM embeddings e, v{k - 1} v
+    ),
+    x{k} AS (
+      SELECT s, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM s{k}
+    ),
+    w{k} AS (
+      SELECT dim,
+             CAST(SUM(CAST(floor(s * CAST(x AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS w
+      FROM x{k} GROUP BY dim
+    ),
+    u{k} AS (
+      SELECT dim,
+             CAST(floor(CAST(w AS DOUBLE)
+                        / sqrt(CAST(SUM(CAST(w * w AS HUGEINT)) OVER ()
+                                    AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS val
+      FROM w{k}
+    ),
+    v{k} AS (SELECT list(val ORDER BY dim) AS v FROM u{k})"""
+
+
+@Q.add(
+    "embedding_power_iteration",
+    """
+    WITH v0 AS (SELECT [CAST(0.125 AS DOUBLE) FOR i IN range(64)] AS v),"""
+    + ",".join(_power_iter_sql(k) for k in (1, 2, 3))
+    + """
+    SELECT CAST(dim AS INT) AS dim, val AS loading FROM u3
+    """,
+    doc="top principal direction of the embedding matrix via three "
+    "power-iteration rounds (v <- normalize(X^T X v), v0 = uniform "
+    "1/8): each round computes s = Xv with an in-row ascending-dim "
+    "fold (bit-identical, no float groupBy), then w = X^T s with "
+    "every s*x term snapped to 1e-6 fixed-point BEFORE the per-dim "
+    "integer sum (order-independent across partitions), then "
+    "normalizes through an exact w*w integer sum (DECIMAL/HUGEINT "
+    "headroom) and snaps v back to 1e-6. The iteration state is ONE "
+    "64-element vector broadcast per round — the corpus streams "
+    "once per iteration, nothing else shuffles but the 64-key dim "
+    "rollup; the distributed-PCA shape (Halko sketching swaps in "
+    "for the full spectrum). Deterministic: no RNG, fixed v0, "
+    "every cross-engine float crossing snapped.",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+    vdf = spark.range(1).select(
+        F.expr("array_repeat(CAST(0.125 AS DOUBLE), 64)").alias("v")
+    )
+    w = nrm = None
+    for _ in range(3):
+        s = e.crossJoin(F.broadcast(vdf)).select(
+            F.expr(
+                "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
+                "(acc, i) -> acc + CAST(embedding[i] AS DOUBLE) * v[i])"
+            ).alias("s"),
+            "embedding",
+        )
+        x = s.select("s", F.posexplode("embedding").alias("i", "x"))
+        w = (
+            x.select(
+                (F.col("i") + 1).alias("dim"),
+                F.floor(
+                    F.col("s") * F.col("x").cast("double") * 1000000
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("t"),
+            )
+            .groupBy("dim")
+            .agg(F.sum("t").cast("bigint").alias("w"))
+        )
+        # the norm is a window aggregate over the 64-row dim frame —
+        # single partition by construction, no scalar crossJoin, no
+        # branch that would re-execute the upstream lineage
+        nrm = F.sqrt(
+            F.expr(
+                "CAST(SUM(CAST(w * w AS DECIMAL(38,0))) OVER () AS DOUBLE)"
+            )
+        )
+        snapped = w.select(
+            "dim",
+            (
+                F.floor(
+                    F.col("w").cast("double") / nrm * 1000000 + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("val"),
+        )
+        last = snapped
+        vdf = snapped.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, val))), "
+                "p -> p.val)"
+            ).alias("v")
+        )
+    return last.select(
+        F.col("dim").cast("int").alias("dim"), F.col("val").alias("loading")
+    )

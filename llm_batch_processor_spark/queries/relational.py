@@ -5629,3 +5629,68 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") * 2 >= F.col("tot"), F.col("value"))
         ).alias("w_median"),
     )
+
+
+@Q.add(
+    "minmax_downsample",
+    """
+    WITH sel AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hb,
+             event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type, epoch_ns(ts) // 3600000000000
+               ORDER BY value ASC, event_id ASC) AS r_lo,
+             row_number() OVER (
+               PARTITION BY event_type, epoch_ns(ts) // 3600000000000
+               ORDER BY value DESC, event_id ASC) AS r_hi
+      FROM events
+    )
+    SELECT event_type, CAST(hb AS BIGINT) AS hour_bucket,
+           COUNT(*) AS n_points,
+           MIN(CASE WHEN r_lo = 1 THEN event_id END) AS lo_event_id,
+           MIN(CASE WHEN r_lo = 1 THEN value END) AS lo_value,
+           MIN(CASE WHEN r_hi = 1 THEN event_id END) AS hi_event_id,
+           MIN(CASE WHEN r_hi = 1 THEN value END) AS hi_value
+    FROM sel GROUP BY event_type, hb
+    """,
+    doc="min-max downsampling for monitoring/visualization: per "
+    "(series, epoch-hour bucket) keep exactly the extreme points — "
+    "the standard lossy compaction that preserves spikes a plain "
+    "AVG rollup would smooth away. Extremes are picked by fully "
+    "tie-broken row_number windows (value, event_id), bucket time "
+    "is integer epoch-hour math; the keyed window distributes by "
+    "(series, bucket) so each partition sorts only its own points. "
+    "At 100 TB emit one (lo, hi) pair per bucket — a 10^6x "
+    "reduction ahead of any dashboard query.",
+)
+def minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "hb", F.expr("ts_ns DIV 3600000000000")
+    )
+    wlo = Window.partitionBy("event_type", "hb").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    whi = Window.partitionBy("event_type", "hb").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    sel = e.select(
+        "event_type",
+        "hb",
+        "event_id",
+        "value",
+        F.row_number().over(wlo).alias("r_lo"),
+        F.row_number().over(whi).alias("r_hi"),
+    )
+    return sel.groupBy(
+        "event_type", F.col("hb").cast("bigint").alias("hour_bucket")
+    ).agg(
+        F.count("*").alias("n_points"),
+        F.min(F.when(F.col("r_lo") == 1, F.col("event_id"))).alias(
+            "lo_event_id"
+        ),
+        F.min(F.when(F.col("r_lo") == 1, F.col("value"))).alias("lo_value"),
+        F.min(F.when(F.col("r_hi") == 1, F.col("event_id"))).alias(
+            "hi_event_id"
+        ),
+        F.min(F.when(F.col("r_hi") == 1, F.col("value"))).alias("hi_value"),
+    )

@@ -115,6 +115,10 @@ _NESTED_LOOP_ALLOWED = {
     # same brute_force_topk kernel as sim_topk (bounded query set
     # broadcast); the majority vote downstream is equi-join + window
     "knn_classify",
+    # 1-row broadcast of the 64-element iterate vector onto the
+    # embedding scan, once per power-iteration round — scalar attaches
+    # (the pagerank-shaped driver-bounded fixed point)
+    "embedding_power_iteration",
     # exact all-pairs kernels: the block-pair join is the documented
     # O(n_blocks^2) sharding of an inherently quadratic computation,
     # size-gated to corpora where that is the honest plan
