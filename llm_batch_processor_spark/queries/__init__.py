@@ -145,6 +145,9 @@ _CHECK_PRIORITY = [
     "knn_classify",
     # -- round-4 additions, thirteenth wave (cheap first)
     "minmax_downsample", "novelty_score", "embedding_power_iteration",
+    # -- round-4 additions, fourteenth wave (cheap first)
+    "rare_category_collapse", "target_encode_loo", "countmin_sketch",
+    "collocations_pmi", "graph_triangles",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

@@ -5647,3 +5647,356 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last.select(
         F.col("dim").cast("int").alias("dim"), F.col("val").alias("loading")
     )
+
+
+# ===========================================================================
+# round-4 additions, fourteenth wave: vocab capping, target encoding,
+# count-min sketch, triangle counting, collocations
+# ===========================================================================
+
+
+@Q.add(
+    "rare_category_collapse",
+    """
+    WITH cnt AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    flagged AS (
+      SELECT CASE WHEN n * 1000 < SUM(n) OVER () THEN '<unk>'
+                  ELSE tok END AS mapped_tok,
+             n
+      FROM cnt
+    )
+    SELECT mapped_tok, CAST(SUM(n) AS BIGINT) AS n_occurrences,
+           COUNT(*) AS n_types_merged
+    FROM flagged GROUP BY mapped_tok
+    """,
+    doc="vocabulary capping (rare-category collapse): tokens whose "
+    "corpus share falls below 0.1% map to '<unk>' — the OOV rule "
+    "every fixed-vocab tokenizer applies before training; the "
+    "threshold test n*1000 < total is pure integer (no float share "
+    "tie). One map-side-combined token rollup over the scan; the "
+    "collapse decision is a window over the vocab-bounded count "
+    "frame — the corpus never re-shuffles. Same plan with any "
+    "categorical feature column for cardinality capping.",
+)
+def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    wall = Window.partitionBy()
+    flagged = cnt.select(
+        F.when(
+            F.col("n") * 1000 < F.sum("n").over(wall), F.lit("<unk>")
+        )
+        .otherwise(F.col("tok"))
+        .alias("mapped_tok"),
+        "n",
+    )
+    return flagged.groupBy("mapped_tok").agg(
+        F.sum("n").cast("bigint").alias("n_occurrences"),
+        F.count("*").alias("n_types_merged"),
+    )
+
+
+@Q.add(
+    "target_encode_loo",
+    """
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN n > 1 THEN (s - e.value) / (n - 1) END AS loo_enc
+    FROM events e JOIN stats USING (event_type)
+    """,
+    doc="leave-one-out target encoding of a categorical feature: each "
+    "row's encoding is the mean target of its category EXCLUDING "
+    "itself, (S - v)/(n - 1) — the leakage-safe variant of plain "
+    "mean encoding (a row never sees its own label). Category sums "
+    "are exact DECIMAL (order-independent; S -> double is one "
+    "deterministic cast), the per-row arithmetic is the identical "
+    "double expression in both engines, singleton categories yield "
+    "NULL. A 5-row stats broadcast joined back — the fact table "
+    "streams twice, shuffles never.",
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+            "s"
+        ),
+    )
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("value")) / (F.col("n") - 1),
+        ).alias("loo_enc"),
+    )
+
+
+@Q.add(
+    "countmin_sketch",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sketch AS (
+      SELECT i.i,
+             CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || tok),
+                                  1, 6)) AS BIGINT) % 64 AS bucket,
+             COUNT(*) AS sk_n
+      FROM toks, (VALUES (0), (1)) i(i)
+      GROUP BY i.i, bucket
+    ),
+    top10 AS (
+      SELECT tok, COUNT(*) AS exact_n
+      FROM toks GROUP BY tok
+      ORDER BY exact_n DESC, tok LIMIT 10
+    ),
+    probes AS (
+      SELECT t.tok, t.exact_n, i.i,
+             CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || t.tok),
+                                  1, 6)) AS BIGINT) % 64 AS bucket
+      FROM top10 t, (VALUES (0), (1)) i(i)
+    )
+    SELECT p.tok, CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(s.sk_n) AS BIGINT) AS cms_est
+    FROM probes p JOIN sketch s ON s.i = p.i AND s.bucket = p.bucket
+    GROUP BY p.tok, p.exact_n
+    """,
+    doc="count-min sketch with DERIVED hash rows (md5(i:token) % 64, "
+    "depth 2, width 64 — the same hash on every engine and executor, "
+    "so unlike HLL/xxhash sketches this one IS oracle-checkable): "
+    "build the 128-counter sketch in one map-side-combined rollup, "
+    "then probe the exact top-10 tokens and report min-over-rows "
+    "estimates (always >= exact; collisions show as overestimates). "
+    "At 100 TB the sketch frame is 128 rows REGARDLESS of corpus "
+    "size — the whole point — and the probe side is a bounded "
+    "equi-join. The mergeable-summary pattern partial_agg_merge "
+    "generalizes.",
+)
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def bucket(i_col, tok_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", i_col.cast("string"), tok_col)
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+        )
+
+    fan = toks.select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("i"), "tok"
+    )
+    sketch = fan.select(
+        "i", bucket(F.col("i"), F.col("tok")).alias("bucket")
+    ).groupBy("i", "bucket").agg(F.count("*").alias("sk_n"))
+    top10 = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(10)
+    )
+    probes = top10.select(
+        "tok",
+        "exact_n",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("i"),
+    ).withColumn("bucket", bucket(F.col("i"), F.col("tok")))
+    return (
+        probes.join(sketch, ["i", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("sk_n").cast("bigint").alias("cms_est"))
+        .select(
+            "tok", F.col("exact_n").cast("bigint").alias("exact_n"),
+            "cms_est",
+        )
+    )
+
+
+@Q.add(
+    "graph_triangles",
+    """
+    WITH grams AS (
+      SELECT doc_id, DISTINCT_G.g
+      FROM (
+        SELECT doc_id,
+               list_distinct([string_split(text,' ')[i] || ' '
+                              || string_split(text,' ')[i+1]
+                              FOR i IN range(1, len(string_split(text,' ')))])
+                 AS gs
+        FROM documents
+      ), unnest(gs) AS DISTINCT_G(g)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+    ),
+    tris AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.id_a = e1.id_b
+      JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    nodes AS (
+      SELECT t.node FROM tris, unnest([a, b, c]) AS t(node)
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+    doc="triangle counting on the similarity graph (the clustering-"
+    "coefficient numerator — how clique-ish each near-dup "
+    "neighborhood is, a redundancy signal CC's flat components "
+    "miss): edges are graph_pagerank's exact bigram-Jaccard pairs, "
+    "triangles enumerated ONCE each via the a<b<c ordered two-hop "
+    "join (e1 a-b, e2 b-c, e3 a-c — no 6x double counting, no "
+    "nested loop: all three are equi-joins on node keys), then a "
+    "3x node fan-out and rollup. At 100 TB the ordered-join trick "
+    "is what keeps this tractable; skewed hub nodes are the "
+    "salting candidates.",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        ngram_jaccard_pairs(d, n=2, min_jaccard=0.2)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = tris.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+            "node"
+        )
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+@Q.add(
+    "collocations_pmi",
+    """
+    WITH big AS (
+      SELECT t.g,
+             string_split(t.g, ' ')[1] AS tok1,
+             string_split(t.g, ' ')[2] AS tok2
+      FROM (
+        SELECT [sp[i] || ' ' || sp[i+1]
+                FOR i IN range(1, len(sp))] AS gs
+        FROM (SELECT string_split(text, ' ') AS sp FROM documents)
+      ), unnest(gs) AS t(g)
+    ),
+    pc AS (SELECT g, tok1, tok2, COUNT(*) AS c_xy FROM big
+           GROUP BY g, tok1, tok2),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    scored AS (
+      SELECT pc.g AS pair, pc.c_xy,
+             CAST(floor(ln(CAST(pc.c_xy AS DOUBLE)
+                           * CAST(SUM(pc.c_xy) OVER () AS DOUBLE)
+                           / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS pmi_fp
+      FROM pc JOIN uni u1 ON u1.tok = pc.tok1
+              JOIN uni u2 ON u2.tok = pc.tok2
+      WHERE pc.c_xy >= 20
+    )
+    SELECT pair, CAST(c_xy AS BIGINT) AS n_pair,
+           CAST(pmi_fp AS DOUBLE) / 1000000 AS pmi
+    FROM scored
+    ORDER BY pmi_fp DESC, pair
+    LIMIT 50
+    """,
+    doc="collocation mining: top-50 adjacent bigrams by pointwise "
+    "mutual information ln(c_xy*N/(c_x*c_y)) with a min-count 20 "
+    "support floor (the classic Church-Hanks lexicographic "
+    "statistic; multiword-expression candidates for tokenizer vocab "
+    "seeding). PMI is snapped to 1e-6 fixed-point and the ordering "
+    "ties break on the pair string, so the top-50 set is "
+    "deterministic; N attaches as a window sum over the "
+    "pair-bounded frame (no scalar cross join). Unigram marginals "
+    "join by token key — vocab-bounded; the corpus streams twice "
+    "(bigrams + unigrams), shuffles only on gram/token keys.",
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import token_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    big = d.select(
+        F.explode(token_ngrams(F.col("text"), 2)).alias("g")
+    ).select(
+        "g",
+        F.split("g", " ").getItem(0).alias("tok1"),
+        F.split("g", " ").getItem(1).alias("tok2"),
+    )
+    pc = big.groupBy("g", "tok1", "tok2").agg(F.count("*").alias("c_xy"))
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    wall = Window.partitionBy()
+    u1 = uni.select(F.col("tok").alias("tok1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("tok2"), F.col("c").alias("c2"))
+    scored = (
+        pc.filter(F.col("c_xy") >= 20)
+        .withColumn("n_tot", F.sum("c_xy").over(wall))
+        .join(F.broadcast(u1), "tok1")
+        .join(F.broadcast(u2), "tok2")
+        .select(
+            F.col("g").alias("pair"),
+            "c_xy",
+            F.floor(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n_tot").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pmi_fp"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_fp"), "pair")
+        .limit(50)
+        .select(
+            "pair",
+            F.col("c_xy").cast("bigint").alias("n_pair"),
+            (F.col("pmi_fp").cast("double") / 1000000).alias("pmi"),
+        )
+    )

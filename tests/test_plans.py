@@ -154,6 +154,9 @@ _NESTED_LOOP_ALLOWED = {
     # reuses ngram_jaccard_pairs (the allowlisted exact kernel) to
     # build the edge list its fixed-point iterations run on
     "graph_pagerank",
+    # reuses ngram_jaccard_pairs (the allowlisted exact kernel) for its
+    # edge list; the triangle enumeration itself is ordered equi-joins
+    "graph_triangles",
     # 1-row broadcast of the source count onto per-source ranks — a
     # scalar attach; the corpus side streams once
     "interleave_shards",
