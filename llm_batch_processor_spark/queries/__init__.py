@@ -148,6 +148,10 @@ _CHECK_PRIORITY = [
     # -- round-4 additions, fourteenth wave (cheap first)
     "rare_category_collapse", "target_encode_loo", "countmin_sketch",
     "collocations_pmi", "graph_triangles",
+    # -- round-4 additions, fifteenth wave (cheap first)
+    "forecast_mase", "theilsen_trend", "kmeans_step",
+    # -- round-4 additions, sixteenth wave (cheap first)
+    "period_bridge", "simpson_paradox_audit", "benford_audit",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

@@ -5028,25 +5028,25 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Feeds embedding pretraining and collocation mining.",
 )
 def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    p1 = (
-        "CASE WHEN size(split(text, ' ')) < 2 THEN array() ELSE "
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1))) END"
+    # zip shifted slices instead of indexing the split inside a
+    # transform lambda — interpreted HOFs re-evaluate the outer split
+    # per element (the token_ngrams lesson; ~10x on long docs)
+    d = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("a")
     )
-    p2 = (
-        "CASE WHEN size(split(text, ' ')) < 3 THEN array() ELSE "
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 2))) END"
-    )
+
+    def shifted(offset: int):
+        m = F.greatest(F.size("a") - offset, F.lit(0))
+        zipped = F.arrays_zip(
+            F.slice("a", 1, m), F.slice("a", 1 + offset, m)
+        )
+        return F.transform(
+            zipped, lambda p: F.concat_ws(" ", p["0"], p["1"])
+        )
+
     return (
         d.select(
-            F.explode(
-                F.expr(f"concat(cast({p1} as array<string>), "
-                       f"cast({p2} as array<string>))")
-            ).alias("pair")
+            F.explode(F.concat(shifted(1), shifted(2))).alias("pair")
         )
         .groupBy("pair")
         .agg(F.count("*").alias("n"))
@@ -5439,7 +5439,7 @@ def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s AS DOUBLE) / n / 1000000 AS mean,
            CAST(n * ss - s * s AS DOUBLE) / (n * n) / 1000000000000
              AS variance,
-           (n * ss - s * s) * 1000 < n * n * 1000000000000 AS low_variance
+           n * ss - s * s < n * n * 1000000000 AS low_variance
     FROM agg
     """,
     doc="near-zero-variance feature audit over the embedding matrix: "
@@ -5478,9 +5478,10 @@ def feature_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n"))
             / F.lit(1000000000000.0)
         ).alias("variance"),
+        # threshold var < 1e-3 as integers: num < n^2 * 1e9 (the
+        # x1000-rescaled form overflows int64 once n*ss nears 1e18)
         (
-            num * 1000
-            < F.col("n") * F.col("n") * F.lit(1000000000000).cast("bigint")
+            num < F.col("n") * F.col("n") * F.lit(1000000000).cast("bigint")
         ).alias("low_variance"),
     )
 
@@ -5562,7 +5563,7 @@ def _power_iter_sql(k: int) -> str:
     u{k} AS (
       SELECT dim,
              CAST(floor(CAST(w AS DOUBLE)
-                        / sqrt(CAST(SUM(CAST(w * w AS HUGEINT)) OVER ()
+                        / sqrt(CAST(SUM(CAST(w AS HUGEINT) * w) OVER ()
                                     AS DOUBLE))
                         * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS val
       FROM w{k}
@@ -5623,9 +5624,11 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the norm is a window aggregate over the 64-row dim frame —
         # single partition by construction, no scalar crossJoin, no
         # branch that would re-execute the upstream lineage
+        # widen BEFORE the square: w*w in int64 overflows once the
+        # per-dim sums pass ~3e9 (the variance-audit lesson)
         nrm = F.sqrt(
             F.expr(
-                "CAST(SUM(CAST(w * w AS DECIMAL(38,0))) OVER () AS DOUBLE)"
+                "CAST(SUM(CAST(w AS DECIMAL(28,0)) * w) OVER () AS DOUBLE)"
             )
         )
         snapped = w.select(
@@ -5999,4 +6002,98 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_xy").cast("bigint").alias("n_pair"),
             (F.col("pmi_fp").cast("double") / 1000000).alias("pmi"),
         )
+    )
+
+
+@Q.add(
+    "kmeans_step",
+    """
+    WITH cb AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < 10
+    ),
+    d AS (
+      SELECT e.vec_id, e.embedding, cb.cid,
+             list_sum(
+               [(CAST(e.embedding[i + 1] AS DOUBLE)
+                 - CAST(cb.ce[i + 1] AS DOUBLE))
+                * (CAST(e.embedding[i + 1] AS DOUBLE)
+                   - CAST(cb.ce[i + 1] AS DOUBLE))
+                FOR i IN range(64)]) AS d2
+      FROM embeddings e, cb
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT cid,
+             CAST(i AS INT) AS dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS fp
+      FROM (
+        SELECT cid, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM assigned
+      )
+    )
+    SELECT cid AS cluster, dim,
+           COUNT(*) AS n_members,
+           CAST(SUM(fp) AS DOUBLE) / COUNT(*) / 1000000 AS centroid
+    FROM comp GROUP BY cid, dim
+    """,
+    doc="one Lloyd iteration of k-means over the embedding column "
+    "(k=10, centroids declared as the first 10 vectors — "
+    "embedding_pq_assign's deterministic-seed discipline): the "
+    "assignment step folds each vector-centroid L2^2 over dims "
+    "ascending IN-ROW (bit-identical doubles), argmin tie-broken by "
+    "centroid id; the UPDATE step — what pq_assign does not do — "
+    "recomputes every centroid as the per-dim mean of its members "
+    "with 1e-6 fixed-point component sums (order-independent). "
+    "Shapes: 10-row codebook broadcast, row-local 64-fold, one "
+    "(vec)-argmin window, one 64x fan + (cluster, dim) rollup — "
+    "the corpus streams twice, shuffles only on the 640-key "
+    "centroid rollup. Chain it and you have distributed k-means; "
+    "the fixed-point snap keeps every round reproducible.",
+)
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cb = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    d = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.expr(
+            "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, i) -> "
+            "acc + (CAST(embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))"
+            " * (CAST(embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))"
+        ).alias("d2"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        d.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    comp = assigned.select(
+        "cid", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "cid",
+        (F.col("i") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("fp"),
+    )
+    return comp.groupBy(
+        F.col("cid").alias("cluster"), "dim"
+    ).agg(
+        F.count("*").alias("n_members"),
+        (
+            F.sum("fp").cast("double") / F.count("*") / 1000000
+        ).alias("centroid"),
     )

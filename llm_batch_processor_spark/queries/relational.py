@@ -5694,3 +5694,392 @@ def minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min(F.when(F.col("r_hi") == 1, F.col("value"))).alias("hi_value"),
     )
+
+
+@Q.add(
+    "theilsen_trend",
+    """
+    WITH daily AS (
+      SELECT epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS x
+      FROM events GROUP BY d
+    ),
+    pairs AS (
+      SELECT (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE))
+               / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON b.d > a.d
+    )
+    SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+           COUNT(*) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.50), 6) AS slope_per_day,
+           ROUND(quantile_cont(slope, 0.50) * 7, 6) AS slope_per_week
+    FROM pairs
+    """,
+    doc="Theil-Sen robust trend estimator on the daily event-count "
+    "series: the median of all pairwise slopes (x_j - x_i)/(d_j - "
+    "d_i) over integer epoch-days — outlier-resistant where OLS "
+    "(agg_regression) is not, 29% breakdown point. Slopes are "
+    "single divisions of exact integers (identical doubles both "
+    "engines); the median is the type-7 quantile over the "
+    "days^2/2-bounded pair frame. The distributed stage is the "
+    "daily rollup; the O(days^2) pair join runs on a frame whose "
+    "size the calendar bounds, not the corpus.",
+)
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("ts_ns DIV 86400000000000").alias("d")
+    ).agg(F.count("*").alias("x"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        (
+            (F.col("xb").cast("double") - F.col("xa").cast("double"))
+            / (F.col("db") - F.col("da")).cast("double")
+        ).alias("slope")
+    )
+    nd = daily.agg(F.count("*").alias("n_days"))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("ROUND(percentile(slope, 0.50), 6)").alias("slope_per_day"),
+        F.expr("ROUND(percentile(slope, 0.50) * 7, 6)").alias(
+            "slope_per_week"
+        ),
+    ).crossJoin(F.broadcast(nd)).select(
+        "n_days", "n_pairs", "slope_per_day", "slope_per_week"
+    )
+
+
+@Q.add(
+    "forecast_mase",
+    """
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS x
+      FROM events GROUP BY day
+    ),
+    lagged AS (
+      SELECT day, x,
+             lag(x, 7) OVER (ORDER BY day) AS yhat,
+             lag(x, 1) OVER (ORDER BY day) AS prev
+      FROM daily
+    ),
+    scored AS (
+      SELECT day, x, yhat,
+             CASE WHEN yhat IS NOT NULL THEN ABS(x - yhat) END AS abs_err,
+             CASE WHEN prev IS NOT NULL THEN ABS(x - prev) END AS naive_err
+      FROM lagged
+    )
+    SELECT day, x AS n_events, yhat AS forecast, abs_err,
+           (CAST(SUM(abs_err) OVER () AS DOUBLE)
+            / SUM(CASE WHEN abs_err IS NOT NULL THEN 1 END) OVER ())
+           / (CAST(SUM(naive_err) OVER () AS DOUBLE)
+              / SUM(CASE WHEN naive_err IS NOT NULL THEN 1 END) OVER ())
+             AS mase
+    FROM scored
+    """,
+    doc="seasonal-naive forecast backtest with MASE (Hyndman's "
+    "scale-free benchmark metric): forecast_t = x_{t-7} (same "
+    "weekday last week), error scaled by the in-sample naive "
+    "|x_t - x_{t-1}| MAE. Every error is an exact integer; the two "
+    "MAEs and their ratio are identical double divisions — no "
+    "float accumulates across rows. The distributed stage is the "
+    "daily rollup; the lag/window math runs on the days-bounded "
+    "series. MASE < 1 means the seasonal forecast beats naive — "
+    "the go/no-go gate before shipping any fancier model.",
+)
+def forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("x"))
+    wd = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "x",
+        F.lag("x", 7).over(wd).alias("yhat"),
+        F.lag("x", 1).over(wd).alias("prev"),
+    )
+    scored = lagged.select(
+        "day",
+        "x",
+        "yhat",
+        F.when(
+            F.col("yhat").isNotNull(), F.abs(F.col("x") - F.col("yhat"))
+        ).alias("abs_err"),
+        F.when(
+            F.col("prev").isNotNull(), F.abs(F.col("x") - F.col("prev"))
+        ).alias("naive_err"),
+    )
+    wall = Window.partitionBy()
+    mae = F.sum("abs_err").over(wall).cast("double") / F.sum(
+        F.when(F.col("abs_err").isNotNull(), 1)
+    ).over(wall)
+    nmae = F.sum("naive_err").over(wall).cast("double") / F.sum(
+        F.when(F.col("naive_err").isNotNull(), 1)
+    ).over(wall)
+    return scored.select(
+        "day",
+        F.col("x").alias("n_events"),
+        F.col("yhat").alias("forecast"),
+        "abs_err",
+        (mae / nmae).alias("mase"),
+    )
+
+
+@Q.add(
+    "benford_audit",
+    """
+    WITH cents AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS d
+      FROM cents WHERE c > 0
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    spine AS (SELECT CAST(r AS INT) + 1 AS d FROM range(9) t(r)),
+    j AS (
+      SELECT spine.d, COALESCE(n, 0) AS n
+      FROM spine LEFT JOIN obs ON spine.d = obs.d
+    ),
+    terms AS (
+      SELECT d, n,
+             CAST(n AS DOUBLE) / SUM(n) OVER () AS share,
+             ln(1.0 + 1.0 / d) / ln(10.0) AS expected
+      FROM j
+    )
+    SELECT d AS first_digit, CAST(n AS BIGINT) AS n,
+           share, expected AS benford_expected,
+           CAST(SUM(CAST(floor((share - expected) * (share - expected)
+                               / expected * 1000000 + 0.5) AS BIGINT))
+                OVER () AS DOUBLE) / 1000000 AS chi2_stat
+    FROM terms
+    """,
+    doc="Benford's-law first-digit audit (the classic fabricated-data "
+    "/ unit-mixing detector): leading digits extracted via INTEGER "
+    "cents -> string (no float log10, no locale formatting — int-to-"
+    "string is identical in both engines), all 9 digits reported on "
+    "an explicit spine, expected shares ln(1+1/d)/ln(10) computed "
+    "by the identical expression, and the chi-square-style deviation "
+    "total summed in 1e-6 fixed-point. One map-side-combined digit "
+    "rollup over the scan; audit math on 9 rows.",
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = e.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c")
+    ).filter(F.col("c") > 0)
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    spine = spark.range(9).select((F.col("id") + 1).cast("int").alias("d"))
+    j = spine.join(F.broadcast(obs), "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wall = Window.partitionBy()
+    terms = j.select(
+        "d",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wall)).alias("share"),
+        (F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))).alias(
+            "expected"
+        ),
+    )
+    term_fp = F.floor(
+        (F.col("share") - F.col("expected"))
+        * (F.col("share") - F.col("expected"))
+        / F.col("expected")
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return terms.select(
+        F.col("d").alias("first_digit"),
+        F.col("n").cast("bigint").alias("n"),
+        "share",
+        F.col("expected").alias("benford_expected"),
+        (F.sum(term_fp).over(wall).cast("double") / 1000000).alias(
+            "chi2_stat"
+        ),
+    )
+
+
+@Q.add(
+    "period_bridge",
+    """
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN epoch_ns(ts) // 86400000000000 - 19723 < 15
+                  THEN 0 ELSE 1 END AS period,
+             value
+      FROM events
+    ),
+    seg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN period = 0
+                           THEN CAST(value AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS v0,
+             CAST(SUM(CASE WHEN period = 1
+                           THEN CAST(value AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS v1,
+             CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM halves GROUP BY event_type
+    )
+    SELECT event_type, n0, n1, v0, v1,
+           v1 - v0 AS delta,
+           (v1 - v0) - (CAST(SUM(CAST(v1 - v0 AS DECIMAL(18,6))) OVER ()
+                             AS DOUBLE)
+                        / COUNT(*) OVER ()) AS delta_vs_avg,
+           CAST(SUM(CAST(v1 - v0 AS DECIMAL(18,6))) OVER () AS DOUBLE)
+             AS total_bridge
+    FROM seg
+    """,
+    doc="period-over-period bridge (waterfall) analysis: total value "
+    "change between the first and second 15-day period decomposed "
+    "into per-segment deltas that sum EXACTLY to the total (the "
+    "finance-review contract a float accumulation would violate) — "
+    "per-segment sums and the cross-segment bridge both go through "
+    "DECIMAL(18,6), so segment deltas and their total are "
+    "bit-consistent. The period split is integer epoch-day math "
+    "(day 19723 = 2024-01-01). One conditional-aggregation rollup; "
+    "bridge math on the segment-bounded frame.",
+)
+def period_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    halves = e.select(
+        "event_type",
+        F.when(
+            F.expr("ts_ns DIV 86400000000000") - 19723 < 15, 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        "value",
+    )
+    seg = halves.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN period = 0 "
+            "THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
+        ).alias("v0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN period = 1 "
+            "THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
+        ).alias("v1"),
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    wall = Window.partitionBy()
+    delta = F.col("v1") - F.col("v0")
+    bridge = F.expr(
+        "CAST(SUM(CAST(v1 - v0 AS DECIMAL(18,6))) "
+        "OVER () AS DOUBLE)"
+    )
+    return seg.select(
+        "event_type",
+        "n0",
+        "n1",
+        "v0",
+        "v1",
+        delta.alias("delta"),
+        (delta - bridge / F.count("*").over(wall)).alias("delta_vs_avg"),
+        bridge.alias("total_bridge"),
+    )
+
+
+@Q.add(
+    "simpson_paradox_audit",
+    """
+    WITH fp AS (
+      SELECT event_type,
+             CAST(floor(value + 0.5) AS BIGINT) AS x,
+             COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+               AS y
+      FROM events
+    ),
+    grouped AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM fp GROUP BY event_type
+    ),
+    pooled AS (
+      SELECT 'ALL' AS event_type, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(sx) AS BIGINT) AS sx, CAST(SUM(sy) AS BIGINT) AS sy,
+             CAST(SUM(sxy) AS BIGINT) AS sxy,
+             CAST(SUM(sxx) AS BIGINT) AS sxx,
+             CAST(SUM(syy) AS BIGINT) AS syy
+      FROM grouped
+    ),
+    unioned AS (
+      SELECT event_type, n, sx, sy, sxy, sxx, syy FROM grouped
+      UNION ALL SELECT * FROM pooled
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS corr
+    FROM unioned
+    """,
+    doc="Simpson's-paradox audit: the value~prop correlation computed "
+    "per segment AND pooled in the same frame — a sign flip between "
+    "the 'ALL' row and the segments is the paradox warning every "
+    "aggregate-level A/B readout needs. Both inputs are exact "
+    "integers (value in cents via floor, the JSON prop as-is), so "
+    "the per-group moments are order-independent int sums, the "
+    "pooled moments are EXACT SUMS OF THE GROUP MOMENTS (one pass, "
+    "no second scan — the mergeable-statistics property "
+    "partial_agg_merge pins), and only the final sqrt/division "
+    "touch floats. Values are floored to whole units before the "
+    "moments (x<=490, x^2<=2.5e5) so n*sxx stays int64-safe past "
+    "sf100 — the correlation of the rounded variable, documented; "
+    "cents-level precision would overflow n*sxx at sf0.1.",
+)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fp = e.select(
+        "event_type",
+        F.floor(F.col("value") + F.lit(0.5)).cast("bigint").alias("x"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)
+        ).alias("y"),
+    )
+    grouped = fp.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = grouped.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sxy").cast("bigint").alias("sxy"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+        F.sum("syy").cast("bigint").alias("syy"),
+    ).select(F.lit("ALL").alias("event_type"), "n", "sx", "sy", "sxy",
+             "sxx", "syy")
+    unioned = grouped.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx", "syy"
+    ).unionAll(pooled)
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.when(
+        (denx > 0) & (deny > 0),
+        num.cast("double")
+        / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+    )
+    return unioned.select(
+        "event_type", F.col("n").cast("bigint").alias("n"),
+        corr.alias("corr"),
+    )

@@ -119,6 +119,13 @@ _NESTED_LOOP_ALLOWED = {
     # embedding scan, once per power-iteration round — scalar attaches
     # (the pagerank-shaped driver-bounded fixed point)
     "embedding_power_iteration",
+    # 1-row broadcast of the day count onto the single-row slope
+    # median — a scalar attach; the pair join itself is a range
+    # condition over the days-bounded daily frame
+    "theilsen_trend",
+    # 10-row codebook broadcast onto the vector scan — the
+    # embedding_pq_assign shape (bounded centroid fan-out)
+    "kmeans_step",
     # exact all-pairs kernels: the block-pair join is the documented
     # O(n_blocks^2) sharding of an inherently quadratic computation,
     # size-gated to corpora where that is the honest plan
