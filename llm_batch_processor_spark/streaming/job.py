@@ -39,12 +39,23 @@ def run_stream_job(
     error_path: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    exactly_once: bool = False,
 ) -> StreamingQuery:
     """Run the LLM map over a JSONL directory stream.
 
     ``available_now=True`` processes everything currently in the
     directory then stops (the batch-parity mode used by tests);
     ``False`` runs until ``query.stop()``.
+
+    ``exactly_once=True`` makes the file sinks IDEMPOTENT under
+    micro-batch replay: output lands partitioned by ``batch_id`` with
+    dynamic partition overwrite, so reprocessing a batch (failure
+    between sink write and checkpoint commit, or a lost checkpoint)
+    REPLACES that batch's partition instead of appending duplicates —
+    foreachBatch's at-least-once contract upgraded to exactly-once by
+    keying the write on the deterministic batch id. The default
+    (append) matches the reference's stdout semantics where replays
+    re-emit.
     """
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
@@ -56,9 +67,19 @@ def run_stream_job(
         result = llm_map(good, spec, backend)
         out = result.df.cache()  # one inference pass, two sinks
         try:
-            out.filter("error IS NULL").select("id", "texts", "images").write.mode(
-                "append"
-            ).json(output_path)
+            good_out = out.filter("error IS NULL").select(
+                "id", "texts", "images"
+            )
+            if exactly_once:
+                (
+                    good_out.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .json(output_path)
+                )
+            else:
+                good_out.write.mode("append").json(output_path)
             if error_path is not None:
                 infer_errs = out.filter("error IS NOT NULL").select(
                     F.to_json(F.struct("id", "error")).alias("value")
@@ -73,7 +94,17 @@ def run_stream_job(
                         )
                     ).alias("value")
                 )
-                infer_errs.unionAll(corrupt_errs).write.mode("append").text(error_path)
+                errs = infer_errs.unionAll(corrupt_errs)
+                if exactly_once:
+                    (
+                        errs.withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("batch_id")
+                        .text(error_path)
+                    )
+                else:
+                    errs.write.mode("append").text(error_path)
         finally:
             out.unpersist()
 

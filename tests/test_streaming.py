@@ -602,3 +602,50 @@ def test_stream_stream_interval_join_attributes_within_gap(spark, tmp_path):
     assert got == {
         ("u1", "2026-01-01 00:00:00", "2026-01-01 00:05:00")
     }
+
+
+def test_exactly_once_sink_idempotent_under_replay(spark, tmp_path):
+    import shutil
+
+    from llm_batch_processor_spark.streaming.job import run_stream_job
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    inp.mkdir()
+    recs = [{"id": f"r{i}", "texts": {"input": f"msg {i}"}} for i in range(4)]
+    (inp / "a.jsonl").write_text("\n".join(json.dumps(r) for r in recs))
+
+    spec = JobSpec.from_dict(
+        dict(
+            id="xo",
+            erb_source="Say: {{ texts['input'] }}",
+            backend_endpoint="mock://x",
+            model="m1",
+            output_label="resp",
+        )
+    )
+
+    def run():
+        q = run_stream_job(
+            spark,
+            spec,
+            str(inp),
+            str(out),
+            str(ckpt),
+            MockChatBackend(),
+            available_now=True,
+            exactly_once=True,
+        )
+        _await(q)
+
+    run()
+    first = spark.read.json(str(out)).collect()
+    assert len(first) == 4
+
+    # simulate a lost checkpoint: the source replays from scratch and
+    # foreachBatch re-runs the SAME batch ids. The batch_id-partitioned
+    # dynamic overwrite must replace, not append.
+    shutil.rmtree(ckpt)
+    run()
+    replayed = spark.read.json(str(out)).collect()
+    assert len(replayed) == 4, "replay duplicated rows — sink not idempotent"
+    assert {r["id"] for r in replayed} == {"r0", "r1", "r2", "r3"}
