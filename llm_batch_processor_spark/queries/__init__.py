@@ -152,6 +152,9 @@ _CHECK_PRIORITY = [
     "forecast_mase", "theilsen_trend", "kmeans_step",
     # -- round-4 additions, sixteenth wave (cheap first)
     "period_bridge", "simpson_paradox_audit", "benford_audit",
+    # -- round-4 additions, seventeenth wave (cheap first)
+    "feature_lag_matrix", "reconciliation_audit",
+    "attribution_position", "mmr_rerank",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

@@ -6097,3 +6097,167 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fp").cast("double") / F.count("*") / 1000000
         ).alias("centroid"),
     )
+
+
+def _mmr_dot_sql(x: str, y: str) -> str:
+    """Ascending-dim list fold — the SAME op order Spark's aggregate()
+    uses; never the engine's builtin cosine, whose internal order we
+    can't pin. Norms are computed ONCE per vector and reused (same
+    bits as re-deriving; 3x smaller expression trees)."""
+    return (
+        f"list_sum([CAST({x}[i + 1] AS DOUBLE)"
+        f" * CAST({y}[i + 1] AS DOUBLE) FOR i IN range(64)])"
+    )
+
+
+def _mmr_round_sql(k: int) -> str:
+    return f"""
+    m{k} AS (
+      SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+             MAX({_mmr_dot_sql('c.embedding', 's.embedding')}
+                 / (c.nrm * s.nrm)) AS ms
+      FROM c0 c, sel{k - 1} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+      GROUP BY c.vec_id, c.embedding, c.nrm, c.rel
+    ),
+    b{k} AS (
+      SELECT vec_id, embedding, nrm, {k} AS step,
+             0.7 * rel - 0.3 * ms AS score, rel
+      FROM m{k} ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel{k} AS (SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM b{k})"""
+
+
+@Q.add(
+    "mmr_rerank",
+    """
+    WITH q AS (
+      SELECT embedding AS qe,
+             sqrt("""
+    + _mmr_dot_sql("embedding", "embedding")
+    + """) AS qnrm
+      FROM embeddings WHERE vec_id = 0
+    ),
+    c0 AS (
+      SELECT vec_id, embedding, nrm, dq / (nrm * qnrm) AS rel
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt("""
+    + _mmr_dot_sql("embedding", "embedding")
+    + """) AS nrm,
+               """
+    + _mmr_dot_sql("embedding", "qe")
+    + """ AS dq, qnrm
+        FROM embeddings, q WHERE vec_id <> 0
+      )
+      ORDER BY rel DESC, vec_id LIMIT 20
+    ),
+    sel1 AS (
+      SELECT vec_id, embedding, nrm, 1 AS step, 0.7 * rel AS score, rel
+      FROM c0 ORDER BY rel DESC, vec_id LIMIT 1
+    ),"""
+    + ",".join(_mmr_round_sql(k) for k in (2, 3, 4, 5))
+    + """
+    SELECT CAST(step AS INT) AS step, vec_id, ROUND(score, 6) AS score
+    FROM sel5
+    """,
+    doc="maximal-marginal-relevance reranking (Carbonell-Goldstein, "
+    "the diversity-aware retrieval step RAG pipelines run after "
+    "ANN): from the top-20 cosine candidates for one query, "
+    "greedily select 5 maximizing 0.7*rel - 0.3*max-sim-to-"
+    "selected. Every cosine — query-candidate AND candidate-"
+    "candidate — is the SAME ascending-dim in-row fold on both "
+    "engines (never the engine's builtin cosine, whose op order "
+    "isn't pinned), argmaxes tie-break on vec_id. The greedy loop "
+    "is 4 rounds over a 20-row candidate frame x a <=4-row "
+    "selected set — bounded broadcasts, the corpus is touched only "
+    "by the initial top-k (brute force here; sim_ann_* are the "
+    "scale path that feeds MMR its candidates at 100 TB).",
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return (
+            f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + CAST({x}[i] AS DOUBLE)"
+            f" * CAST({y}[i] AS DOUBLE))"
+        )
+
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("qnrm"),
+    )
+    cands = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("nrm"),
+            F.expr(f"{dot('embedding', 'qe')}").alias("dq"),
+            "qnrm",
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (F.col("dq") / (F.col("nrm") * F.col("qnrm"))).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(20)
+        .persist()
+    )
+    selected = (
+        cands.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.lit(1).alias("step"),
+            (F.lit(0.7) * F.col("rel")).alias("score"),
+        )
+        .persist()
+    )
+    for k in (2, 3, 4, 5):
+        s = selected.select(
+            F.col("embedding").alias("s_emb"), F.col("nrm").alias("s_nrm")
+        )
+        m = (
+            cands.join(
+                selected.select("vec_id"), "vec_id", "left_anti"
+            )
+            .crossJoin(F.broadcast(s))
+            .select(
+                "vec_id",
+                "rel",
+                (
+                    F.expr(f"{dot('embedding', 's_emb')}")
+                    / (F.col("nrm") * F.col("s_nrm"))
+                ).alias("ps"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("ps").alias("ms"))
+        )
+        best = (
+            m.select(
+                "vec_id",
+                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .join(cands.select("vec_id", "embedding", "nrm"), "vec_id")
+            .select(
+                "vec_id", "embedding", "nrm", F.lit(k).alias("step"),
+                "score",
+            )
+        )
+        selected = selected.unionByName(best).persist()
+    return selected.select(
+        F.col("step").cast("int").alias("step"),
+        "vec_id",
+        F.round("score", 6).alias("score"),
+    )

@@ -6083,3 +6083,214 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("n").cast("bigint").alias("n"),
         corr.alias("corr"),
     )
+
+
+@Q.add(
+    "attribution_position",
+    """
+    WITH touches AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    credited AS (
+      SELECT t.user_id, t.event_id,
+             CASE
+               WHEN t.n = 1 THEN 1000000
+               WHEN t.n = 2 THEN 500000
+               WHEN t.pos = 1 OR t.pos = t.n THEN 400000
+               ELSE 200000 // (t.n - 2)
+             END AS credit_ppm,
+             c.revenue
+      FROM touches t JOIN conv c USING (user_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_touches,
+           CAST(SUM(credit_ppm) AS BIGINT) AS total_ppm,
+           MIN(revenue) AS revenue
+    FROM credited
+    GROUP BY user_id
+    """,
+    doc="position-based (U-shaped 40/20/40) multi-touch attribution — "
+    "the third member of the attribution family (last_touch, "
+    "linear): first and last touch get 40% credit each, the middle "
+    "splits 20%, degenerate 1- and 2-touch paths get 100/50-50. "
+    "Credits are INTEGER parts-per-million (200000/(n-2) is exact "
+    "int division — identical truncation both engines; total_ppm "
+    "audits the rounding loss per path), conversion revenue is an "
+    "exact DECIMAL rollup. Keyed windows order each user's path; "
+    "the converters join is per-user equi. Same shape at 100 TB: "
+    "windows distribute by user, no global sort.",
+)
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wn = Window.partitionBy("user_id")
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(wp).alias("pos"),
+            F.count("*").over(wn).alias("n"),
+        )
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("revenue")
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(400000),
+        )
+        .otherwise(F.expr("200000 DIV (n - 2)"))
+    )
+    credited = touches.join(conv, "user_id").select(
+        "user_id", "event_id", credit.alias("credit_ppm"), "revenue"
+    )
+    return credited.groupBy("user_id").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("credit_ppm").cast("bigint").alias("total_ppm"),
+        F.min("revenue").alias("revenue"),
+    )
+
+
+@Q.add(
+    "reconciliation_audit",
+    """
+    WITH lt AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS computed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.o_totalprice, lt.computed,
+             CASE
+               WHEN lt.computed IS NULL THEN 'missing_lineitems'
+               WHEN o.o_totalprice * 10 < lt.computed * 5
+                 THEN 'under_half'
+               WHEN o.o_totalprice * 10 < lt.computed * 9
+                 THEN 'low_0.5_0.9'
+               WHEN o.o_totalprice * 10 <= lt.computed * 11
+                 THEN 'near_0.9_1.1'
+               WHEN o.o_totalprice * 10 <= lt.computed * 20
+                 THEN 'high_1.1_2'
+               ELSE 'over_double'
+             END AS bucket
+      FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey
+    )
+    SELECT bucket, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS header_total,
+           CAST(SUM(CAST(COALESCE(computed, 0) AS DECIMAL(18,6)))
+                AS DOUBLE) AS line_total
+    FROM j GROUP BY bucket
+    """,
+    doc="cross-table reconciliation audit: order-header totals vs the "
+    "recomputed lineitem sum extprice*(1-disc)*(1+tax), bucketed by "
+    "discrepancy ratio — the finance close-of-books check (and on "
+    "this synthetic data it correctly reports that NO header "
+    "reconciles, which is exactly what the audit exists to catch). "
+    "Ratio buckets are decided by integer-scaled cross "
+    "multiplication (x10 vs x5/x9/x11/x20 — no float division at "
+    "the boundary), both totals are exact DECIMAL sums. One "
+    "per-order rollup + a key equi-join; at 100 TB both sides "
+    "shuffle once on orderkey — the classic co-partition/bucketing "
+    "candidate (sources/bucketed writer pre-pays exactly this).",
+)
+def reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lt = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+            " AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("computed")
+    )
+    j = o.join(lt, o.o_orderkey == lt.l_orderkey, "left")
+    t10 = F.col("o_totalprice") * 10
+    bucket = (
+        F.when(F.col("computed").isNull(), "missing_lineitems")
+        .when(t10 < F.col("computed") * 5, "under_half")
+        .when(t10 < F.col("computed") * 9, "low_0.5_0.9")
+        .when(t10 <= F.col("computed") * 11, "near_0.9_1.1")
+        .when(t10 <= F.col("computed") * 20, "high_1.1_2")
+        .otherwise("over_double")
+    )
+    return j.select(
+        bucket.alias("bucket"), "o_totalprice", "computed"
+    ).groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("header_total"),
+        F.expr(
+            "CAST(SUM(CAST(COALESCE(computed, 0) AS DECIMAL(18,6))) "
+            "AS DOUBLE)"
+        ).alias("line_total"),
+    )
+
+
+@Q.add(
+    "feature_lag_matrix",
+    """
+    WITH daily AS (
+      SELECT user_id, epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS x
+      FROM events GROUP BY user_id, d
+    )
+    SELECT user_id, CAST(d AS BIGINT) AS epoch_day, x,
+           lag(x, 1) OVER w AS lag1,
+           lag(x, 7) OVER w AS lag7,
+           CAST(SUM(x) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS sum7,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    """,
+    doc="feature-store lag matrix: per (entity, day) activity with "
+    "lag-1 / lag-7 and trailing-7-row sums — the standard "
+    "covariate block fed to churn/LTV models, materialized as a "
+    "feature table. NOTE the frame is the last 7 OBSERVED days "
+    "(rows), not calendar days — gap_fill_days + win_frame_range "
+    "cover the calendar-frame variant. Everything is integer; "
+    "keyed windows distribute by entity (one user's history per "
+    "partition), no global sort — the same plan at 1e9 entities.",
+)
+def feature_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.expr("ts_ns DIV 86400000000000").alias("d")
+    ).agg(F.count("*").alias("x"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    w7 = w.rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "user_id",
+        F.col("d").cast("bigint").alias("epoch_day"),
+        "x",
+        F.lag("x", 1).over(w).alias("lag1"),
+        F.lag("x", 7).over(w).alias("lag7"),
+        F.sum("x").over(w7).cast("bigint").alias("sum7"),
+        F.count("*").over(w7).alias("n7"),
+    )

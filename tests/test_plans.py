@@ -126,6 +126,10 @@ _NESTED_LOOP_ALLOWED = {
     # 10-row codebook broadcast onto the vector scan — the
     # embedding_pq_assign shape (bounded centroid fan-out)
     "kmeans_step",
+    # 1-row query broadcast for the initial top-20, then <=4-row
+    # selected-set broadcasts per greedy round — all bounded scalar
+    # attaches over the 20-row candidate frame
+    "mmr_rerank",
     # exact all-pairs kernels: the block-pair join is the documented
     # O(n_blocks^2) sharding of an inherently quadratic computation,
     # size-gated to corpora where that is the honest plan
