@@ -155,6 +155,8 @@ _CHECK_PRIORITY = [
     # -- round-4 additions, seventeenth wave (cheap first)
     "feature_lag_matrix", "reconciliation_audit",
     "attribution_position", "mmr_rerank",
+    # -- round-4 additions, eighteenth wave (cheap first)
+    "lsh_tuning_curve", "extractive_summary", "embedding_analogy",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

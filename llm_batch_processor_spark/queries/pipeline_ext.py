@@ -6261,3 +6261,267 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("score", 6).alias("score"),
     )
+
+
+@Q.add(
+    "lsh_tuning_curve",
+    """
+    WITH grid AS (
+      SELECT b, r FROM (VALUES (8, 4), (16, 4), (32, 3), (64, 2)) g(b, r)
+    ),
+    sims AS (
+      SELECT CAST(i AS INT) AS si,
+             CAST(i AS DOUBLE) / 10 AS s
+      FROM range(1, 10) t(i)
+    ),
+    curve AS (
+      SELECT grid.b, grid.r, sims.si, sims.s,
+             CAST(floor(
+               (1.0 - exp(CAST(grid.b AS DOUBLE)
+                          * ln(1.0 - exp(CAST(grid.r AS DOUBLE)
+                                         * ln(sims.s)))))
+               * 1000000 + 0.5) AS BIGINT) AS p_fp
+      FROM grid, sims
+    )
+    SELECT b, r, s, CAST(p_fp AS DOUBLE) / 1000000 AS p_collide
+    FROM curve
+    """,
+    doc="MinHash-LSH banding tuning curve: candidate-pair probability "
+    "1-(1-s^r)^b over a (bands, rows) grid x similarity 0.1..0.9 — "
+    "the S-curve that picks b,r for a target similarity threshold "
+    "before any 100 TB dedup run (the engineering companion to "
+    "dedup_minhash, whose seeded hashes are rows-only). Powers are "
+    "spelled exp(k*ln(x)) with the IDENTICAL expression in both "
+    "engines (pow() is not correctly rounded cross-engine; exp/ln "
+    "1-ulp wobble is absorbed by the 1e-6 fixed-point snap), "
+    "grids are literal spines — zero table reads, zero shuffles.",
+)
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.createDataFrame(
+        [(8, 4), (16, 4), (32, 3), (64, 2)], ["b", "r"]
+    )
+    sims = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("si"),
+        (F.col("id").cast("double") / 10).alias("s"),
+    )
+    curve = grid.crossJoin(sims).select(
+        "b",
+        "r",
+        "si",
+        "s",
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.exp(
+                    F.col("b").cast("double")
+                    * F.log(
+                        F.lit(1.0)
+                        - F.exp(F.col("r").cast("double") * F.log("s"))
+                    )
+                )
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("p_fp"),
+    )
+    return curve.select(
+        "b", "r", "s",
+        (F.col("p_fp").cast("double") / 1000000).alias("p_collide"),
+    )
+
+
+@Q.add(
+    "extractive_summary",
+    """
+    WITH sents AS (
+      SELECT doc_id, CAST(i AS INT) AS sent_idx, trim(s) AS sentence
+      FROM (
+        SELECT doc_id, unnest(ss) AS s, generate_subscripts(ss, 1) AS i
+        FROM (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS ss
+              FROM documents)
+      ) WHERE trim(s) <> ''
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS dfreq
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    stoks AS (
+      SELECT doc_id, sent_idx, t.tok
+      FROM (
+        SELECT doc_id, sent_idx,
+               list_distinct(string_split(sentence, ' ')) AS ts
+        FROM sents
+      ), unnest(ts) AS t(tok)
+    ),
+    scored AS (
+      SELECT s.doc_id, s.sent_idx,
+             CAST(SUM(CAST(floor(
+               ln((1.0 + n.n_docs) / (1.0 + df.dfreq)) * 1000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS score_fp
+      FROM stoks s JOIN df ON df.tok = s.tok, n
+      GROUP BY s.doc_id, s.sent_idx
+    )
+    SELECT doc_id, sent_idx, score_fp FROM (
+      SELECT doc_id, sent_idx, score_fp,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_fp DESC, sent_idx) AS rn
+      FROM scored
+    ) WHERE rn <= 2
+    """,
+    doc="extractive summarization (Luhn/TextRank-lite): pick each "
+    "document's top-2 sentences by summed token IDF — rare-term-"
+    "dense sentences carry the document's information. Sentence "
+    "ordinals from the posexplode split (sentence_split's rule), "
+    "IDF per token snapped to 1e-6 fixed-point BEFORE the "
+    "per-sentence integer sum (order-independent), top-2 fully "
+    "tie-broken by sentence position. The IDF table is "
+    "vocab-bounded and broadcasts; the doc side streams once "
+    "through explode -> join -> (doc, sent) rollup -> per-doc "
+    "window — the same shape as tfidf_topk one grain up.",
+)
+def extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sents = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\.\s+")).alias("i", "s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i") + 1).cast("int").alias("sent_idx"),
+            F.trim("s").alias("sentence"),
+        )
+        .filter(F.col("sentence") != "")
+    )
+    dfreq = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    n_docs = d.count()
+    stoks = sents.select(
+        "doc_id",
+        "sent_idx",
+        F.explode(
+            F.array_distinct(F.split("sentence", " "))
+        ).alias("tok"),
+    )
+    idf_fp = F.floor(
+        F.log((1.0 + F.lit(n_docs)) / (1.0 + F.col("dfreq"))) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        stoks.join(F.broadcast(dfreq), "tok")
+        .select("doc_id", "sent_idx", idf_fp.alias("idf_fp"))
+        .groupBy("doc_id", "sent_idx")
+        .agg(F.sum("idf_fp").cast("bigint").alias("score_fp"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), "sent_idx"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("doc_id", "sent_idx", "score_fp")
+    )
+
+
+@Q.add(
+    "embedding_analogy",
+    """
+    WITH abc AS (
+      SELECT
+        MAX(CASE WHEN vec_id = 0 THEN embedding END) AS va,
+        MAX(CASE WHEN vec_id = 1 THEN embedding END) AS vb,
+        MAX(CASE WHEN vec_id = 2 THEN embedding END) AS vc
+      FROM embeddings WHERE vec_id < 3
+    ),
+    tgt AS (
+      SELECT [CAST(va[i + 1] AS DOUBLE) - CAST(vb[i + 1] AS DOUBLE)
+              + CAST(vc[i + 1] AS DOUBLE) FOR i IN range(64)] AS t
+      FROM abc
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             list_sum([CAST(e.embedding[i + 1] AS DOUBLE) * t[i + 1]
+                       FOR i IN range(64)])
+             / (sqrt(list_sum([CAST(e.embedding[i + 1] AS DOUBLE)
+                               * CAST(e.embedding[i + 1] AS DOUBLE)
+                               FOR i IN range(64)]))
+                * sqrt(list_sum([t[i + 1] * t[i + 1]
+                                 FOR i IN range(64)]))) AS sim
+      FROM embeddings e, tgt
+      WHERE e.vec_id >= 3
+    )
+    SELECT CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 6) AS sim
+    FROM (
+      SELECT vec_id, sim,
+             row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="vector-arithmetic analogy retrieval (king - man + woman): "
+    "target = v0 - v1 + v2 composed IN-ROW (zip over ascending "
+    "dims), then exact cosine top-5 over the remaining corpus with "
+    "the same ascending-dim fold both engines (mmr_rerank's "
+    "discipline — never the builtin cosine) and id tie-breaks. The "
+    "1-row target broadcasts; the corpus streams once; swap the "
+    "brute-force tail for sim_ann_* at 100 TB. MAX(CASE) pivots "
+    "the three source vectors into one row without a window.",
+)
+def embedding_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return (
+            f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + CAST({x}[i] AS DOUBLE)"
+            f" * CAST({y}[i] AS DOUBLE))"
+        )
+
+    abc = e.filter(F.col("vec_id") < 3).agg(
+        F.max(F.when(F.col("vec_id") == 0, F.col("embedding"))).alias("va"),
+        F.max(F.when(F.col("vec_id") == 1, F.col("embedding"))).alias("vb"),
+        F.max(F.when(F.col("vec_id") == 2, F.col("embedding"))).alias("vc"),
+    )
+    tgt = abc.select(
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            "CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)"
+            " + CAST(vc[i] AS DOUBLE))"
+        ).alias("t")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= 3)
+        .crossJoin(F.broadcast(tgt))
+        .select(
+            "vec_id",
+            (
+                F.expr(dot("embedding", "t"))
+                / (
+                    F.sqrt(F.expr(dot("embedding", "embedding")))
+                    * F.sqrt(F.expr(dot("t", "t")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("sim", 6).alias("sim"),
+        )
+    )

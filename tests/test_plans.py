@@ -130,6 +130,12 @@ _NESTED_LOOP_ALLOWED = {
     # selected-set broadcasts per greedy round — all bounded scalar
     # attaches over the 20-row candidate frame
     "mmr_rerank",
+    # the query IS a cross of two literal spines (4 configs x 9
+    # similarity points) — 36 rows, zero table reads
+    "lsh_tuning_curve",
+    # 1-row broadcast of the composed target vector onto the corpus
+    # scan — a scalar attach; the corpus streams once
+    "embedding_analogy",
     # exact all-pairs kernels: the block-pair join is the documented
     # O(n_blocks^2) sharding of an inherently quadratic computation,
     # size-gated to corpora where that is the honest plan
