@@ -157,6 +157,8 @@ _CHECK_PRIORITY = [
     "attribution_position", "mmr_rerank",
     # -- round-4 additions, eighteenth wave (cheap first)
     "lsh_tuning_curve", "extractive_summary", "embedding_analogy",
+    # -- round-4 additions, nineteenth wave (cheap first)
+    "rule_violation_matrix", "lifecycle_stages", "seasonal_decompose",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

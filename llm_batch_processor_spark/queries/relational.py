@@ -6294,3 +6294,244 @@ def feature_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(w7).cast("bigint").alias("sum7"),
         F.count("*").over(w7).alias("n7"),
     )
+
+
+@Q.add(
+    "seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS x
+      FROM events GROUP BY d
+    ),
+    tr AS (
+      SELECT d, x,
+             CAST(SUM(x) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend,
+             CAST((d + 4) % 7 AS INT) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT d, x, trend, dow,
+             CAST(floor((x - trend) * 1000000 + 0.5) AS BIGINT) AS det_fp
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(det_fp) AS BIGINT) AS s_fp,
+             COUNT(*) AS sn
+      FROM det GROUP BY dow
+    )
+    SELECT det.d AS epoch_day, det.x AS n_events,
+           det.trend,
+           CAST(seas.s_fp AS DOUBLE) / seas.sn / 1000000 AS seasonal,
+           CAST(det.det_fp AS DOUBLE) / 1000000
+             - CAST(seas.s_fp AS DOUBLE) / seas.sn / 1000000 AS remainder
+    FROM det JOIN seas USING (dow)
+    """,
+    doc="classical seasonal decomposition of the daily count series "
+    "(additive, STL-lite): trend = centered 7-point moving average "
+    "(exact integer sum / window count, one double division), "
+    "seasonal = per-day-of-week mean of the detrended series with "
+    "detrended values snapped to 1e-6 fixed-point BEFORE the "
+    "cross-row mean (order-independent — integer epoch dow, no "
+    "locale), remainder = detrended - seasonal. The distributed "
+    "stage is the daily rollup; decomposition runs on the "
+    "days-bounded series joined to a 7-row seasonal table. "
+    "Companion to seasonality_profile (raw dow means) and "
+    "forecast_mase (what to run after removing seasonality).",
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("ts_ns DIV 86400000000000").alias("d")
+    ).agg(F.count("*").alias("x"))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "x",
+        (F.sum("x").over(w).cast("double") / F.count("*").over(w)).alias(
+            "trend"
+        ),
+        F.expr("CAST((d + 4) % 7 AS INT)").alias("dow"),
+    )
+    det = tr.withColumn(
+        "det_fp",
+        F.floor((F.col("x") - F.col("trend")) * 1000000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    seas = det.groupBy("dow").agg(
+        F.sum("det_fp").cast("bigint").alias("s_fp"),
+        F.count("*").alias("sn"),
+    )
+    jd = det.join(F.broadcast(seas), "dow")
+    seasonal = F.col("s_fp").cast("double") / F.col("sn") / 1000000
+    return jd.select(
+        F.col("d").alias("epoch_day"),
+        F.col("x").alias("n_events"),
+        "trend",
+        seasonal.alias("seasonal"),
+        (F.col("det_fp").cast("double") / 1000000 - seasonal).alias(
+            "remainder"
+        ),
+    )
+
+
+@Q.add(
+    "lifecycle_stages",
+    """
+    WITH bounds AS (SELECT MAX(epoch_ns(ts)) AS hi FROM events),
+    u AS (
+      SELECT user_id,
+             MIN(epoch_ns(ts)) AS first_ns, MAX(epoch_ns(ts)) AS last_ns,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id, n_events,
+             CASE
+               WHEN hi - first_ns < 7 * 86400000000000 THEN 'new'
+               WHEN hi - last_ns > 86400000000000 THEN 'churned'
+               ELSE 'active'
+             END AS stage
+      FROM u, bounds
+    )
+    SELECT stage, COUNT(*) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER () AS user_share
+    FROM staged GROUP BY stage
+    """,
+    doc="user lifecycle staging at the snapshot instant (max event "
+    "time): 'new' = first seen within 7 days, 'churned' = silent "
+    "for over a day (thresholds sized to this dense 30-day "
+    "corpus), else 'active' — the health rollup every "
+    "growth dashboard leads with. All boundaries are integer "
+    "epoch-ns comparisons against a 1-row bounds broadcast; one "
+    "per-user extent rollup (map-side combinable) then a 3-row "
+    "stage aggregate. Same shape as split_time_leakage, pointed "
+    "at retention instead of leakage.",
+)
+def lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    b = e.agg(F.max("ts_ns").alias("hi"))
+    u = e.groupBy("user_id").agg(
+        F.min("ts_ns").alias("first_ns"),
+        F.max("ts_ns").alias("last_ns"),
+        F.count("*").alias("n_events"),
+    )
+    day_ns = 86400000000000
+    staged = u.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "n_events",
+        F.when(
+            F.col("hi") - F.col("first_ns") < 7 * day_ns, "new"
+        )
+        .when(F.col("hi") - F.col("last_ns") > day_ns, "churned")
+        .otherwise("active")
+        .alias("stage"),
+    )
+    wall = Window.partitionBy()
+    agg = staged.groupBy("stage").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    return agg.select(
+        "stage",
+        "n_users",
+        "n_events",
+        (
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(wall)
+        ).alias("user_share"),
+    )
+
+
+@Q.add(
+    "rule_violation_matrix",
+    """
+    WITH checked AS (
+      SELECT event_id,
+             CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END
+               AS r_value_pos,
+             CASE WHEN epoch_ns(ts) // 86400000000000
+                       NOT BETWEEN 19723 AND 19752 THEN 1 ELSE 0 END
+               AS r_ts_range,
+             CASE WHEN json_extract_string(props, '$.k') IS NULL
+                  THEN 1 ELSE 0 END AS r_props_k,
+             CASE WHEN event_type NOT IN
+                       ('click', 'view', 'purchase', 'signup', 'error')
+                  THEN 1 ELSE 0 END AS r_type_enum
+      FROM events
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(r_value_pos) AS BIGINT) AS v_value_pos,
+           CAST(SUM(r_ts_range) AS BIGINT) AS v_ts_range,
+           CAST(SUM(r_props_k) AS BIGINT) AS v_props_k,
+           CAST(SUM(r_type_enum) AS BIGINT) AS v_type_enum,
+           CAST(SUM(CASE WHEN r_value_pos + r_ts_range + r_props_k
+                              + r_type_enum > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_any_violation,
+           CAST(SUM(CASE WHEN r_value_pos + r_ts_range + r_props_k
+                              + r_type_enum > 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS violation_rate
+    FROM checked
+    """,
+    doc="data-contract rule engine: four declarative row rules "
+    "(positive value, timestamp inside the contract window — "
+    "integer epoch-days 19723..19752 = 2024-01 — parseable JSON "
+    "prop, event_type in the enum) evaluated in ONE pass as 0/1 "
+    "flag columns, then per-rule violation counts plus the "
+    "any-violation rollup. The flags are row-local codegen "
+    "expressions fused into the scan — adding a rule adds a "
+    "column, never a pass; at 100 TB this is the schema-contract "
+    "gate run before ingestion promotes a batch. Companions: "
+    "profile_stats (discovery), referential_check (cross-table).",
+)
+def rule_violation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    checked = e.select(
+        "event_id",
+        F.when(
+            F.col("value").isNull() | (F.col("value") <= 0), 1
+        )
+        .otherwise(0)
+        .alias("r_value_pos"),
+        F.when(
+            ~F.expr("ts_ns DIV 86400000000000").between(19723, 19752), 1
+        )
+        .otherwise(0)
+        .alias("r_ts_range"),
+        F.when(F.get_json_object("props", "$.k").isNull(), 1)
+        .otherwise(0)
+        .alias("r_props_k"),
+        F.when(
+            ~F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_type_enum"),
+    )
+    any_v = (
+        F.col("r_value_pos")
+        + F.col("r_ts_range")
+        + F.col("r_props_k")
+        + F.col("r_type_enum")
+        > 0
+    )
+    return checked.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("r_value_pos").cast("bigint").alias("v_value_pos"),
+        F.sum("r_ts_range").cast("bigint").alias("v_ts_range"),
+        F.sum("r_props_k").cast("bigint").alias("v_props_k"),
+        F.sum("r_type_enum").cast("bigint").alias("v_type_enum"),
+        F.sum(F.when(any_v, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_any_violation"),
+        (
+            F.sum(F.when(any_v, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("violation_rate"),
+    )

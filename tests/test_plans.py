@@ -196,6 +196,9 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row broadcast of the epoch-ns bounds onto the per-user extent
     # rollup — a scalar attach feeding the split flags
     "split_time_leakage",
+    # 1-row broadcast of the snapshot instant onto the per-user extent
+    # rollup — a scalar attach feeding the stage boundaries
+    "lifecycle_stages",
     # 1-row broadcast of the contingency grand total onto the 35-cell
     # table — a scalar attach; the marginals join by equi-keys
     "chi2_independence",
