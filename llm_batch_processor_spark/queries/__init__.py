@@ -159,6 +159,8 @@ _CHECK_PRIORITY = [
     "lsh_tuning_curve", "extractive_summary", "embedding_analogy",
     # -- round-4 additions, nineteenth wave (cheap first)
     "rule_violation_matrix", "lifecycle_stages", "seasonal_decompose",
+    # -- round-4 additions, twentieth wave (cheap first)
+    "quantile_bands_daily", "share_of_parent", "cycle_time_stats",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

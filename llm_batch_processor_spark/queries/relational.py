@@ -6535,3 +6535,145 @@ def rule_violation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("violation_rate"),
     )
+
+
+@Q.add(
+    "share_of_parent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS share_of_total
+    FROM rev
+    """,
+    doc="hierarchical share-of-parent: each nation's revenue as a "
+    "fraction of its region and of the grand total, in one frame — "
+    "the BI drill-down contract agg_rollup's subtotals feed. "
+    "Revenue is an exact DECIMAL rollup (order-independent; the "
+    "shares divide identical doubles); the share windows run over "
+    "the 25-row nation frame, never the fact table. Dimension "
+    "joins broadcast (region 5, nation 25, customer dim); the "
+    "orders scan streams once — the star-join shape Catalyst "
+    "reorders for free at 100 TB.",
+)
+def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+            ).alias("rev_dec")
+        )
+    )
+    # the share denominators sum DECIMALS (exact, order-independent) —
+    # summing the 25 revenue doubles drifts an ulp between engines
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(wr).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(wall).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
+@Q.add(
+    "cycle_time_stats",
+    """
+    WITH cyc AS (
+      SELECT o.o_orderpriority,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           ROUND(quantile_cont(days, 0.50), 4) AS p50_days,
+           ROUND(quantile_cont(days, 0.90), 4) AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM cyc GROUP BY o_orderpriority
+    """,
+    doc="order-to-ship cycle time distribution per priority class — "
+    "the fulfillment SLA readout: integer DATE datediff (the "
+    "date_funcs parity path — no timestamp subtraction, no tz), "
+    "type-7 p50/p90 over the "
+    "per-priority populations, min/max as exact integers. The "
+    "orderkey join is the co-partition/bucketing candidate at 100 "
+    "TB (reconciliation_audit's shape); the exact percentile sorts "
+    "per group — swap percentile_approx past memory bounds.",
+)
+def cycle_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cyc = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("days"),
+    )
+    return cyc.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.expr("ROUND(percentile(days, 0.50), 4)").alias("p50_days"),
+        F.expr("ROUND(percentile(days, 0.90), 4)").alias("p90_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+
+
+@Q.add(
+    "quantile_bands_daily",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.10), 4) AS p10,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.90), 4) AS p90
+    FROM events GROUP BY day
+    """,
+    doc="daily P10/P50/P90 monitoring bands over event values — the "
+    "percentile ribbon every latency/value dashboard draws (and "
+    "the input minmax_downsample complements with extremes): "
+    "type-7 interpolated quantiles per day partition, day keys as "
+    "integer-derived strings. One keyed exact-percentile aggregate "
+    "— each day's population sorts within its partition; at 100 TB "
+    "per-day populations are the percentile_approx candidate while "
+    "the plan shape stays identical.",
+)
+def quantile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr("ROUND(percentile(value, 0.10), 4)").alias("p10"),
+        F.expr("ROUND(percentile(value, 0.50), 4)").alias("p50"),
+        F.expr("ROUND(percentile(value, 0.90), 4)").alias("p90"),
+    )
