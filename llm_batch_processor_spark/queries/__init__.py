@@ -161,6 +161,8 @@ _CHECK_PRIORITY = [
     "rule_violation_matrix", "lifecycle_stages", "seasonal_decompose",
     # -- round-4 additions, twentieth wave (cheap first)
     "quantile_bands_daily", "share_of_parent", "cycle_time_stats",
+    # -- round-4 additions, twenty-first wave (cheap first)
+    "heatmap_dow_hour", "discount_lift", "hhi_concentration",
     # -- spare-slot preference among previously-checked queries: the
     # r01-only rows, stalest-first refresh order (VERDICT r03 item 5)
     "scan_jsonl", "sink_jsonl", "llm_map_mock", "think_strip",

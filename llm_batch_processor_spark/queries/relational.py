@@ -6677,3 +6677,170 @@ def quantile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ROUND(percentile(value, 0.50), 4)").alias("p50"),
         F.expr("ROUND(percentile(value, 0.90), 4)").alias("p90"),
     )
+
+
+@Q.add(
+    "discount_lift",
+    """
+    WITH tiers AS (
+      SELECT CAST(floor(l_discount * 100 + 0.5) AS INT) AS disc_pct,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    )
+    SELECT disc_pct, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS avg_price
+    FROM tiers GROUP BY disc_pct
+    """,
+    doc="discount-lift analysis: average quantity and price per "
+    "integer discount tier (floor(discount*100+0.5) — the exact "
+    "integer-cents bucketing, no float group keys) — the promo-"
+    "effectiveness readout that feeds price-elasticity estimates; "
+    "rising avg_qty across tiers is the lift signal. Means are "
+    "exact-DECIMAL sums over one map-side-combined rollup keyed on "
+    "~12 tiers; the lineitem scan streams once, projecting three "
+    "columns (pushdown pins the narrow ReadSchema).",
+)
+def discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    tiers = li.select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("int")
+        .alias("disc_pct"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return tiers.groupBy("disc_pct").agg(
+        F.count("*").alias("n"),
+        (
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+            )
+            / F.count("*")
+        ).alias("avg_qty"),
+        (
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) "
+                "AS DOUBLE)"
+            )
+            / F.count("*")
+        ).alias("avg_price"),
+    )
+
+
+@Q.add(
+    "heatmap_dow_hour",
+    """
+    WITH cells AS (
+      SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+             CAST((epoch_ns(ts) // 3600000000000) % 24 AS INT) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY dow, hour
+    )
+    SELECT dow, hour, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM cells
+    """,
+    doc="activity heatmap matrix: event counts and share by (integer-"
+    "epoch day-of-week x hour-of-day) — the traffic-shape profile "
+    "behind capacity planning and anomaly baselines (pairs with "
+    "seasonal_decompose's dow seasonality). Both axes are pure "
+    "integer epoch arithmetic (no timezone, no locale); one "
+    "map-side-combined rollup to a <=168-cell frame, share as a "
+    "window over that bounded frame.",
+)
+def heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.expr("CAST((ts_ns DIV 86400000000000 + 4) % 7 AS INT)").alias(
+            "dow"
+        ),
+        F.expr("CAST((ts_ns DIV 3600000000000) % 24 AS INT)").alias(
+            "hour"
+        ),
+    ).agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hour",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(wall)).alias("share"),
+    )
+
+
+@Q.add(
+    "hhi_concentration",
+    """
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    shares AS (
+      SELECT segment,
+             CAST(rev_dec AS DOUBLE)
+               / CAST(SUM(rev_dec) OVER (PARTITION BY segment) AS DOUBLE)
+               AS share
+      FROM seg
+    ),
+    terms AS (
+      SELECT segment,
+             CAST(floor(share * share * 10000000000 + 0.5) AS BIGINT)
+               AS sq_fp
+      FROM shares
+    )
+    SELECT segment, COUNT(*) AS n_customers,
+           CAST(SUM(sq_fp) AS DOUBLE) / 10000000000 AS hhi
+    FROM terms GROUP BY segment
+    """,
+    doc="Herfindahl-Hirschman concentration index per market segment "
+    "(sum of squared customer revenue shares — the antitrust/"
+    "platform-risk metric; 1/n = perfectly even, 1 = monopoly; "
+    "grouped companion to concentration_8020 and agg_gini): "
+    "segment denominators are exact DECIMAL window sums (the "
+    "share_of_parent lesson), each squared share snaps to 1e-10 "
+    "fixed-point BEFORE the cross-customer sum so the reduction is "
+    "order-independent at HHI's small magnitudes (~1/n^2 terms). "
+    "One (segment, customer) rollup + windows on the "
+    "customer-bounded frame.",
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), "o_custkey"
+        )
+        .agg(
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,6)))").alias(
+                "rev_dec"
+            )
+        )
+    )
+    ws = Window.partitionBy("segment")
+    shares = seg.select(
+        "segment",
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(ws).cast("double")
+        ).alias("share"),
+    )
+    terms = shares.select(
+        "segment",
+        F.floor(
+            F.col("share") * F.col("share") * F.lit(10000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("sq_fp"),
+    )
+    return terms.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        (F.sum("sq_fp").cast("double") / F.lit(10000000000.0)).alias(
+            "hhi"
+        ),
+    )
