@@ -77,11 +77,14 @@ def main() -> int:
     total = round(sum(per_query.values()), 3)
     sf_label = os.path.basename(os.path.normpath(args.sf))
 
-    # The driver captures only a bounded tail of stdout and JSON-parses
-    # it; round 2's 130-query line overran that window and recorded
-    # "parsed": null. Keep the printed line under ~2800 chars: full
-    # per-query detail goes to BENCH_FULL.json (committed), and the
-    # printed "queries" dict keeps the slowest entries that fit.
+    # The driver captures only a bounded TAIL of stdout and JSON-parses
+    # it. Round 2's 130-query line overran that window ("parsed": null);
+    # round 3's ~2800-char cap still failed at 272 queries — the r04
+    # tail started MID-JSON, so line + preamble exceeded the window.
+    # Fix for real: the printed line carries only total + the top-20
+    # slowest queries (~1 KB), and it is emitted AFTER spark.stop() so
+    # it is the last stdout line — tail capture cannot decapitate it.
+    # Full per-query detail goes to BENCH_FULL.json (committed).
     # Subset runs (--only, e.g. the pytest bench-contract test) must
     # not clobber the committed full-inventory artifact.
     full_path = os.path.join(
@@ -101,28 +104,22 @@ def main() -> int:
         )
         f.write("\n")
 
-    def line_for(qdict: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "full_inventory_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": qdict,
-                "queries_omitted": len(per_query) - len(qdict),
-                "queries_full": os.path.basename(full_path),
-                "sf": sf_label,
-                "n_queries": len(per_query),
-            },
-            separators=(",", ":"),
-        )
-
-    by_cost = sorted(per_query.items(), key=lambda kv: -kv[1])
-    shown = dict(by_cost)
-    while len(shown) > 1 and len(line_for(shown)) > 2800:
-        by_cost.pop()
-        shown = dict(by_cost)
-    print(line_for(shown))
+    top20 = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:20])
+    line = json.dumps(
+        {
+            "metric": "full_inventory_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": top20,
+            "queries_omitted": len(per_query) - len(top20),
+            "queries_full": os.path.basename(full_path),
+            "sf": sf_label,
+            "n_queries": len(per_query),
+        },
+        separators=(",", ":"),
+    )
     spark.stop()
+    print(line, flush=True)
     return 0
 
 

@@ -34,7 +34,15 @@ def test_bench_emits_driver_contract_json():
     # contract: ONE JSON line on stdout
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")]
     assert len(lines) == 1, proc.stdout
+    # the driver captures a bounded stdout TAIL: the JSON line must be
+    # the LAST non-empty line, small (top-20 slowest only), so a
+    # 272-query run can never overrun the capture window again
+    nonempty = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert nonempty[-1] == lines[0], proc.stdout
+    assert len(lines[0]) < 1500, len(lines[0])
     rec = json.loads(lines[0])
+    assert len(rec["queries"]) <= 20
+    assert "queries_omitted" in rec
     assert rec["unit"] == "sec"
     assert isinstance(rec["value"], (int, float))
     assert set(rec["queries"]) == {"scan_parquet", "agg_global"}

@@ -27,6 +27,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--slow", type=float, default=2.5)
+    ap.add_argument(
+        "--first",
+        type=int,
+        default=0,
+        help="window simulation: run only the first N queries in driver "
+        "order (the driver records 50 rows/round) and print every "
+        "per-query cold time, not just the slow ones",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,9 +50,12 @@ def main() -> int:
     print(f"entry(): {n_entry} rows")
 
     qs = E.queries()
+    if args.first:
+        qs = dict(list(qs.items())[: args.first])
     t0 = time.time()
     failures: list[tuple[str, str]] = []
     slow: list[tuple[str, float]] = []
+    times: list[tuple[str, float]] = []
     for name, fn in qs.items():
         t1 = time.time()
         try:
@@ -53,11 +64,15 @@ def main() -> int:
             failures.append((name, str(exc)[:160]))
             continue
         dt = time.time() - t1
+        times.append((name, round(dt, 2)))
         if dt > args.slow:
             slow.append((name, round(dt, 1)))
     total = time.time() - t0
     print(f"ran {len(qs)} queries in {total:.0f}s on a stock session")
     print(f"slow (>{args.slow}s): {slow}")
+    if args.first:
+        for name, dt in times:
+            print(f"  {dt:6.2f}  {name}")
     if failures:
         print("FAILURES:")
         for name, msg in failures:
