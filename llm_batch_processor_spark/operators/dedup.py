@@ -368,15 +368,33 @@ def simhash_pairs(
 def _dense_jaccard_pairs(
     sets_df: DataFrame, vocab: np.ndarray, t: float, id_dtype: str, block_size: int, n_docs: int
 ) -> DataFrame:
-    """Exact all-pairs Jaccard via blocked binary GEMM (small-vocab path).
+    """Exact all-pairs Jaccard via blocked sparse/dense kernel
+    (small-vocab path).
 
     ``sets_df``: (id, gh: array<long>) distinct hashed gram sets.
     ``vocab``: the SORTED distinct gram hashes (tiny by definition of
     this path — it was collected to the driver and ships with the task
     closures; no dimension-table join, no posting explode/shuffle).
-    Docs map to {0,1} vectors with ``np.searchsorted``; blocks of
-    ~block_size docs each; every unordered block pair is one task
-    multiplying two {0,1} matrices."""
+    Blocks of ~block_size docs each; every unordered block pair is one
+    task. Within a task the intersection counts are computed by an
+    ADAPTIVE micro-kernel (exact either way):
+
+    - posting-join (default): sort both blocks' (gram, row) postings by
+      gram, expand the per-gram cross products with searchsorted +
+      repeat, and bincount the (row_a, row_b) keys — cost is
+      sum_g df_a(g)*df_b(g), i.e. proportional to how many gram
+      occurrences the two blocks actually SHARE. Docs are ~0.3-1%%
+      dense over the vocab, so this beats the dense multiply by ~2
+      orders of magnitude, and block pairs with little gram overlap
+      (distinct sub-corpora, sharded crawls) cost almost nothing —
+      this is what keeps the blocked kernel sub-quadratic in practice
+      when the corpus is clustered (sf1 scale probe: 39x -> ~4x on
+      10x docs).
+    - dense {0,1} GEMM fallback: when the predicted posting expansion
+      exceeds the dense FLOP count (hub grams present in most docs —
+      df^2 blowup), one matrix multiply per block pair is cheaper;
+      the worst case therefore never regresses past the old kernel.
+    """
     n_blocks = max(1, math.ceil(n_docs / block_size))
     packed = (
         sets_df.select(
@@ -397,15 +415,46 @@ def _dense_jaccard_pairs(
         )
     )
 
+    V = len(vocab)
+
     def unpack(rows):
         ids = np.array([r["id"] for r in rows])
         lens = [len(r["gh"]) for r in rows]
         sz = np.array(lens, dtype=np.float64)
-        M = np.zeros((len(rows), len(vocab)), dtype=np.float32)
         row_idx = np.repeat(np.arange(len(rows)), lens)
         col_idx = np.searchsorted(vocab, np.concatenate([np.asarray(r["gh"]) for r in rows]))
-        M[row_idx, col_idx] = 1.0
-        return ids, sz, M
+        return ids, sz, row_idx, col_idx
+
+    def inter_counts(ra, ca, nA, rb, cb, nB):
+        """Exact nonzero intersection counts between two doc blocks.
+
+        Returns (ii, jj, inter): row indices into A and B and the
+        shared-gram count, for every pair sharing >= 1 gram."""
+        dfa = np.bincount(ca, minlength=V).astype(np.int64)
+        dfb = np.bincount(cb, minlength=V).astype(np.int64)
+        expansion = int(dfa @ dfb)
+        if expansion > nA * nB:  # hub-gram blowup: dense GEMM is cheaper
+            A = np.zeros((nA, V), dtype=np.float32)
+            A[ra, ca] = 1.0
+            B = np.zeros((nB, V), dtype=np.float32)
+            B[rb, cb] = 1.0
+            inter = (A @ B.T).astype(np.float64)  # exact 0/1 counts
+            ii, jj = np.nonzero(inter)
+            return ii, jj, inter[ii, jj]
+        oa = np.argsort(ca, kind="stable")
+        ga, ra_s = ca[oa], ra[oa]
+        ob = np.argsort(cb, kind="stable")
+        gb, rb_s = cb[ob], rb[ob]
+        left = np.searchsorted(gb, ga, "left")
+        cnt = np.searchsorted(gb, ga, "right") - left
+        ra_exp = np.repeat(ra_s, cnt)
+        offs = np.cumsum(cnt) - cnt
+        idx = np.arange(int(cnt.sum())) - np.repeat(offs, cnt) + np.repeat(left, cnt)
+        rb_exp = rb_s[idx]
+        keys = ra_exp.astype(np.int64) * nB + rb_exp
+        counts = np.bincount(keys)
+        nz = np.nonzero(counts)[0]
+        return nz // nB, nz % nB, counts[nz].astype(np.float64)
 
     def score(batches):
         for pdf in batches:
@@ -413,12 +462,12 @@ def _dense_jaccard_pairs(
             for ba, bb, rows_a, rows_b in zip(
                 pdf["ba"], pdf["bb"], pdf["rows_a"], pdf["rows_b"]
             ):
-                ids_a, sz_a, A = unpack(rows_a)
-                ids_b, sz_b, B = unpack(rows_b)
-                inter = (A @ B.T).astype(np.float64)  # exact 0/1 counts
-                jacc = inter / (sz_a[:, None] + sz_b[None, :] - inter)
-                ii, jj = np.nonzero(jacc >= t)
-                ia, ib, jv = ids_a[ii], ids_b[jj], jacc[ii, jj]
+                ids_a, sz_a, ra, ca = unpack(rows_a)
+                ids_b, sz_b, rb, cb = unpack(rows_b)
+                ii, jj, inter = inter_counts(ra, ca, len(ids_a), rb, cb, len(ids_b))
+                jacc = inter / (sz_a[ii] + sz_b[jj] - inter)
+                sel = jacc >= t
+                ia, ib, jv = ids_a[ii[sel]], ids_b[jj[sel]], jacc[sel]
                 keep = (ia < ib) if ba == bb else (ia != ib)
                 ia, ib, jv = ia[keep], ib[keep], jv[keep]
                 lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
@@ -464,6 +513,11 @@ def ngram_jaccard_pairs(
     (``t*|a| <= |b| <= |a|/t``) prunes further before verification
     against the full gram arrays (array_intersect)."""
     t = float(min_jaccard)
+    if t <= 0.0:
+        # both kernels only ever materialize pairs sharing >= 1 gram;
+        # t = 0 would ask for the full n^2 cross product, which is
+        # never the operator anyone wants at scale
+        raise ValueError("min_jaccard must be > 0")
     # hashed gram sets, materialized once: the vocabulary probe and both
     # downstream strategies consume them (lazy persist below 1 M rows —
     # the count right after fills the cache in the same job)

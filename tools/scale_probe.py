@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""One-off sf1 scale probe for the heavy kernels (VERDICT r04 item 5).
+
+The driver ships sf0.001/0.01/0.1 only. This tool synthesizes an
+sf1-equivalent dataset (10x sf0.1) under ``.scale_probe/sf1/`` inside
+the repo (gitignored — ~60 MB of parquet) and times the heavy kernels
+at both scales to confirm the documented bounds hold an order of
+magnitude up (no super-linear blowup).
+
+Synthesis (DuckDB, deterministic — no RNG):
+- ``documents`` 5k -> 50k: 10 replicas; replica k>0 offsets doc_id by
+  k*10_000_000 and suffixes every TOKEN with ``~k``. Within a replica
+  the bigram/shingle structure (and therefore the near-dup pair set)
+  is exactly sf0.1's; across replicas every n-gram is distinct — the
+  pair count grows LINEARLY (10x), which is the realistic "corpus
+  grew, near-dup density per doc constant" scaling, not the
+  pathological 100x of naive exact copies.
+- ``embeddings`` 2k -> 20k: replica k>0 offsets vec_id and rotates the
+  vector deterministically (dim-dependent additive shift, renorm-free)
+  so cross-replica cosines fall well below dup thresholds while
+  replica 0 (incl. the vec_id=0 query row) is untouched.
+- ``events`` 100k -> 1M: replica k offsets event_id by k*1e9 and
+  user_id by k*10_000 (user cardinality grows 10x too, as it would).
+- every other table is copied unscaled (the probed kernels don't read
+  them; copies only keep ``load()`` working for incidental lookups).
+
+Usage:
+    python tools/scale_probe.py [--rebuild] [--repeat 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".scale_probe", "sf1")
+REPLICAS = 10
+
+# the heavy kernels VERDICT r04 item 5 names, plus the top-k feed
+PROBES = [
+    "dedup_containment",
+    "graph_triangles",
+    "sim_topk",  # mmr_rerank's candidate feed
+    "mmr_rerank",
+    "bootstrap_ci_det",
+]
+
+
+def build() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    rep = f"(SELECT CAST(r AS BIGINT) AS k FROM range({REPLICAS}) t(r))"
+
+    con.sql(
+        f"""
+        COPY (
+          SELECT doc_id + k * 10000000 AS doc_id,
+                 CASE WHEN k = 0 THEN text
+                      ELSE array_to_string(
+                             list_transform(string_split(text, ' '),
+                                            x -> x || '~' || CAST(k AS VARCHAR)),
+                             ' ')
+                 END AS text,
+                 lang, source, n_chars
+          FROM '{SRC}/documents.parquet', {rep}
+        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT vec_id + k * 10000000 AS vec_id,
+                 CASE WHEN k = 0 THEN embedding
+                      ELSE list_transform(
+                             list_zip(embedding,
+                                      range(1, len(embedding) + 1)),
+                             z -> CAST(z[1] + 0.05 * k * sin(CAST(z[2] AS DOUBLE)
+                                       * (k + 1)) AS FLOAT))
+                 END AS embedding,
+                 label
+          FROM '{SRC}/embeddings.parquet', {rep}
+        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT event_id + k * 1000000000 AS event_id, ts,
+                 user_id + k * 10000 AS user_id, event_type, value, props
+          FROM '{SRC}/events.parquet', {rep}
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem",
+    ):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    con.close()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    if args.rebuild or not os.path.exists(f"{DST}/documents.parquet"):
+        t0 = time.time()
+        build()
+        print(f"built {DST} in {time.time() - t0:.0f}s")
+
+    from llm_batch_processor_spark.queries import all_queries
+    from llm_batch_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    qs = all_queries()
+    probes = [p for p in (args.only.split(",") if args.only else PROBES)]
+
+    def run(name: str, sf_dir: str) -> float:
+        best = None
+        for _ in range(args.repeat):
+            t0 = time.time()
+            qs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    # warmup
+    qs["agg_group"].fn(spark, SRC).write.format("noop").mode("overwrite").save()
+
+    print(f"{'query':24s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}  (10x data)")
+    for name in probes:
+        t_small = run(name, SRC)
+        t_big = run(name, DST)
+        ratio = t_big / max(t_small, 1e-9)
+        print(f"{name:24s} {t_small:8.2f} {t_big:8.2f} {ratio:5.1f}x")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
