@@ -26,6 +26,17 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import dot, norm
 
+# Size gate for query-time candidate generation (VERDICT r04 stretch
+# item): below this corpus size the exact brute-force kernel is cheaper
+# than building signatures (one broadcast + one stream of the corpus);
+# above it the multiprobe-LSH path bounds scored pairs to bucket
+# collisions. The driver scales (sf<=0.1) never cross the gate, so
+# driver plans are the brute ones; tests force the gate to 0 and pin
+# full-probe equality (`tests/test_dedup_similarity.py`).
+ANN_CANDIDATE_GATE = 200_000
+ANN_N_PLANES = 8
+ANN_N_FLIP = 2  # recall knob at scale; n_flip = n_planes -> exact
+
 
 def brute_force_topk(
     vectors: DataFrame,
@@ -244,6 +255,106 @@ def ivf_topk(
     )
     # a neighbor lives in exactly one cell -> no cross-bucket duplicates
     return _grouped_topk(queries, assigned, k, _id_dtype(vectors, id_col))
+
+
+def lsh_query_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    n_flip: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """Query-vs-corpus approximate cosine top-k via MULTIPROBE
+    hyperplane LSH (Lv et al., VLDB'07 — public). Returns
+    (query_id, neighbor_id, rank), same contract as
+    :func:`brute_force_topk`.
+
+    Members bucket by their bit-packed signature (one pass, JVM-side);
+    each query probes every signature within Hamming distance
+    <= ``n_flip`` of its own — the standard multiprobe trick that buys
+    the recall of many hash tables for the storage of one. Probe count
+    is sum_{j<=n_flip} C(n_planes, j) buckets per query (a literal
+    explode — queries are the small side by definition). A member
+    lives in exactly one bucket and a query's probe set is distinct
+    signatures, so each (query, member) pair meets at most once — no
+    dedup needed. ``n_flip = n_planes`` probes the whole signature
+    space and is EXACTLY equal to brute force (pytest-pinned); at
+    scale n_flip=2 keeps shuffle ~ bucket-collision volume, not
+    |Q| x |corpus|. Hot buckets sub-split by member-id hash exactly
+    like :func:`lsh_bucket_topk` (same bounded-task guarantee)."""
+    planes = _planes(n_planes, dim, seed)
+    sig_m = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        signature_col(vec_col, planes).alias("sig"),
+    )
+    n_sub = F.ceil(F.count("*") / F.lit(bucket_cap)).cast("int")
+    sizes = sig_m.groupBy("sig").agg(n_sub.alias("__nsub"))
+    members = sig_m.join(F.broadcast(sizes), "sig").select(
+        (F.col("sig").cast("bigint") * F.lit(1 << 20)
+         + F.pmod(F.xxhash64("neighbor_id"), F.col("__nsub"))).alias("bucket"),
+        "neighbor_id",
+        "__v",
+    )
+    masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= n_flip]
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__q"),
+            signature_col(vec_col, planes).alias("qsig"),
+        )
+        .withColumn("__m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("sig", F.col("qsig").bitwiseXOR(F.col("__m")))
+        # only probe buckets that exist: the size table is bounded by
+        # 2^n_planes rows, so this is a broadcast semi-join that prunes
+        # empty probes before the cogroup
+        .join(F.broadcast(sizes), "sig")
+        .withColumn(
+            "__s", F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1))
+        )
+        .select(
+            (F.col("sig").cast("bigint") * F.lit(1 << 20) + F.col("__s")).alias(
+                "bucket"
+            ),
+            "query_id",
+            "__q",
+        )
+    )
+    return _grouped_topk(probes, members, k, _id_dtype(vectors, id_col))
+
+
+def candidate_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Size-gated candidate generation: exact brute force below
+    ``ANN_CANDIDATE_GATE`` corpus rows (one broadcast of the bounded
+    query side, corpus streams once — plan unchanged from the direct
+    brute call), multiprobe LSH above it (shuffle bounded by bucket
+    collisions). This is the candidate stage `knn_classify` and
+    `mmr_rerank` promise for 100 TB: the downstream logic (vote /
+    greedy MMR) is identical either way, only where candidates come
+    from changes."""
+    if vectors.count() <= ANN_CANDIDATE_GATE:
+        return brute_force_topk(
+            vectors, queries, k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+    return lsh_query_topk(
+        vectors, queries, k, n_planes=ANN_N_PLANES, n_flip=ANN_N_FLIP,
+        dim=dim, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
 
 
 def lsh_bucket_topk(

@@ -5308,14 +5308,17 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel, downstream majority vote.",
 )
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import brute_force_topk
+    from ..operators.similarity import candidate_topk
 
     e = load(spark, sf_dir, "embeddings")
     train = e.filter(F.col("vec_id") >= 50)
     queries = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    nb = brute_force_topk(train, queries, k=5)
+    # size-gated: brute force below ANN_CANDIDATE_GATE (the driver
+    # scales), multiprobe-LSH candidates above (the 100 TB path);
+    # full-probe equality is pytest-pinned
+    nb = candidate_topk(train, queries, k=5)
     labeled = nb.join(
         train.select(F.col("vec_id").alias("neighbor_id"), "label"),
         "neighbor_id",
@@ -6188,8 +6191,32 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("qnrm"),
     )
+    corpus = e.filter(F.col("vec_id") != 0)
+    # size gate (VERDICT r04 stretch): above ANN_CANDIDATE_GATE the
+    # corpus is first narrowed to multiprobe-LSH candidates — the
+    # expr-fold rel below then runs on <=20 rows, so the greedy MMR
+    # math (and its oracle-exact fold order) is untouched. Below the
+    # gate the plan is exactly the former direct one.
+    from ..operators.similarity import (
+        ANN_CANDIDATE_GATE,
+        ANN_N_FLIP,
+        ANN_N_PLANES,
+        lsh_query_topk,
+    )
+
+    if corpus.count() > ANN_CANDIDATE_GATE:
+        ids = lsh_query_topk(
+            corpus,
+            e.filter(F.col("vec_id") == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=20,
+            n_planes=ANN_N_PLANES,
+            n_flip=ANN_N_FLIP,
+        ).select(F.col("neighbor_id").alias("vec_id"))
+        corpus = corpus.join(ids, "vec_id")
     cands = (
-        e.filter(F.col("vec_id") != 0)
+        corpus
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",

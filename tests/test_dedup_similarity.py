@@ -312,3 +312,50 @@ def test_cc_fallback_inside_dedup_clusters_query_path(spark):
     )
     assert driver_path == distributed
     assert len(driver_path) > 0  # sf0.001 has planted near-dup clusters
+
+
+def test_lsh_query_topk_full_probe_equals_brute(spark):
+    """Multiprobe LSH with n_flip = n_planes probes every bucket, so it
+    must be EXACTLY brute force (the gate's correctness contract)."""
+    from llm_batch_processor_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_query_topk,
+    )
+    from llm_batch_processor_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 20)
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        tuple(r) for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    full_probe = {
+        tuple(r)
+        for r in lsh_query_topk(
+            corpus, queries, k=5, n_planes=6, n_flip=6
+        ).collect()
+    }
+    assert brute == full_probe
+    assert len(brute) == 20 * 5
+
+
+def test_ann_gate_forced_path_matches_brute_results(spark, monkeypatch):
+    """Force knn_classify and mmr_rerank over the ANN gate (gate=0,
+    full probe): results must equal the normal below-gate run — the
+    downstream logic is identical, only the candidate source changes."""
+    from llm_batch_processor_spark.operators import similarity
+    from llm_batch_processor_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    normal = {
+        name: {tuple(r) for r in qs[name].fn(spark, sf).collect()}
+        for name in ("knn_classify", "mmr_rerank")
+    }
+    monkeypatch.setattr(similarity, "ANN_CANDIDATE_GATE", 0)
+    monkeypatch.setattr(similarity, "ANN_N_FLIP", similarity.ANN_N_PLANES)
+    for name in ("knn_classify", "mmr_rerank"):
+        forced = {tuple(r) for r in qs[name].fn(spark, sf).collect()}
+        assert forced == normal[name], name
