@@ -21,8 +21,13 @@ Synthesis (DuckDB, deterministic — no RNG):
   replica 0 (incl. the vec_id=0 query row) is untouched.
 - ``events`` 100k -> 1M: replica k offsets event_id by k*1e9 and
   user_id by k*10_000 (user cardinality grows 10x too, as it would).
-- every other table is copied unscaled (the probed kernels don't read
-  them; copies only keep ``load()`` working for incidental lookups).
+- ``orders`` 150k -> 1.5M / ``customer`` 15k -> 150k /
+  ``lineitem`` 600k -> 6M: replica k offsets o_orderkey/l_orderkey by
+  k*1_000_000 and o_custkey/c_custkey by k*100_000, preserving
+  referential integrity within each replica; l_partkey/l_suppkey stay
+  in the UNSCALED part/supplier ranges (dims stay dims — exactly the
+  broadcast-join shape a 10x fact growth has in production).
+- ``region nation part supplier`` are copied unscaled (dimensions).
 
 Usage:
     python tools/scale_probe.py [--rebuild] [--repeat 2]
@@ -100,10 +105,38 @@ def build() -> None:
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
     )
-    for t in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem",
-    ):
+    con.sql(
+        f"""
+        COPY (
+          SELECT o_orderkey + k * 1000000 AS o_orderkey,
+                 o_custkey + k * 100000 AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM '{SRC}/orders.parquet', {rep}
+        ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT c_custkey + k * 100000 AS c_custkey,
+                 c_name || CASE WHEN k = 0 THEN '' ELSE '~' || CAST(k AS VARCHAR) END AS c_name,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM '{SRC}/customer.parquet', {rep}
+        ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT l_orderkey + k * 1000000 AS l_orderkey,
+                 l_partkey, l_suppkey, l_linenumber, l_quantity,
+                 l_extendedprice, l_discount, l_tax, l_returnflag,
+                 l_linestatus, l_shipdate
+          FROM '{SRC}/lineitem.parquet', {rep}
+        ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in ("region", "nation", "supplier", "part"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     con.close()
 
