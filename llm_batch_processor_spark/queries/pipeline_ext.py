@@ -4325,43 +4325,66 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distance folds over dims in ascending order IN-ROW, so the "
     "doubles are bit-identical and the argmin (tie-broken by "
     "centroid id) picks the same code on every engine. Shapes: the "
-    "16-row codebook broadcasts; the 2x sub fan-out and 32-element "
-    "folds are row-local; one (vec,sub)-partitioned argmin window.",
+    "16x64-float codebook is collected once (bounded by the literal "
+    "vec_id<16 predicate — 4 KB shipping with the task closures) and "
+    "assignment is an Arrow-batched numpy kernel that vectorizes "
+    "ACROSS rows while looping dims ASCENDING, so every row's fold "
+    "is the same op sequence as the scalar oracle fold — bit-"
+    "identical d2, np.argmin's first-minimum = the cid tie-break. "
+    "Zero shuffles, zero windows, the corpus streams once. The sf1 "
+    "probe caught the previous shape (32x row fan-out through a "
+    "(vec,sub)-windowed argmin of interpreted HOF folds) at 13.3x "
+    "cost on 10x vectors; this kernel is linear with a numpy "
+    "constant.",
 )
 def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
-    cb = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    cb_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ce"))
+        .collect()
     )
-    subs = spark.range(0, 2).select(F.col("id").cast("int").alias("sub"))
-    d = (
-        emb.crossJoin(F.broadcast(subs))
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            "sub",
-            "cid",
-            F.expr(
-                """
-                aggregate(sequence(0, 31), CAST(0.0 AS DOUBLE), (acc, i) ->
-                  acc + (CAST(embedding[sub * 32 + i] AS DOUBLE)
-                         - CAST(ce[sub * 32 + i] AS DOUBLE))
-                      * (CAST(embedding[sub * 32 + i] AS DOUBLE)
-                         - CAST(ce[sub * 32 + i] AS DOUBLE)))
-                """
-            ).alias("d2"),
-        )
+    cb_rows.sort(key=lambda r: r["vec_id"])
+    cids = np.array([r["vec_id"] for r in cb_rows], dtype=np.int64)
+    C = np.array([r["ce"] for r in cb_rows], dtype=np.float64)  # (16, 64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n = len(X)
+            out_vec, out_sub, out_code, out_d2 = [], [], [], []
+            for s in (0, 1):
+                # vectorized across rows, SEQUENTIAL ascending across
+                # dims: each row's accumulation order matches the
+                # scalar fold exactly -> bit-identical doubles
+                D = np.zeros((n, len(C)), dtype=np.float64)
+                for i in range(32):
+                    diff = X[:, s * 32 + i, None] - C[None, :, s * 32 + i]
+                    D += diff * diff
+                best = np.argmin(D, axis=1)  # first min = lowest cid
+                out_vec.append(pdf["vec_id"].values)
+                out_sub.append(np.full(n, s, dtype=np.int32))
+                out_code.append(cids[best])
+                out_d2.append(D[np.arange(n), best])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_vec),
+                    "sub": np.concatenate(out_sub),
+                    "code": np.concatenate(out_code),
+                    "d2": np.concatenate(out_d2),
+                }
+            )
+
+    raw = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, sub int, code bigint, d2 double"
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("sub").cast("int").alias("sub"),
-            F.col("cid").alias("code"),
-            F.round("d2", 6).alias("d2"),
-        )
+    return raw.select(
+        "vec_id", "sub", "code", F.round("d2", 6).alias("d2")
     )
 
 
@@ -5434,15 +5457,17 @@ def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT dim, COUNT(*) AS n,
-             CAST(SUM(fp) AS BIGINT) AS s,
-             CAST(SUM(fp * fp) AS BIGINT) AS ss
+             CAST(SUM(fp) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(fp * fp) AS DECIMAL(38,0)) AS ss
       FROM comp GROUP BY dim
     )
     SELECT dim, n,
            CAST(s AS DOUBLE) / n / 1000000 AS mean,
-           CAST(n * ss - s * s AS DOUBLE) / (n * n) / 1000000000000
-             AS variance,
-           n * ss - s * s < n * n * 1000000000 AS low_variance
+           CAST(n * ss - s * s AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE)
+             / 1000000000000 AS variance,
+           n * ss - s * s < CAST(n AS DECIMAL(38,0)) * n * 1000000000
+             AS low_variance
     FROM agg
     """,
     doc="near-zero-variance feature audit over the embedding matrix: "
@@ -5452,9 +5477,11 @@ def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact integer moments n*ss - s^2, and the drop flag "
     "(variance < 1e-3) decided by a PURE INTEGER cross-multiplied "
     "comparison — no float threshold tie. Row-local 64x fan-out "
-    "fused into the scan + one map-side-combined rollup; at larger "
-    "n route the moment sums through DECIMAL(38,0) before n*ss "
-    "approaches int64 range.",
+    "fused into the scan + one map-side-combined rollup. Moment sums "
+    "run in DECIMAL(38,0) end-to-end (DuckDB's HUGEINT twin): the "
+    "sf1 scale probe caught the previous bigint moments overflowing "
+    "at n*ss ~ 4e20 (int64 tops out at 9.2e18 — already within 2x "
+    "at sf0.1); decimal holds exactly to ~1e9 vectors.",
 )
 def feature_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -5466,26 +5493,27 @@ def feature_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fp"),
     )
+    dec = "decimal(38,0)"
     agg = comp.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.sum("fp").cast("bigint").alias("s"),
-        F.sum(F.col("fp") * F.col("fp")).cast("bigint").alias("ss"),
+        F.sum(F.col("fp").cast(dec)).cast(dec).alias("s"),
+        F.sum(
+            F.col("fp").cast("decimal(19,0)") * F.col("fp").cast("decimal(19,0)")
+        ).cast(dec).alias("ss"),
     )
-    num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    n_dec = F.col("n").cast(dec)
+    num = n_dec * F.col("ss") - F.col("s") * F.col("s")
     return agg.select(
         "dim",
         "n",
         (F.col("s").cast("double") / F.col("n") / 1000000).alias("mean"),
         (
             num.cast("double")
-            / (F.col("n") * F.col("n"))
+            / (n_dec * F.col("n")).cast("double")
             / F.lit(1000000000000.0)
         ).alias("variance"),
-        # threshold var < 1e-3 as integers: num < n^2 * 1e9 (the
-        # x1000-rescaled form overflows int64 once n*ss nears 1e18)
-        (
-            num < F.col("n") * F.col("n") * F.lit(1000000000).cast("bigint")
-        ).alias("low_variance"),
+        # threshold var < 1e-3 exactly: num < n^2 * 1e9, all decimal
+        (num < n_dec * F.col("n") * F.lit(1000000000)).alias("low_variance"),
     )
 
 
