@@ -576,8 +576,12 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     feats = quality_features(F.col("text"))
+    # idx=0 (whole match) is REQUIRED: pyspark's regexp_extract_all
+    # defaults idx to 1, which throws on this group-less pattern the
+    # moment any document actually contains punctuation — latent on
+    # the punctuation-free synthetic corpus, caught by the sf1 probe
     kept = (feats["n_tokens"] >= 10) & (
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")))
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
         <= 0.3 * F.greatest(F.length("text"), F.lit(1))
     )
     return (
@@ -631,7 +635,10 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = survivors.filter(
         (toks >= 10)
         & (
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")))
+            # idx=0 required — see quality_filter; pyspark defaults to
+            # group 1, which throws on group-less patterns at first
+            # punctuation match
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
             <= 0.3 * F.greatest(F.length("text"), F.lit(1))
         )
     ).select("doc_id", "lang", toks.alias("n_tokens"))

@@ -117,3 +117,33 @@ def test_render_error_routed_not_fatal(spark):
     res = llm_map(_records(spark, rows), spec, MockChatBackend())
     errs = res.errors().collect()
     assert len(errs) == 1 and "render error" in errs[0]["error"]
+
+
+def test_quality_gate_queries_survive_punctuation(spark, tmp_path):
+    """Regression: pyspark's regexp_extract_all defaults the group
+    index to 1; with the group-less punctuation pattern that throws at
+    the FIRST document containing punctuation. The synthetic corpus is
+    punctuation-free, so the sf1 probe (token-suffixed docs) was the
+    first data to detonate it — pin the fix (explicit idx=0) on a
+    punctuation-laced corpus here."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    rows = [
+        (0, "clean words only here ten tokens minimum reached now yes", "en", "web", 57),
+        (1, "punct! heavy? doc: with, lots; of~ marks# and$ stuff%", "en", "web", 53),
+        (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "en", "web", 39),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    qs = all_queries()
+    got_qf = {
+        (r["lang"], r["kept"]): r["n_docs"]
+        for r in qs["quality_filter"].fn(spark, str(tmp_path)).collect()
+    }
+    # doc 0: 10 tokens, no punct -> kept; doc 1: >30% punct -> dropped;
+    # doc 2: <10 tokens -> dropped
+    assert got_qf == {("en", True): 1, ("en", False): 2}
+    got_pc = qs["pipeline_curate"].fn(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in got_pc) == 1
