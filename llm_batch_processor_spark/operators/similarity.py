@@ -217,6 +217,13 @@ def ivf_topk(
         sampled.limit(max_train).toPandas()["arr"].tolist(),
         dtype=np.float64,
     )
+    if len(train) == 0:
+        # empty corpus: no cells to train, no neighbors to return —
+        # an empty result with the contract schema (empty-input sweep)
+        id_dtype = _id_dtype(vectors, id_col)
+        return vectors.sparkSession.createDataFrame(
+            [], f"query_id {id_dtype}, neighbor_id {id_dtype}, rank int"
+        )
     rng = np.random.RandomState(seed)
     centroids = train[rng.choice(len(train), size=min(n_cells, len(train)), replace=False)]
     for _ in range(10):

@@ -146,7 +146,10 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     d = load(spark, sf_dir, "documents")
     d.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
-    back = spark.read.parquet(out_dir)
+    # explicit schema: an empty input writes zero data files and
+    # schema inference would fail on the read-back (empty daily
+    # partitions are routine; the empty-input sweep pins this)
+    back = spark.read.schema(d.schema).parquet(out_dir)
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -2954,7 +2957,9 @@ def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("lang")
         .parquet(out_dir)
     )
-    back = spark.read.parquet(out_dir)
+    # explicit schema: survives the zero-data-file write of an empty
+    # input (see sink_parquet_partitioned)
+    back = spark.read.schema(d.schema).parquet(out_dir)
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),

@@ -143,3 +143,40 @@ def test_table_diff_classes_partition_the_keyspace(spark):
         == n_orders
     )
     assert n_added >= 0
+
+
+def test_empty_input_contract(spark, tmp_path):
+    """Empty daily partitions are routine in production: every query
+    must return a valid (possibly empty) result on schema-identical
+    empty tables, never crash. The full 272-query empty sweep runs in
+    tools (BASELINE.md r5); this pins the three fixed crashers (sink
+    read-back schema inference, IVF training on an empty sample) plus
+    one representative per family."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        con.sql(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.01/{t}.parquet' "
+            f"LIMIT 0) TO '{tmp_path}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    from llm_batch_processor_spark.queries import all_queries
+
+    qs = all_queries()
+    probe = [
+        # the three empty-input crashers fixed in r5
+        "sink_parquet_clustered", "sink_parquet_partitioned", "sim_ann_ivf",
+        # one representative per family
+        "agg_group", "win_rank", "join_inner_hash", "dedup_exact",
+        "dedup_minhash", "sim_topk", "text_stats", "pipeline_curate",
+        "session_window", "multimodal_meta", "llm_map_mock",
+        "graph_pagerank", "rfm_segmentation", "bootstrap_ci_det",
+        "embedding_pq_assign", "feature_variance_audit",
+    ]
+    for name in probe:
+        n = qs[name].fn(spark, str(tmp_path)).count()
+        assert n >= 0, name
