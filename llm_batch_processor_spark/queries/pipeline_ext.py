@@ -1096,7 +1096,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '3'
              END AS keep,
              n_chars
-      FROM (SELECT CAST(substr(source, 4) AS INT) AS sid, doc_id, n_chars
+      FROM (SELECT TRY_CAST(substr(source, 4) AS INT) AS sid, doc_id, n_chars
             FROM documents)
     )
     WHERE keep
@@ -1110,8 +1110,11 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with no shuffle until the final tier rollup",
 )
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # try_cast: a source name that isn't 'src<N>'-shaped lands in the
+    # null -> 'quarter' tier instead of failing the whole job under
+    # ANSI (identical on contract data; hostile-text sweep finding)
     d = load(spark, sf_dir, "documents").withColumn(
-        "sid", F.substring("source", 4, 10).cast("int")
+        "sid", F.expr("try_cast(substring(source, 4, 10) AS int)")
     )
     hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     tier = (
@@ -3977,16 +3980,17 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_nextword(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sp = d.select(F.split("text", " ").alias("sp"))
+    # zipped shifted slices, not transform(sequence(1, size-1), i ->
+    # sp[i]): on a 1-token doc sequence(1, 0) DESCENDS to [1, 0] in
+    # Spark and sp[1] throws INVALID_ARRAY_INDEX under ANSI (DuckDB's
+    # range(1, 1) is empty — no pairs is the contract); the zip shape
+    # is also the faster one (the token_ngrams lesson)
+    m = F.greatest(F.size("sp") - 1, F.lit(0))
     pairs = sp.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(sp) - 1),"
-                " i -> struct(sp[i-1] AS w1, sp[i] AS w2))"
-            )
-        ).alias("pr")
+        F.explode(F.arrays_zip(F.slice("sp", 1, m), F.slice("sp", 2, m))).alias("pr")
     )
     big = (
-        pairs.select("pr.w1", "pr.w2")
+        pairs.select(F.col("pr")["0"].alias("w1"), F.col("pr")["1"].alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
     )
@@ -4098,15 +4102,17 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sp = d.select("doc_id", F.split("text", " ").alias("sp"))
+    # zipped shifted slices — see bigram_nextword: sequence(1, size-1)
+    # descends on 1-token docs and throws under ANSI
+    m = F.greatest(F.size("sp") - 1, F.lit(0))
     pr = sp.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(sp) - 1),"
-                " i -> struct(sp[i-1] AS w1, sp[i] AS w2))"
-            )
-        ).alias("pr"),
-    ).select("doc_id", "pr.w1", "pr.w2")
+        F.explode(F.arrays_zip(F.slice("sp", 1, m), F.slice("sp", 2, m))).alias("pr"),
+    ).select(
+        "doc_id",
+        F.col("pr")["0"].alias("w1"),
+        F.col("pr")["1"].alias("w2"),
+    )
     pairs = pr.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
     big = pairs.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("cb"))
     uni = big.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))

@@ -1,0 +1,91 @@
+"""Hostile-text contract: the driver's synthetic corpus is
+punctuation-free ASCII word soup, which hid three latent crashes
+(regexp_extract_all default group index; sequence(1, size-1)
+descending to [1, 0] on one-token docs; ANSI CAST of non-'srcN'
+source names). This suite runs a representative query subset over a
+corpus of unicode / RTL / emoji / regex-metachar / control-char /
+empty / whitespace-only / single-token / giant documents — no query
+may crash. The full 272-query hostile sweep is run out-of-band
+(BASELINE.md r5: 0 failures)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+HOSTILE_TEXTS = [
+    "ordinary ascii words repeated words repeated words for baseline",
+    "日本語のテキストです 形態素解析は難しい 単語 分割",
+    "emoji soup \U0001F389\U0001F38A\U0001F973 mixed with words \U0001F680",
+    "regex meta $^.*+?()[]{}|\\ chars embedded (in) [the] {text} a.b c*d",
+    "backslash \\n literal and tab\there and newline\nyes inside",
+    "مرحبا بالعالم نص عربي من اليمين إلى اليسار mixed in",
+    "a",
+    "   ",
+    "",
+    "x" * 5000,
+    ("tok " * 400).strip(),
+    "word \x00nul \x01soh \x7fdel ctrlchars embedded",
+    "quotes \"double\" and 'single' and `backtick` and “smart”",
+    "html <div class=\"x\">tags</div> &amp; entities &#123; inside",
+    "url https://ex.am/ple?q=1&r=2#frag and email a.b@c-d.ef in text",
+]
+
+# every documents-reading family, plus the three fixed crashers
+PROBE = [
+    "bigram_nextword", "bigram_xent", "corpus_mix",  # r5 hostile fixes
+    "quality_filter", "pipeline_curate",  # r5 regex-group fixes
+    "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "tokenizer_pair_counts", "skipgram_pairs", "bpe_train_merges",
+    "sentence_split", "readability_score", "pretokenize_gpt",
+    "contamination_ngram", "pii_redact", "text_normalize",
+    "ngram_counts", "entropy_score", "repetition_ratio",
+    "chunk_overlap", "collocations_pmi", "extractive_summary",
+    "boilerplate_ngram", "perplexity_unigram", "vocab_coverage",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    import shutil
+
+    d = tmp_path_factory.mktemp("hostile")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet"))
+    rows = [
+        {
+            "doc_id": i,
+            "text": t,
+            "lang": ["en", "ja", "und", "ar"][i % 4],
+            "source": ["web", "books", "code"][i % 3],
+            "n_chars": len(t),
+        }
+        for i, t in enumerate(HOSTILE_TEXTS)
+    ]
+    pd.DataFrame(rows).to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_hostile_text_contract(spark, hostile_dir):
+    from llm_batch_processor_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in PROBE:
+        n = qs[name].fn(spark, hostile_dir).count()
+        assert n >= 0, name
+
+
+def test_bigram_single_token_docs_produce_no_pairs(spark, hostile_dir):
+    """The fixed contract: 1-token / empty docs contribute zero
+    bigrams (DuckDB's range(1,1) semantics), never an ANSI index
+    error."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    rows = all_queries()["bigram_nextword"].fn(spark, hostile_dir).collect()
+    ws = {r["w1"] for r in rows}
+    assert "a" not in ws  # the 1-token doc produced no pair
+    assert len(rows) > 0  # multi-token docs still do
