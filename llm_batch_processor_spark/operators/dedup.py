@@ -728,7 +728,9 @@ def embedding_pairs(
       Charikar bound; defaults target cosine >= ~0.8 dedup).
 
     ``strategy='brute'`` / ``'lsh'`` force a path (the planted-dup
-    equivalence pytest runs both and compares)."""
+    equivalence pytest runs both and compares). NULL vectors are
+    unembeddable — dropped at entry (null-input sweep contract)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     n = df.count()
     if strategy == "auto":
         strategy = "brute" if n <= brute_force_limit else "lsh"

@@ -162,15 +162,18 @@ def decode_media(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [decoder(p) for p in pdf["payload"]]
+            # NULL payload = undecodable: the row survives with null
+            # metadata (identity preserved for joins/audits) instead
+            # of crashing the worker (null-input sweep)
+            meta = [None if p is None else decoder(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "format": pdf["format"],
                     "n_bytes": pdf["n_bytes"],
-                    "width": [m["width"] for m in meta],
-                    "height": [m["height"] for m in meta],
-                    "n_frames": [m["n_frames"] for m in meta],
+                    "width": [m["width"] if m else None for m in meta],
+                    "height": [m["height"] if m else None for m in meta],
+                    "n_frames": [m["n_frames"] if m else None for m in meta],
                 }
             )
             yield out
@@ -257,6 +260,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # undecodable -> zero frames
+                    continue
                 for i, fr in enumerate(framer(payload)):
                     if i % every_n == 0:
                         ids.append(mid)

@@ -50,7 +50,11 @@ def brute_force_topk(
 
     ``queries`` needs (query_id, vec_col). Self-matches (same id) are
     excluded. Rank ties break on neighbor_id ascending (deterministic).
+    NULL vectors are unembeddable — dropped at entry on both sides
+    (null-input sweep contract, shared by every kernel here).
     """
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
     ).withColumn("__vnorm", norm("__v"))
@@ -192,7 +196,8 @@ def ivf_topk(
     4. Exact cosine rerank inside the probed cells.
 
     Recall rises with n_probe (n_probe == n_cells -> exact). Returns
-    (query_id, neighbor_id, rank)."""
+    (query_id, neighbor_id, rank). NULL vectors dropped at entry."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     feats = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("arr"),
@@ -294,7 +299,10 @@ def lsh_query_topk(
     space and is EXACTLY equal to brute force (pytest-pinned); at
     scale n_flip=2 keeps shuffle ~ bucket-collision volume, not
     |Q| x |corpus|. Hot buckets sub-split by member-id hash exactly
-    like :func:`lsh_bucket_topk` (same bounded-task guarantee)."""
+    like :func:`lsh_bucket_topk` (same bounded-task guarantee).
+    NULL vectors dropped at entry on both sides."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     planes = _planes(n_planes, dim, seed)
     sig_m = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -388,7 +396,8 @@ def lsh_bucket_topk(
     just runs as ceil(n/bucket_cap) bounded tasks instead of one
     unbounded task (query-side replication x n_sub is the price). The
     bucket-size table is bounded by 2^n_planes rows — broadcastable by
-    construction."""
+    construction. NULL vectors dropped at entry."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     planes = _planes(n_planes, dim, seed)
     sig = vectors.select(
         F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("bucket")

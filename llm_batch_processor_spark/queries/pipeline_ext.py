@@ -4354,7 +4354,11 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load(spark, sf_dir, "embeddings")
+    # null embeddings are unassignable — dropped at entry (null-input
+    # sweep contract, same as the similarity kernels)
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     cb_rows = (
         emb.filter(F.col("vec_id") < 16)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ce"))
@@ -4637,7 +4641,7 @@ def pretokenize_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (
       SELECT value, event_type FROM events
-      WHERE event_type IN ('click', 'purchase')
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ),
     g AS (
       SELECT value,
@@ -4674,8 +4678,12 @@ def pretokenize_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_cumsum
 
+    # null values carry no sample mass and cannot totally order the
+    # CDF grid (global_cumsum rejects NULL order keys by design) —
+    # the KS statistic is over observed samples only
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
     )
     g = e.groupBy("value").agg(
         F.sum(

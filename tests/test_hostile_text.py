@@ -89,3 +89,70 @@ def test_bigram_single_token_docs_produce_no_pairs(spark, hostile_dir):
     ws = {r["w1"] for r in rows}
     assert "a" not in ws  # the 1-token doc produced no pair
     assert len(rows) > 0  # multi-token docs still do
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    """sf0.001 with NULLs injected into every nullable payload column
+    (text/lang/source/n_chars, events value/props, embeddings
+    embedding/label); keys stay non-null."""
+    import shutil
+
+    import duckdb
+
+    d = tmp_path_factory.mktemp("nulls")
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    con.sql(
+        f"""COPY (SELECT doc_id,
+            CASE WHEN doc_id %% 7 = 3 THEN NULL ELSE text END AS text,
+            CASE WHEN doc_id %% 7 = 5 THEN NULL ELSE lang END AS lang,
+            CASE WHEN doc_id %% 7 = 6 THEN NULL ELSE source END AS source,
+            CASE WHEN doc_id %% 7 = 3 THEN NULL ELSE n_chars END AS n_chars
+            FROM '{src}/documents.parquet')
+            TO '{d}/documents.parquet' (FORMAT PARQUET)""".replace("%%", "%")
+    )
+    con.sql(
+        f"""COPY (SELECT event_id, ts, user_id, event_type,
+            CASE WHEN event_id % 5 = 2 THEN NULL ELSE value END AS value,
+            CASE WHEN event_id % 5 = 4 THEN NULL ELSE props END AS props
+            FROM '{src}/events.parquet')
+            TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT vec_id,
+            CASE WHEN vec_id % 11 = 7 THEN NULL ELSE embedding END AS embedding,
+            CASE WHEN vec_id % 11 = 9 THEN NULL ELSE label END AS label
+            FROM '{src}/embeddings.parquet')
+            TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem",
+    ):
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+NULL_PROBE = [
+    # the 8 null-input crashers fixed in r5
+    "embedding_pq_assign", "drift_ks", "dedup_embed_cosine",
+    "sim_ann_lsh", "sim_ann_ivf", "multimodal_meta",
+    "multimodal_frames", "dedup_semantic_pipeline",
+    # representatives whose inputs now carry nulls
+    "sim_topk", "knn_classify", "mmr_rerank", "quality_filter",
+    "text_stats", "json_funcs", "agg_global", "tumbling_window",
+]
+
+
+def test_null_input_contract(spark, nulls_dir):
+    """NULL payloads (text / embedding / value / props) are dropped or
+    passed through as null metadata at operator entry — never a worker
+    crash. Full 272-query null sweep: 0 failures (BASELINE.md r5)."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in NULL_PROBE:
+        n = qs[name].fn(spark, nulls_dir).count()
+        assert n >= 0, name
