@@ -18,12 +18,31 @@ def dot(a: str | Column, b: str | Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: str | Column) -> Column:
+def norm_sq(a: str | Column) -> Column:
     a = F.col(a) if isinstance(a, str) else a
-    sq = F.aggregate(
+    return F.aggregate(
         a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )
-    return F.sqrt(sq)
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(norm_sq(a))
+
+
+def embeddable(a: str | Column) -> Column:
+    """True when the vector has a usable direction: non-null, all-finite,
+    norm > 0. Cosine is undefined otherwise, and under ANSI the JVM-side
+    ``dot/(norm*norm)`` would raise DIVIDE_BY_ZERO on a zero vector
+    (non-finite-sweep contract, shared by every similarity kernel).
+
+    One fold decides all cases: a NaN/Inf element makes the squared-norm
+    fold NaN/Inf, and Spark orders NaN above +Inf, so
+    ``(s > 0) AND (s < Inf)`` excludes zero, Inf and NaN vectors in a
+    single codegen predicate; a NULL element nulls the fold and the
+    filter drops it."""
+    a = F.col(a) if isinstance(a, str) else a
+    s = norm_sq(a)
+    return a.isNotNull() & (s > F.lit(0.0)) & (s < F.lit(float("inf")))
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:

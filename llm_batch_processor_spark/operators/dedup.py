@@ -728,9 +728,14 @@ def embedding_pairs(
       Charikar bound; defaults target cosine >= ~0.8 dedup).
 
     ``strategy='brute'`` / ``'lsh'`` force a path (the planted-dup
-    equivalence pytest runs both and compares). NULL vectors are
-    unembeddable — dropped at entry (null-input sweep contract)."""
-    df = df.filter(F.col(vec_col).isNotNull())
+    equivalence pytest runs both and compares). NULL / zero-norm /
+    non-finite vectors are unembeddable — dropped at entry (null- and
+    non-finite-sweep contract, same predicate as every similarity
+    kernel; a NaN/Inf row would otherwise ride the GEMM as NaN sims
+    that can never pass the threshold anyway)."""
+    from ..functions.vectors import embeddable
+
+    df = df.filter(embeddable(F.col(vec_col)))
     n = df.count()
     if strategy == "auto":
         strategy = "brute" if n <= brute_force_limit else "lsh"

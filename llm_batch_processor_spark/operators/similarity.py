@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import dot, norm
+from ..functions.vectors import dot, embeddable, norm
 
 # Size gate for query-time candidate generation (VERDICT r04 stretch
 # item): below this corpus size the exact brute-force kernel is cheaper
@@ -50,11 +50,13 @@ def brute_force_topk(
 
     ``queries`` needs (query_id, vec_col). Self-matches (same id) are
     excluded. Rank ties break on neighbor_id ascending (deterministic).
-    NULL vectors are unembeddable — dropped at entry on both sides
-    (null-input sweep contract, shared by every kernel here).
+    NULL / zero-norm / non-finite vectors are unembeddable — dropped at
+    entry on both sides (null- and non-finite-sweep contract, shared by
+    every kernel here: cosine needs a direction, and ANSI division
+    would otherwise raise on a zero norm).
     """
-    vectors = vectors.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    vectors = vectors.filter(embeddable(F.col(vec_col)))
+    queries = queries.filter(embeddable(F.col(vec_col)))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
     ).withColumn("__vnorm", norm("__v"))
@@ -196,8 +198,10 @@ def ivf_topk(
     4. Exact cosine rerank inside the probed cells.
 
     Recall rises with n_probe (n_probe == n_cells -> exact). Returns
-    (query_id, neighbor_id, rank). NULL vectors dropped at entry."""
-    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    (query_id, neighbor_id, rank). NULL / zero-norm / non-finite
+    vectors dropped at entry (unembeddable; a NaN row would also
+    poison the numpy Lloyd centroids)."""
+    vectors = vectors.filter(embeddable(F.col(vec_col)))
     feats = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("arr"),
@@ -300,9 +304,10 @@ def lsh_query_topk(
     scale n_flip=2 keeps shuffle ~ bucket-collision volume, not
     |Q| x |corpus|. Hot buckets sub-split by member-id hash exactly
     like :func:`lsh_bucket_topk` (same bounded-task guarantee).
-    NULL vectors dropped at entry on both sides."""
-    vectors = vectors.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    NULL / zero-norm / non-finite vectors dropped at entry on both
+    sides (unembeddable)."""
+    vectors = vectors.filter(embeddable(F.col(vec_col)))
+    queries = queries.filter(embeddable(F.col(vec_col)))
     planes = _planes(n_planes, dim, seed)
     sig_m = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -396,8 +401,9 @@ def lsh_bucket_topk(
     just runs as ceil(n/bucket_cap) bounded tasks instead of one
     unbounded task (query-side replication x n_sub is the price). The
     bucket-size table is bounded by 2^n_planes rows — broadcastable by
-    construction. NULL vectors dropped at entry."""
-    vectors = vectors.filter(F.col(vec_col).isNotNull())
+    construction. NULL / zero-norm / non-finite vectors dropped at
+    entry (unembeddable)."""
+    vectors = vectors.filter(embeddable(F.col(vec_col)))
     planes = _planes(n_planes, dim, seed)
     sig = vectors.select(
         F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("bucket")

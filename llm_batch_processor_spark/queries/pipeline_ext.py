@@ -4408,11 +4408,17 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "embedding_silhouette",
     """
-    WITH fp AS (
+    WITH emb AS (
+      SELECT * FROM embeddings
+      WHERE list_aggregate(
+              [abs(CAST(x AS DOUBLE)) <= 9.2e12 FOR x IN embedding],
+              'bool_and')
+    ),
+    fp AS (
       SELECT vec_id, label, i.i AS dim,
              CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000)
                   AS BIGINT) AS x_fp
-      FROM embeddings, unnest(range(64)) AS i(i)
+      FROM emb, unnest(range(64)) AS i(i)
     ),
     cent AS (
       SELECT label, dim, CAST(SUM(x_fp) AS BIGINT) AS s_fp,
@@ -4430,7 +4436,7 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                [(CAST(e.embedding[i + 1] AS DOUBLE) - cv.c[i + 1])
                 * (CAST(e.embedding[i + 1] AS DOUBLE) - cv.c[i + 1])
                 FOR i IN range(64)]) AS d2
-      FROM embeddings e, cvec cv
+      FROM emb e, cvec cv
     ),
     a AS (
       SELECT vec_id, own,
@@ -4463,7 +4469,17 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "combine map-side.",
 )
 def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # fixed-point domain gate (non-finite-sweep contract): a NaN/Inf or
+    # |x| > 9.2e12 dim can't be represented in the 1e-6-scaled int64
+    # fold (ANSI CAST would raise). One all-dims fold — NaN/Inf compare
+    # false, a NULL array nulls the fold — mirrored in the oracle's
+    # emb CTE, so both engines drop the same rows.
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.expr(
+            "aggregate(embedding, true,"
+            " (acc, x) -> acc AND abs(CAST(x AS DOUBLE)) <= 9.2e12)"
+        )
+    )
     fp = emb.select(
         "vec_id",
         "label",
@@ -6227,7 +6243,12 @@ def _mmr_round_sql(k: int) -> str:
     "scale path that feeds MMR its candidates at 100 TB).",
 )
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    from ..functions.vectors import embeddable
+
+    # unembeddable (null/zero-norm/non-finite) vectors can't rank:
+    # the rel/ps divisions below would raise DIVIDE_BY_ZERO under ANSI
+    # on a zero norm (non-finite-sweep contract, same as the kernels)
+    e = load(spark, sf_dir, "embeddings").filter(embeddable("embedding"))
 
     def dot(x, y):
         return (

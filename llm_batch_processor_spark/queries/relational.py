@@ -560,7 +560,13 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probe side explodes +-2 neighbor bins, exact residual filter "
     "decides membership. Shuffle is keyed on bins — the interval-join "
     "binning rewrite that survives 100x scale. Oracle is the plain "
-    "non-equi SQL.",
+    "non-equi SQL. Values outside the double-exact band domain "
+    "(|v| > eps*2^53, incl. Inf; NaN compares greater) clamp into a "
+    "sentinel bin ADJACENT to the last real bin, so the +-2 probe "
+    "still reaches across the boundary and the exact residual filter "
+    "decides membership — no ANSI floor/long overflow, and equal "
+    "huge values still pair exactly like the oracle's plain "
+    "|a-b| <= eps (non-finite-sweep contract).",
 )
 def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = 0.1
@@ -569,7 +575,13 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "value")
     )
-    bin_col = F.floor(F.col("value") / F.lit(eps)).cast("long")
+    max_bin = 1 << 53  # last bin floor() can produce exactly in double
+    bin_col = (
+        F.when(F.col("value") > F.lit(eps * max_bin), F.lit(max_bin + 1))
+        .when(F.col("value") < F.lit(-eps * max_bin), F.lit(-max_bin - 1))
+        .otherwise(F.floor(F.col("value") / F.lit(eps)))
+        .cast("long")
+    )
     build = e.select(
         F.col("event_id").alias("eid_b"), F.col("value").alias("vb"), bin_col.alias("bin")
     )
@@ -2610,9 +2622,9 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(mean7, 4) AS mean7
     FROM (
       SELECT event_id, user_id, value,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
                / COUNT(*) OVER w AS mean7,
-             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             CAST(SUM(TRY_CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
                / COUNT(*) OVER w AS meansq7,
              COUNT(*) OVER w AS n7
       FROM events
@@ -2629,7 +2641,9 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "algebraic — (v-mean)^2 > 4*var — so no sqrt; frame sums are "
     "DECIMAL-exact, making the flag boundary bit-identical in both "
     "engines. One user_id Exchange serves all three frame aggregates; "
-    "short warmup windows (n<4) are excluded.",
+    "short warmup windows (n<4) are excluded. TRY_CAST on both "
+    "engines (non-finite-sweep contract): a NaN/Inf/out-of-DECIMAL "
+    "value contributes no frame mass instead of raising under ANSI.",
 )
 def win_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -2638,9 +2652,12 @@ def win_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_ns", "event_id")
         .rowsBetween(-6, Window.currentRow)
     )
-    mean7 = F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count("*").over(w)
+    mean7 = (
+        F.sum(F.col("value").try_cast(DEC)).over(w).cast("double")
+        / F.count("*").over(w)
+    )
     meansq7 = (
-        F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w).cast("double")
+        F.sum((F.col("value") * F.col("value")).try_cast(DEC)).over(w).cast("double")
         / F.count("*").over(w)
     )
     n7 = F.count("*").over(w)

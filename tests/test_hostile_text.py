@@ -156,3 +156,60 @@ def test_null_input_contract(spark, nulls_dir):
     for name in NULL_PROBE:
         n = qs[name].fn(spark, nulls_dir).count()
         assert n >= 0, name
+
+
+@pytest.fixture(scope="module")
+def nonfinite_dir(tmp_path_factory):
+    """sf0.001 with NaN / +-Inf / all-NaN / all-zero vectors in
+    embeddings and NaN / +-Inf / 1e308 in events.value (the
+    non-finite-sweep dataset, built by the same tool)."""
+    from tools.nonfinite_sweep import build_dataset
+
+    d = tmp_path_factory.mktemp("nonfinite")
+    build_dataset("/root/testdata/sf0.001", d)
+    return str(d)
+
+
+NONFINITE_PROBE = [
+    # the 6 non-finite crashers fixed in r5
+    "sim_topk", "knn_classify", "mmr_rerank", "embedding_silhouette",
+    "win_rolling_anomaly", "join_range_banded",
+    # representatives whose inputs now carry non-finite floats
+    "sim_ann_lsh", "sim_ann_ivf", "dedup_embed_cosine",
+    "dedup_semantic_pipeline", "embedding_pq_assign", "drift_ks",
+    "agg_stats", "win_rank", "anomaly_iqr", "resample_ohlc",
+]
+
+
+def test_nonfinite_input_contract(spark, nonfinite_dir):
+    """Non-finite floats (NaN/Inf embeddings dims, zero-norm vectors,
+    NaN/Inf/1e308 event values) never crash a query: cosine kernels
+    drop unembeddable vectors at entry, DECIMAL folds TRY_CAST, band
+    joins clamp to sentinel bins. Full 272-query non-finite sweep:
+    0 failures (BASELINE.md r5)."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in NONFINITE_PROBE:
+        n = qs[name].fn(spark, nonfinite_dir).count()
+        assert n >= 0, name
+
+
+def test_zero_norm_vectors_unrankable(spark):
+    """The embeddable() contract pin: a zero-norm or NaN vector is
+    dropped at kernel entry — it appears neither as a query nor as a
+    neighbor, and finite vectors still rank (no ANSI DIVIDE_BY_ZERO)."""
+    from llm_batch_processor_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),          # zero norm
+        (3, [float("nan"), 1.0, 0.0]),  # NaN dim
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.select(df.vec_id.alias("query_id"), "embedding")
+    out = brute_force_topk(df, q, k=10).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert ids == {0, 1, 4}
