@@ -2360,12 +2360,15 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conversions. One Exchange on (user_id, event_type) serves the lag "
     "window; the keep-decision is a pure lag comparison, so no second "
     "window pass and no self-join. Ordering fully tie-broken by "
-    "(ts_ns, event_id); NULL lag (stream head) keeps the row.",
+    "(ts_ns, event_id); NULL lag (stream head) keeps the row. "
+    "try_subtract for the gap (extreme-ts sweep): a rail-to-rail "
+    "span that overflows int64 ns is astronomically large, so the "
+    "NULL falls through to is_start=1 — the correct debounce verdict.",
 )
 def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
-    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    gap = F.try_subtract(F.col("ts_ns"), F.lag("ts_ns").over(w))
     return (
         e.withColumn("is_start", F.when(gap <= 5_000_000_000, 0).otherwise(1))
         .filter(F.col("is_start") == 1)
@@ -6442,14 +6445,25 @@ def lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_ns").alias("last_ns"),
         F.count("*").alias("n_events"),
     )
+    # try_subtract (extreme-ts sweep): a rail-to-rail span that
+    # overflows int64 ns is astronomically large — NULL skips the
+    # 'new' branch (correct: not recent) and coalesces to +max for
+    # the churn gap (correct: silent for eons -> churned).
     day_ns = 86400000000000
+    i64_max = 9223372036854775807
     staged = u.crossJoin(F.broadcast(b)).select(
         "user_id",
         "n_events",
         F.when(
-            F.col("hi") - F.col("first_ns") < 7 * day_ns, "new"
+            F.try_subtract(F.col("hi"), F.col("first_ns")) < 7 * day_ns, "new"
         )
-        .when(F.col("hi") - F.col("last_ns") > day_ns, "churned")
+        .when(
+            F.coalesce(
+                F.try_subtract(F.col("hi"), F.col("last_ns")), F.lit(i64_max)
+            )
+            > day_ns,
+            "churned",
+        )
         .otherwise("active")
         .alias("stage"),
     )

@@ -54,9 +54,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = dict(df.dtypes)["ts"]
         if ts_type.startswith("timestamp"):
             # TIMESTAMP(MICROS) parquet -> native TIMESTAMP_NTZ scan;
-            # derive int64 epoch nanos (exact: micros * 1000, UTC session)
+            # derive int64 epoch nanos (exact: micros * 1000, UTC
+            # session). Micros are CLAMPED to int64_max DIV 1000 first:
+            # sentinel timestamps real streams carry (9999-12-31
+            # "never expires", 0001-01-01 parser defaults) sit outside
+            # the int64-nanosecond range (1677-09-21..2262-04-11) and
+            # the bare multiply would raise ARITHMETIC_OVERFLOW under
+            # ANSI in EVERY events consumer (extreme-ts sweep, r5).
+            # Out-of-range rows keep correct ts_ns ORDER vs in-range
+            # rows (ties among themselves — downstream orderings
+            # tie-break on event_id); `ts` itself keeps the true value.
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
-                "ts_ns", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L")
+                "ts_ns",
+                F.expr(
+                    "least(greatest(unix_micros(CAST(ts AS TIMESTAMP)),"
+                    " -9223372036854775L), 9223372036854775L) * 1000L"
+                ),
             )
         else:
             # TIMESTAMP(NANOS) parquet -> raw int64 nanos scan; derive

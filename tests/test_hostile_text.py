@@ -195,6 +195,67 @@ def test_nonfinite_input_contract(spark, nonfinite_dir):
         assert n >= 0, name
 
 
+@pytest.fixture(scope="module")
+def extreme_ts_dir(tmp_path_factory):
+    """sf0.001 with sentinel timestamps (9999-12-31, 0001-01-01,
+    2262-04-12, 1677-09-21, 1970-01-01) in events.ts and extreme dates
+    in orders/lineitem (the extreme-ts-sweep dataset, same tool)."""
+    from tools.extreme_ts_sweep import build_dataset
+
+    d = tmp_path_factory.mktemp("extreme_ts")
+    build_dataset("/root/testdata/sf0.001", d)
+    return str(d)
+
+
+EXTREME_TS_PROBE = [
+    # representatives of the 21 extreme-ts crashers fixed in r5 (all
+    # one root cause: the unclamped ts_ns multiply in tables.load)
+    "session_window", "tumbling_window", "time_weighted_avg",
+    "win_rolling_anomaly", "event_transitions", "attribution_linear",
+    "theilsen_trend", "conversion_lag", "sliding_distinct_users",
+    # date-spine / date-arithmetic representatives
+    "gap_fill_days", "resample_ohlc", "date_funcs", "seasonality_profile",
+]
+
+
+def test_extreme_timestamp_contract(spark, extreme_ts_dir):
+    """Sentinel timestamps outside the int64-nanosecond range
+    (0001-01-01 defaults, 9999-12-31 "never expires") never crash:
+    tables.load clamps the micros->nanos multiply, so every events
+    consumer inherits the fix. Full 272-query extreme-ts sweep:
+    0 failures (BASELINE.md r5)."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in EXTREME_TS_PROBE:
+        n = qs[name].fn(spark, extreme_ts_dir).count()
+        assert n >= 0, name
+
+
+def test_ts_ns_clamp_preserves_order(spark, extreme_ts_dir):
+    """Out-of-ns-range timestamps clamp to the int64 rails but keep
+    correct ts_ns ORDER relative to in-range rows, and in-range rows
+    keep exact micros*1000 nanos."""
+    from llm_batch_processor_spark.tables import load
+
+    e = load(spark, extreme_ts_dir, "events").select("ts", "ts_ns")
+    rows = e.collect()
+    in_range = [r for r in rows if 1678 <= r["ts"].year <= 2261]
+    assert in_range, "sweep dataset must keep normal rows"
+    for r in in_range[:100]:
+        import calendar
+
+        us = calendar.timegm(r["ts"].timetuple()) * 1_000_000 + r["ts"].microsecond
+        assert r["ts_ns"] == us * 1000
+    hi = [r["ts_ns"] for r in rows if r["ts"].year == 9999]
+    lo = [r["ts_ns"] for r in rows if r["ts"].year == 1]
+    mid_max = max(r["ts_ns"] for r in in_range)
+    mid_min = min(r["ts_ns"] for r in in_range)
+    assert hi and lo
+    assert all(h > mid_max for h in hi)
+    assert all(low < mid_min for low in lo)
+
+
 def test_zero_norm_vectors_unrankable(spark):
     """The embeddable() contract pin: a zero-norm or NaN vector is
     dropped at kernel entry — it appears neither as a query nor as a
