@@ -25,8 +25,6 @@ from __future__ import annotations
 import argparse
 import shutil
 import sys
-import tempfile
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -80,31 +78,9 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
+    from tools.sweeplib import run_sweep
 
-    from llm_batch_processor_spark.queries import all_queries
-    from llm_batch_processor_spark.session import get_spark
-
-    spark = get_spark()
-    tmp = Path(tempfile.mkdtemp(prefix="extreme_ts_"))
-    build_dataset(args.sf, tmp)
-
-    qs = all_queries()
-    names = args.only.split(",") if args.only else sorted(qs)
-    failures: dict[str, str] = {}
-    for name in names:
-        t0 = time.time()
-        try:
-            n = qs[name].fn(spark, str(tmp)).count()
-            print(f"ok    {name}: {n} rows in {time.time()-t0:.2f}s", flush=True)
-        except Exception as e:  # noqa: BLE001 - sweep must survive any crash
-            msg = str(e).split("\n")[0][:300]
-            failures[name] = msg
-            print(f"CRASH {name}: {msg}", flush=True)
-    print(f"\n{len(failures)} failures / {len(names)} queries")
-    for k, v in failures.items():
-        print(f"  {k}: {v}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    return 1 if failures else 0
+    return run_sweep(build_dataset, args.only, args.sf)
 
 
 if __name__ == "__main__":

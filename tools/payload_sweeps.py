@@ -1,0 +1,132 @@
+"""Re-runnable builders for the r5 payload sweeps that originally ran
+as in-process one-offs: NULL payloads, hostile text, empty tables.
+
+All three now share the full-materialization harness (tools/sweeplib —
+``toPandas``, never ``count()``), closing the column-pruning blind spot
+the ragged sweep exposed: counting lets Catalyst prune the very result
+expressions that crash.
+
+Usage: python tools/payload_sweeps.py --mode nulls|hostile|empty
+                                      [--only name[,name...]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+HOSTILE_TEXTS = [
+    "ordinary ascii words repeated words repeated words for baseline",
+    "日本語のテキストです 形態素解析は難しい 単語 分割",
+    "emoji soup \U0001F389\U0001F38A\U0001F973 mixed with words \U0001F680",
+    "regex meta $^.*+?()[]{}|\\ chars embedded (in) [the] {text} a.b c*d",
+    "backslash \\n literal and tab\there and newline\nyes inside",
+    "مرحبا بالعالم نص عربي من اليمين إلى اليسار mixed in",
+    "a",
+    "   ",
+    "",
+    "x" * 5000,
+    ("tok " * 400).strip(),
+    "word \x00nul \x01soh \x7fdel ctrlchars embedded",
+    "quotes \"double\" and 'single' and `backtick` and “smart”",
+    "html <div class=\"x\">tags</div> &amp; entities &#123; inside",
+    "url https://ex.am/ple?q=1&r=2#frag and email a.b@c-d.ef in text",
+]
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def build_nulls(src: str, dst: Path) -> None:
+    """NULLs in every nullable payload column; keys stay non-null
+    (the r5 NULL-input sweep dataset)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 3 THEN NULL ELSE text END AS text,
+            CASE WHEN doc_id % 7 = 5 THEN NULL ELSE lang END AS lang,
+            CASE WHEN doc_id % 7 = 6 THEN NULL ELSE source END AS source,
+            CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END AS n_chars
+            FROM '{src}/documents.parquet')
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT event_id, ts, user_id, event_type,
+            CASE WHEN event_id % 5 = 2 THEN NULL ELSE value END AS value,
+            CASE WHEN event_id % 5 = 4 THEN NULL ELSE props END AS props
+            FROM '{src}/events.parquet')
+            TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT vec_id,
+            CASE WHEN vec_id % 11 = 7 THEN NULL ELSE embedding END AS embedding,
+            CASE WHEN vec_id % 11 = 9 THEN NULL ELSE label END AS label
+            FROM '{src}/embeddings.parquet')
+            TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        shutil.copy(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
+
+
+def build_hostile(src: str, dst: Path) -> None:
+    """documents replaced by the unicode/RTL/emoji/metachar corpus
+    (the r5 hostile-text sweep dataset)."""
+    import pandas as pd
+
+    for t in ALL_TABLES:
+        if t != "documents":
+            shutil.copy(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
+    rows = [
+        {
+            "doc_id": i,
+            "text": t,
+            "lang": ["en", "ja", "und", "ar"][i % 4],
+            "source": ["web", "books", "code"][i % 3],
+            "n_chars": len(t),
+        }
+        for i, t in enumerate(HOSTILE_TEXTS)
+    ]
+    pd.DataFrame(rows).to_parquet(str(dst / "documents.parquet"))
+
+
+def build_empty(src: str, dst: Path) -> None:
+    """Schema-identical EMPTY tables — the daily-empty-partition case
+    (the r5 empty-input sweep dataset)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.sql(
+            f"""COPY (SELECT * FROM '{src}/{t}.parquet' WHERE 1 = 0)
+                TO '{dst}/{t}.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+
+
+BUILDERS = {"nulls": build_nulls, "hostile": build_hostile, "empty": build_empty}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", required=True, choices=sorted(BUILDERS))
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    from tools.sweeplib import run_sweep
+
+    return run_sweep(BUILDERS[args.mode], args.only, args.sf)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
