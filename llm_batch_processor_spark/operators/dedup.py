@@ -630,7 +630,16 @@ def _hyperplane_candidates(
     at cosine 0.8 — tune n_planes DOWN / n_tables UP for lower
     similarity targets (at cosine ~0.4 candidate generation approaches
     all-pairs and the blocked-GEMM kernel is the honest choice)."""
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        # empty (or all-unembeddable) corpus -> no candidate pairs;
+        # preserve the (id_a, id_b) schema without running the UDF
+        return (
+            df.select(F.col(id_col).alias("id_a"))
+            .limit(0)
+            .withColumn("id_b", F.col("id_a"))
+        )
+    dim = len(head[0])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables * n_planes, dim))
     weights = 1 << np.arange(n_planes, dtype=np.int64)
@@ -708,6 +717,7 @@ def embedding_pairs(
     n_tables: int = 12,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine >= threshold, id_a < id_b.
 
@@ -729,13 +739,21 @@ def embedding_pairs(
 
     ``strategy='brute'`` / ``'lsh'`` force a path (the planted-dup
     equivalence pytest runs both and compares). NULL / zero-norm /
-    non-finite vectors are unembeddable — dropped at entry (null- and
-    non-finite-sweep contract, same predicate as every similarity
-    kernel; a NaN/Inf row would otherwise ride the GEMM as NaN sims
-    that can never pass the threshold anyway)."""
-    from ..functions.vectors import embeddable
+    non-finite / wrong-``dim`` vectors are unembeddable — dropped at
+    entry (null-, non-finite- and ragged-dim-sweep contract, same
+    predicate as every similarity kernel; a NaN/Inf row would ride the
+    GEMM as NaN sims that can never pass the threshold, and a ragged
+    row crashes the numpy batch stack). Pass ``dim`` explicitly when
+    the schema declares one (skips the inference pass — the right call
+    at 100 TB, and what the oracle-twinned queries do); ``dim=None``
+    infers the modal vector length with one size-histogram aggregate
+    (map-side combine to <= n_distinct_dims rows, count-desc then
+    dim-asc tie-break — deterministic)."""
+    from ..functions.vectors import embeddable, modal_dim
 
-    df = df.filter(embeddable(F.col(vec_col)))
+    if dim is None:
+        dim = modal_dim(df, vec_col)
+    df = df.filter(embeddable(F.col(vec_col), dim))
     n = df.count()
     if strategy == "auto":
         strategy = "brute" if n <= brute_force_limit else "lsh"

@@ -55,6 +55,6 @@ def tumbling_window(
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("DECIMAL(18,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").try_cast("DECIMAL(18,6)")).cast("double").alias("sum_value"),
         )
     )

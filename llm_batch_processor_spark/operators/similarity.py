@@ -45,18 +45,27 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k. Returns (query_id, neighbor_id, rank).
 
     ``queries`` needs (query_id, vec_col). Self-matches (same id) are
     excluded. Rank ties break on neighbor_id ascending (deterministic).
-    NULL / zero-norm / non-finite vectors are unembeddable — dropped at
-    entry on both sides (null- and non-finite-sweep contract, shared by
-    every kernel here: cosine needs a direction, and ANSI division
-    would otherwise raise on a zero norm).
+    NULL / zero-norm / non-finite / wrong-``dim`` vectors are
+    unembeddable — dropped at entry on both sides (null-, non-finite-
+    and ragged-dim-sweep contract, shared by every kernel here: cosine
+    needs a direction, ANSI division would otherwise raise on a zero
+    norm, and a mismatched-length pair has no dot product). Pass the
+    schema-declared ``dim`` to skip the modal-dim inference scan (what
+    the oracle-twinned queries do); ``dim=None`` infers it from the
+    corpus side.
     """
-    vectors = vectors.filter(embeddable(F.col(vec_col)))
-    queries = queries.filter(embeddable(F.col(vec_col)))
+    if dim is None:
+        from ..functions.vectors import modal_dim
+
+        dim = modal_dim(vectors, vec_col)
+    vectors = vectors.filter(embeddable(F.col(vec_col), dim))
+    queries = queries.filter(embeddable(F.col(vec_col), dim))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
     ).withColumn("__vnorm", norm("__v"))
@@ -184,6 +193,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs approximate top-k via an IVF (inverted-file) index.
 
@@ -198,10 +208,16 @@ def ivf_topk(
     4. Exact cosine rerank inside the probed cells.
 
     Recall rises with n_probe (n_probe == n_cells -> exact). Returns
-    (query_id, neighbor_id, rank). NULL / zero-norm / non-finite
-    vectors dropped at entry (unembeddable; a NaN row would also
-    poison the numpy Lloyd centroids)."""
-    vectors = vectors.filter(embeddable(F.col(vec_col)))
+    (query_id, neighbor_id, rank). NULL / zero-norm / non-finite /
+    wrong-``dim`` vectors dropped at entry (unembeddable; a NaN row
+    would also poison the numpy Lloyd centroids, and a ragged row
+    crashes the batch stack). Pass the schema-declared ``dim`` to skip
+    the modal-dim inference scan; ``dim=None`` infers it."""
+    if dim is None:
+        from ..functions.vectors import modal_dim
+
+        dim = modal_dim(vectors, vec_col)
+    vectors = vectors.filter(embeddable(F.col(vec_col), dim))
     feats = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("arr"),
@@ -305,9 +321,9 @@ def lsh_query_topk(
     |Q| x |corpus|. Hot buckets sub-split by member-id hash exactly
     like :func:`lsh_bucket_topk` (same bounded-task guarantee).
     NULL / zero-norm / non-finite vectors dropped at entry on both
-    sides (unembeddable)."""
-    vectors = vectors.filter(embeddable(F.col(vec_col)))
-    queries = queries.filter(embeddable(F.col(vec_col)))
+    sides (unembeddable; the dim contract is the plane dim)."""
+    vectors = vectors.filter(embeddable(F.col(vec_col), dim))
+    queries = queries.filter(embeddable(F.col(vec_col), dim))
     planes = _planes(n_planes, dim, seed)
     sig_m = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -369,7 +385,7 @@ def candidate_topk(
     if vectors.count() <= ANN_CANDIDATE_GATE:
         return brute_force_topk(
             vectors, queries, k, id_col=id_col, vec_col=vec_col,
-            query_id_col=query_id_col,
+            query_id_col=query_id_col, dim=dim,
         )
     return lsh_query_topk(
         vectors, queries, k, n_planes=ANN_N_PLANES, n_flip=ANN_N_FLIP,
@@ -402,8 +418,8 @@ def lsh_bucket_topk(
     unbounded task (query-side replication x n_sub is the price). The
     bucket-size table is bounded by 2^n_planes rows — broadcastable by
     construction. NULL / zero-norm / non-finite vectors dropped at
-    entry (unembeddable)."""
-    vectors = vectors.filter(embeddable(F.col(vec_col)))
+    entry (unembeddable; the dim contract is the plane dim)."""
+    vectors = vectors.filter(embeddable(F.col(vec_col), dim))
     planes = _planes(n_planes, dim, seed)
     sig = vectors.select(
         F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("bucket")

@@ -126,7 +126,9 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_pairs
 
     e = load(spark, sf_dir, "embeddings")
-    return embedding_pairs(e, min_cosine=0.4)
+    # dim=64 is the declared testdata schema: skips the modal-dim
+    # inference pass and pins the ragged-dim gate to the contract
+    return embedding_pairs(e, min_cosine=0.4, dim=64)
 
 
 # ===========================================================================
@@ -157,7 +159,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(e, queries, k=5)
+    return brute_force_topk(e, queries, k=5, dim=64)
 
 
 @Q.add(
@@ -182,7 +184,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
-    return ivf_topk(e, k=5, n_cells=16, n_probe=2, seed=42)
+    return ivf_topk(e, k=5, n_cells=16, n_probe=2, seed=42, dim=64)
 
 
 @Q.add(
@@ -198,17 +200,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    CAST(embedding AS DOUBLE[]))) AS l2,
              list_sum(CAST(embedding AS DOUBLE[])) AS s
       FROM embeddings
-    )
+    ) WHERE l2 > 0 AND isfinite(l2)
     """,
     doc="embedding L2 normalization entirely JVM-side: the dot product is "
     "F.aggregate's double fold over the array (no Python, no shuffle — "
     "the per-row vector-math pattern every similarity kernel feeds on); "
     "unit_sum = sum(x)/||x|| checks the normalized vector itself. Oracle "
     "casts FLOAT[] -> DOUBLE[] so both engines fold in double; ROUND(,4) "
-    "absorbs sub-ulp ordering drift",
+    "absorbs sub-ulp ordering drift. Zero-norm / non-finite vectors are "
+    "un-normalizable (ANSI s/l2 would raise DIVIDE_BY_ZERO on an empty "
+    "vector) — dropped on both engines; stays dim-AGNOSTIC otherwise "
+    "(it reports len(embedding) per row).",
 )
 def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    from ..functions.vectors import embeddable
+
+    e = load(spark, sf_dir, "embeddings").filter(embeddable("embedding"))
     l2 = F.sqrt(
         F.aggregate(
             "embedding",
@@ -882,7 +889,7 @@ def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 600) AS bucket_start,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -1050,7 +1057,7 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT lang,
            COUNT(DISTINCT norm) AS n_distinct_norm,
-           ROUND(CAST(SUM(CAST(length(norm) AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(length(norm) AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_norm_len
     FROM (
       SELECT lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
@@ -1074,7 +1081,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("norm").alias("n_distinct_norm"),
             F.expr(
-                "ROUND(CAST(SUM(CAST(length(norm) AS DECIMAL(18,6))) AS DOUBLE)"
+                "ROUND(CAST(SUM(TRY_CAST(length(norm) AS DECIMAL(18,6))) AS DOUBLE)"
                 " / COUNT(*), 4)"
             ).alias("avg_norm_len"),
         )
@@ -1750,8 +1757,8 @@ def entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT lang, COUNT(*) AS n,
-             CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(18,6))) AS DOUBLE) AS s2
+             CAST(SUM(TRY_CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(TRY_CAST(n_chars * n_chars AS DECIMAL(18,6))) AS DOUBLE) AS s2
       FROM documents GROUP BY lang
       HAVING COUNT(*) > 1 AND (s2 - s1 * s1 / n) > 0
     )
@@ -1776,10 +1783,10 @@ def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.expr(
-                "CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(TRY_CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)"
             ).alias("s1"),
             F.expr(
-                "CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(TRY_CAST(n_chars * n_chars AS DECIMAL(18,6))) AS DOUBLE)"
             ).alias("s2"),
         )
         .filter((F.col("n") > 1) & (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n") > 0))
@@ -1924,11 +1931,12 @@ def shard_plan_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ranked AS (
       SELECT doc_id, source, md5(text) AS content_hash,
-             CAST(substr(source, 4) AS INT) AS prio,
+             COALESCE(TRY_CAST(substr(source, 4) AS INT), 2147483647) AS prio,
              COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
              row_number() OVER (
                PARTITION BY md5(text)
-               ORDER BY CAST(substr(source, 4) AS INT), doc_id) AS rn
+               ORDER BY COALESCE(TRY_CAST(substr(source, 4) AS INT),
+                                 2147483647), doc_id) AS rn
       FROM documents
     )
     SELECT content_hash, doc_id AS survivor_id, source AS survivor_source,
@@ -1941,14 +1949,22 @@ def shard_plan_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same page arrives via multiple crawls. Groups on the 16-byte md5 "
     "digest so the Exchange carries digests + ids, never text (the "
     "same digest-only-shuffle shape as dedup_exact); survivor picked "
-    "with one min(struct) aggregate, no window sort.",
+    "with one min(struct) aggregate, no window sort. A source that "
+    "doesn't parse as srcN (or a NULL source) gets the MAX-INT "
+    "least-trusted sentinel on both engines — TRY_CAST instead of an "
+    "ANSI crash (hostile-text sweep), and the sentinel instead of a "
+    "NULL prio because the engines disagree on NULL sort order "
+    "(Spark NULLS FIRST vs DuckDB NULLS LAST for ASC).",
 )
 def dedup_priority_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.md5("text").alias("content_hash"),
-        F.substring("source", 4, 10).cast("int").alias("prio"),
+        F.coalesce(
+            F.substring("source", 4, 10).try_cast("int"),
+            F.lit(2147483647),
+        ).alias("prio"),
     )
     # min(struct(prio, doc_id, source)) = argmin under (prio, doc_id):
     # a single map-side-combinable aggregate instead of a row_number
@@ -2077,13 +2093,14 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT label,
            COUNT(*) AS n_vecs,
-           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)))
+           CAST(SUM(TRY_CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)))
                 AS DOUBLE) AS sum_dim0,
-           ROUND(CAST(SUM(CAST(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                                               FOR x IN embedding]))
                               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
              AS avg_norm
     FROM embeddings
+    WHERE len(embedding) = 64
     GROUP BY label
     """,
     doc="per-label embedding profile (the class-prototype / drift check "
@@ -2092,10 +2109,12 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "both engines (same order -> same bits, the entropy_score "
     "determinism pattern); cross-row sums go through DECIMAL so "
     "partition order can't move the result. One map-side-combined "
-    "shuffle of 10 label rows.",
+    "shuffle of 10 label rows. Fixed-dim contract mirrored on both "
+    "engines (ragged-dim sweep): a wrong-length vector would raise "
+    "ANSI INVALID_ARRAY_INDEX at embedding[0] and skew the profile.",
 )
 def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(F.size("embedding") == 64)
     norm = F.sqrt(
         F.aggregate(
             "embedding",
@@ -2106,10 +2125,10 @@ def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
         F.expr(
-            "CAST(SUM(CAST(CAST(embedding[0] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
+            "CAST(SUM(TRY_CAST(CAST(embedding[0] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
         ).alias("sum_dim0"),
         F.round(
-            F.sum(norm.cast("decimal(18,6)")).cast("double") / F.count("*"), 4
+            F.sum(norm.try_cast("decimal(18,6)")).cast("double") / F.count("*"), 4
         ).alias("avg_norm"),
     )
 
@@ -2157,7 +2176,7 @@ def dedup_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     d = load(spark, sf_dir, "documents")
-    pairs = embedding_pairs(e, min_cosine=0.4)
+    pairs = embedding_pairs(e, min_cosine=0.4, dim=64)
     # endpoint-only labels suffice: non-endpoints read as 'unique'
     # through the left join below
     labels = connected_components(pairs, None)
@@ -2181,7 +2200,7 @@ def dedup_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang,
              COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
-             CAST(sqrt(CAST(SUM(len(string_split(text, ' '))) AS BIGINT))
+             TRY_CAST(sqrt(CAST(SUM(len(string_split(text, ' '))) AS BIGINT))
                   AS DECIMAL(18,9)) AS sq
       FROM documents GROUP BY lang
     ),
@@ -2225,7 +2244,7 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = d.groupBy("lang").agg(
         F.sum("n_tok").cast("bigint").alias("n_toks"),
-    ).withColumn("sq", F.sqrt(F.col("n_toks")).cast("decimal(18,9)"))
+    ).withColumn("sq", F.sqrt(F.col("n_toks")).try_cast("decimal(18,9)"))
     tot = stats.agg(
         F.sum("n_toks").cast("bigint").alias("big_n"),
         F.sum("sq").alias("sum_sq"),
@@ -2332,7 +2351,7 @@ def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS q_first_min,
            CAST(floor((hi - lo) / GREATEST((hi - lo) / 255, 1e-300) + 0.5) AS INT)
              AS q_max,
-           CAST(CAST(ROUND(CAST((hi - lo) / 255 AS DECIMAL(18,12)), 9)
+           CAST(TRY_CAST(ROUND(TRY_CAST((hi - lo) / 255 AS DECIMAL(18,12)), 9)
                      AS DECIMAL(18,9)) AS DOUBLE) AS scale
     FROM q
     """,
@@ -2360,8 +2379,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("n_dims"),
         F.floor((lo - lo) / safe + F.lit(0.5)).cast("int").alias("q_first_min"),
         F.floor((hi - lo) / safe + F.lit(0.5)).cast("int").alias("q_max"),
-        F.round(scale.cast("decimal(18,12)"), 9)
-        .cast("decimal(18,9)")
+        F.round(scale.try_cast("decimal(18,12)"), 9)
+        .try_cast("decimal(18,9)")
         .cast("double")
         .alias("scale"),
     )
@@ -4263,6 +4282,7 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE -CAST(embedding[i + 1] AS DOUBLE) END
                 FOR i IN range(64)]) AS y
       FROM embeddings, unnest(range(8)) AS j(j)
+      WHERE len(embedding) = 64
     )
     SELECT vec_id, CAST(dim_out AS INT) AS dim_out,
            ROUND(y, 4) AS y
@@ -4280,7 +4300,9 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "8x fan-out and the 64-element fold are row-local.",
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # fixed-dim contract, mirrored in the oracle (ragged-dim sweep):
+    # each output coordinate folds over input dims 0..63
+    emb = load(spark, sf_dir, "embeddings").filter(F.size("embedding") == 64)
     y = F.expr(
         """
         transform(sequence(0, 7), j ->
@@ -4305,8 +4327,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "embedding_pq_assign",
     """
-    WITH cb AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+    WITH emb64 AS (SELECT * FROM embeddings WHERE len(embedding) = 64),
+    cb AS (
+      SELECT vec_id AS cid, embedding AS ce FROM emb64 WHERE vec_id < 16
     ),
     d AS (
       SELECT e.vec_id, s.s AS sub, cb.cid,
@@ -4316,7 +4339,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (CAST(e.embedding[s.s * 32 + i + 1] AS DOUBLE)
                    - CAST(cb.ce[s.s * 32 + i + 1] AS DOUBLE))
                 FOR i IN range(32)]) AS d2
-      FROM embeddings e, unnest(range(2)) AS s(s), cb
+      FROM emb64 e, unnest(range(2)) AS s(s), cb
     ),
     best AS (
       SELECT vec_id, sub, cid, d2,
@@ -4354,10 +4377,12 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # null embeddings are unassignable — dropped at entry (null-input
-    # sweep contract, same as the similarity kernels)
+    # null / wrong-dim embeddings are unassignable — dropped at entry
+    # (null- and ragged-dim-sweep contract, same as the similarity
+    # kernels; a ragged row crashes the numpy batch stack), mirrored
+    # in the oracle's len(embedding) = 64 predicate
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.size("embedding") == 64
     )
     cb_rows = (
         emb.filter(F.col("vec_id") < 16)
@@ -4410,7 +4435,8 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH emb AS (
       SELECT * FROM embeddings
-      WHERE list_aggregate(
+      WHERE len(embedding) = 64
+        AND list_aggregate(
               [abs(CAST(x AS DOUBLE)) <= 9.2e12 FOR x IN embedding],
               'bool_and')
     ),
@@ -4469,13 +4495,15 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "combine map-side.",
 )
 def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fixed-point domain gate (non-finite-sweep contract): a NaN/Inf or
+    # entry gate, mirrored in the oracle's emb CTE so both engines drop
+    # the same rows: 64-dim only (the d2 fold indexes dims 0..63 —
+    # ragged-dim sweep) AND fixed-point domain (a NaN/Inf or
     # |x| > 9.2e12 dim can't be represented in the 1e-6-scaled int64
-    # fold (ANSI CAST would raise). One all-dims fold — NaN/Inf compare
-    # false, a NULL array nulls the fold — mirrored in the oracle's
-    # emb CTE, so both engines drop the same rows.
+    # fold; ANSI CAST would raise — non-finite sweep). One all-dims
+    # fold — NaN/Inf compare false, a NULL array nulls the fold.
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.expr(
+        (F.size("embedding") == 64)
+        & F.expr(
             "aggregate(embedding, true,"
             " (acc, x) -> acc AND abs(CAST(x AS DOUBLE)) <= 9.2e12)"
         )
@@ -4742,8 +4770,10 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi FROM events
     ),
     lab AS (
-      SELECT LEAST(9, CAST(floor(value / 50) AS INT)) AS bucket,
-             CASE WHEN epoch_ns(ts) * 2 >= lo + hi THEN 1 ELSE 0 END AS late
+      SELECT CAST(GREATEST(-1, LEAST(9, floor(value / 50))) AS INT) AS bucket,
+             CASE WHEN CAST(epoch_ns(ts) AS HUGEINT) * 2
+                       >= CAST(lo AS HUGEINT) + hi THEN 1 ELSE 0
+             END AS late
       FROM events, bounds
     ),
     cnt AS (
@@ -4788,12 +4818,24 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     b = e.agg(F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi"))
+    # clamp the bucket in BIGINT space BEFORE the int cast (non-finite
+    # sweep, full-materialization pass: floor(Inf/50) saturates to
+    # int64 max and the bare INT cast raises; buckets below the spine
+    # were always dropped by the join, so the -1 floor is a no-op on
+    # in-range data) and widen the midpoint compare exactly as
+    # split_time_leakage does (ts_ns*2 overflows at the clamp rails)
+    d38 = "decimal(38,0)"
     lab = e.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.lit(9), F.floor(F.col("value") / 50).cast("int")
-        ).alias("bucket"),
+        F.greatest(
+            F.lit(-1).cast("bigint"),
+            F.least(F.lit(9).cast("bigint"), F.floor(F.col("value") / 50)),
+        )
+        .cast("int")
+        .alias("bucket"),
         F.when(
-            F.col("ts_ns") * 2 >= F.col("lo") + F.col("hi"), 1
+            F.col("ts_ns").cast(d38) * 2
+            >= F.col("lo").cast(d38) + F.col("hi"),
+            1,
         )
         .otherwise(0)
         .alias("late"),
@@ -5490,20 +5532,23 @@ def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
         FROM embeddings
+        WHERE list_aggregate(
+                [abs(CAST(x AS DOUBLE)) <= 1e9 FOR x IN embedding],
+                'bool_and')
       )
     ),
     agg AS (
       SELECT dim, COUNT(*) AS n,
-             CAST(SUM(fp) AS DECIMAL(38,0)) AS s,
-             CAST(SUM(fp * fp) AS DECIMAL(38,0)) AS ss
+             TRY_CAST(SUM(fp) AS DECIMAL(38,0)) AS s,
+             TRY_CAST(SUM(fp * fp) AS DECIMAL(38,0)) AS ss
       FROM comp GROUP BY dim
     )
     SELECT dim, n,
            CAST(s AS DOUBLE) / n / 1000000 AS mean,
            CAST(n * ss - s * s AS DOUBLE)
-             / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE)
+             / CAST(TRY_CAST(n AS DECIMAL(38,0)) * n AS DOUBLE)
              / 1000000000000 AS variance,
-           n * ss - s * s < CAST(n AS DECIMAL(38,0)) * n * 1000000000
+           n * ss - s * s < TRY_CAST(n AS DECIMAL(38,0)) * n * 1000000000
              AS low_variance
     FROM agg
     """,
@@ -5521,7 +5566,18 @@ def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at sf0.1); decimal holds exactly to ~1e9 vectors.",
 )
 def feature_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # fixed-point moment-domain gate, mirrored in the oracle
+    # (non-finite sweep, full-materialization pass): floor(Inf * 1e6)
+    # saturates to int64 max and the ss accumulation blows the
+    # DECIMAL(38,0) budget. |x| <= 1e9 keeps fp <= 1e15, fp^2 <= 1e30
+    # — exact to ~1e8 worst-case rows and any realistic embedding
+    # scale. Dim-agnostic otherwise (posexplode over actual dims).
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.expr(
+            "aggregate(embedding, true,"
+            " (acc, x) -> acc AND abs(CAST(x AS DOUBLE)) <= 1e9)"
+        )
+    )
     comp = e.select(
         F.posexplode("embedding").alias("i", "x")
     ).select(
@@ -5535,7 +5591,7 @@ def feature_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("fp").cast(dec)).cast(dec).alias("s"),
         F.sum(
-            F.col("fp").cast("decimal(19,0)") * F.col("fp").cast("decimal(19,0)")
+            F.col("fp").try_cast("decimal(19,0)") * F.col("fp").try_cast("decimal(19,0)")
         ).cast(dec).alias("ss"),
     )
     n_dec = F.col("n").cast(dec)
@@ -5615,7 +5671,7 @@ def _power_iter_sql(k: int) -> str:
       SELECT e.embedding,
              list_sum([CAST(e.embedding[i + 1] AS DOUBLE) * v.v[i + 1]
                        FOR i IN range(64)]) AS s
-      FROM embeddings e, v{k - 1} v
+      FROM emb64 e, v{k - 1} v
     ),
     x{k} AS (
       SELECT s, unnest(embedding) AS x,
@@ -5642,7 +5698,11 @@ def _power_iter_sql(k: int) -> str:
 @Q.add(
     "embedding_power_iteration",
     """
-    WITH v0 AS (SELECT [CAST(0.125 AS DOUBLE) FOR i IN range(64)] AS v),"""
+    WITH emb64 AS (SELECT * FROM embeddings WHERE len(embedding) = 64
+      AND list_aggregate(
+            [abs(CAST(x AS DOUBLE)) <= 9.2e12 FOR x IN embedding],
+            'bool_and')),
+    v0 AS (SELECT [CAST(0.125 AS DOUBLE) FOR i IN range(64)] AS v),"""
     + ",".join(_power_iter_sql(k) for k in (1, 2, 3))
     + """
     SELECT CAST(dim AS INT) AS dim, val AS loading FROM u3
@@ -5662,7 +5722,21 @@ def _power_iter_sql(k: int) -> str:
     "every cross-engine float crossing snapped.",
 )
 def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select("embedding")
+    # entry gate mirrored in the oracle's emb64 CTE: 64-dim only (the
+    # s = Xv fold indexes embedding[0..63] — ragged-dim sweep) AND
+    # fixed-point domain (a NaN/Inf dim overflows the 1e-6 bigint
+    # component sums — non-finite sweep, full-materialization pass)
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(
+            (F.size("embedding") == 64)
+            & F.expr(
+            "aggregate(embedding, true,"
+            " (acc, x) -> acc AND abs(CAST(x AS DOUBLE)) <= 9.2e12)"
+        )
+        )
+        .select("embedding")
+    )
     vdf = spark.range(1).select(
         F.expr("array_repeat(CAST(0.125 AS DOUBLE), 64)").alias("v")
     )
@@ -5696,7 +5770,7 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-dim sums pass ~3e9 (the variance-audit lesson)
         nrm = F.sqrt(
             F.expr(
-                "CAST(SUM(CAST(w AS DECIMAL(28,0)) * w) OVER () AS DOUBLE)"
+                "CAST(SUM(TRY_CAST(w AS DECIMAL(28,0)) * w) OVER () AS DOUBLE)"
             )
         )
         snapped = w.select(
@@ -5780,7 +5854,7 @@ def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
@@ -5801,7 +5875,7 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+        F.expr("CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
             "s"
         ),
     )
@@ -6076,8 +6150,12 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "kmeans_step",
     """
-    WITH cb AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WITH emb64 AS (SELECT * FROM embeddings WHERE len(embedding) = 64
+      AND list_aggregate(
+            [abs(CAST(x AS DOUBLE)) <= 9.2e12 FOR x IN embedding],
+            'bool_and')),
+    cb AS (
+      SELECT vec_id AS cid, embedding AS ce FROM emb64
       WHERE vec_id < 10
     ),
     d AS (
@@ -6088,7 +6166,7 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (CAST(e.embedding[i + 1] AS DOUBLE)
                    - CAST(cb.ce[i + 1] AS DOUBLE))
                 FOR i IN range(64)]) AS d2
-      FROM embeddings e, cb
+      FROM emb64 e, cb
     ),
     assigned AS (
       SELECT vec_id, embedding, cid FROM (
@@ -6128,7 +6206,17 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the fixed-point snap keeps every round reproducible.",
 )
 def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # entry gate mirrored in the oracle's emb64 CTE: 64-dim only (the
+    # L2^2 fold indexes dims 0..63 — ragged-dim sweep) AND fixed-point
+    # domain (a NaN/Inf dim overflows the 1e-6 bigint component sums —
+    # non-finite sweep, full-materialization pass)
+    e = load(spark, sf_dir, "embeddings").filter(
+        (F.size("embedding") == 64)
+        & F.expr(
+            "aggregate(embedding, true,"
+            " (acc, x) -> acc AND abs(CAST(x AS DOUBLE)) <= 9.2e12)"
+        )
+    )
     cb = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -6245,10 +6333,12 @@ def _mmr_round_sql(k: int) -> str:
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import embeddable
 
-    # unembeddable (null/zero-norm/non-finite) vectors can't rank:
-    # the rel/ps divisions below would raise DIVIDE_BY_ZERO under ANSI
-    # on a zero norm (non-finite-sweep contract, same as the kernels)
-    e = load(spark, sf_dir, "embeddings").filter(embeddable("embedding"))
+    # unembeddable (null/zero-norm/non-finite/wrong-dim) vectors can't
+    # rank: the rel/ps divisions below would raise DIVIDE_BY_ZERO under
+    # ANSI on a zero norm, and the 0..63 dot folds would raise
+    # INVALID_ARRAY_INDEX on a short vector (non-finite- and
+    # ragged-dim-sweep contract, same as the kernels)
+    e = load(spark, sf_dir, "embeddings").filter(embeddable("embedding", 64))
 
     def dot(x, y):
         return (
@@ -6536,12 +6626,13 @@ def extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "embedding_analogy",
     """
-    WITH abc AS (
+    WITH emb64 AS (SELECT * FROM embeddings WHERE len(embedding) = 64),
+    abc AS (
       SELECT
         MAX(CASE WHEN vec_id = 0 THEN embedding END) AS va,
         MAX(CASE WHEN vec_id = 1 THEN embedding END) AS vb,
         MAX(CASE WHEN vec_id = 2 THEN embedding END) AS vc
-      FROM embeddings WHERE vec_id < 3
+      FROM emb64 WHERE vec_id < 3
     ),
     tgt AS (
       SELECT [CAST(va[i + 1] AS DOUBLE) - CAST(vb[i + 1] AS DOUBLE)
@@ -6557,7 +6648,7 @@ def extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                                FOR i IN range(64)]))
                 * sqrt(list_sum([t[i + 1] * t[i + 1]
                                  FOR i IN range(64)]))) AS sim
-      FROM embeddings e, tgt
+      FROM emb64 e, tgt
       WHERE e.vec_id >= 3
     )
     SELECT CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 6) AS sim
@@ -6574,10 +6665,12 @@ def extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "discipline — never the builtin cosine) and id tie-breaks. The "
     "1-row target broadcasts; the corpus streams once; swap the "
     "brute-force tail for sim_ann_* at 100 TB. MAX(CASE) pivots "
-    "the three source vectors into one row without a window.",
+    "the three source vectors into one row without a window. "
+    "Fixed-dim contract mirrored on both engines (ragged-dim "
+    "sweep): every fold indexes dims 0..63.",
 )
 def embedding_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(F.size("embedding") == 64)
 
     def dot(x, y):
         return (

@@ -36,13 +36,16 @@ DEC = "DECIMAL(18,6)"
 def dsum(expr: str, alias: str) -> str:
     """Order-independent sum of a double expression: per-row exact cast to
     DECIMAL(18,6) (deterministic given identical input bits), exact
-    decimal summation, deterministic cast back to double."""
-    return f"CAST(SUM(CAST(({expr}) AS {DEC})) AS DOUBLE) AS {alias}"
+    decimal summation, deterministic cast back to double. TRY_CAST on
+    both engines (non-finite sweep, full-materialization pass): a
+    NaN/Inf/out-of-DECIMAL value contributes no mass instead of
+    raising under ANSI — the engine-wide decimal-fold contract."""
+    return f"CAST(SUM(TRY_CAST(({expr}) AS {DEC})) AS DOUBLE) AS {alias}"
 
 
 def davg(expr: str, alias: str) -> str:
     """Exact-sum / count — one double division, no accumulation order."""
-    return f"ROUND(CAST(SUM(CAST(({expr}) AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS {alias}"
+    return f"ROUND(CAST(SUM(TRY_CAST(({expr}) AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS {alias}"
 
 
 # ===========================================================================
@@ -115,8 +118,8 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
-        F.expr(f"CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
-        F.expr(f"CAST(SUM(CAST((l_extendedprice) AS {DEC})) AS DOUBLE)").alias(
+        F.expr(f"CAST(SUM(TRY_CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
+        F.expr(f"CAST(SUM(TRY_CAST((l_extendedprice) AS {DEC})) AS DOUBLE)").alias(
             "sum_price"
         ),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
@@ -188,7 +191,7 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "project_expr",
     f"""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE) AS revenue,
+           CAST(TRY_CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE) AS revenue,
            CASE WHEN l_quantity > 40 THEN 'bulk'
                 WHEN l_quantity > 20 THEN 'mid'
                 ELSE 'small' END AS qty_class
@@ -201,7 +204,7 @@ def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.expr(f"CAST(CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE)").alias(
+        F.expr(f"CAST(TRY_CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE)").alias(
             "revenue"
         ),
         F.when(F.col("l_quantity") > 40, "bulk")
@@ -433,7 +436,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     f"""
     SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
-           CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}) AS DOUBLE) AS revenue
+           CAST(TRY_CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size > 20
     """,
@@ -446,7 +449,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "p_brand",
-        F.expr(f"CAST(CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE)").alias(
+        F.expr(f"CAST(TRY_CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE)").alias(
             "revenue"
         ),
     )
@@ -636,7 +639,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.expr(f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)").alias(
+            F.expr(f"CAST(SUM(TRY_CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)").alias(
                 "revenue"
             ),
             F.count("*").alias("n_items"),
@@ -731,7 +734,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.expr(
-                f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)"
+                f"CAST(SUM(TRY_CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)"
             ).alias("revenue"),
         )
     )
@@ -761,9 +764,9 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.agg(
         F.count("*").alias("n_rows"),
         F.count("l_partkey").alias("n_part"),
-        F.expr(f"CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
+        F.expr(f"CAST(SUM(TRY_CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
         F.expr(
-            f"ROUND(CAST(SUM(CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+            f"ROUND(CAST(SUM(TRY_CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
         ).alias("avg_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
@@ -795,24 +798,24 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr(f"CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
-            F.expr(f"CAST(SUM(CAST((l_extendedprice) AS {DEC})) AS DOUBLE)").alias(
+            F.expr(f"CAST(SUM(TRY_CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
+            F.expr(f"CAST(SUM(TRY_CAST((l_extendedprice) AS {DEC})) AS DOUBLE)").alias(
                 "sum_base_price"
             ),
             F.expr(
-                f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)"
+                f"CAST(SUM(TRY_CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)"
             ).alias("sum_disc_price"),
             F.expr(
-                f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS {DEC})) AS DOUBLE)"
+                f"CAST(SUM(TRY_CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS {DEC})) AS DOUBLE)"
             ).alias("sum_charge"),
             F.expr(
-                f"ROUND(CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+                f"ROUND(CAST(SUM(TRY_CAST((l_quantity) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
             ).alias("avg_qty"),
             F.expr(
-                f"ROUND(CAST(SUM(CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+                f"ROUND(CAST(SUM(TRY_CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
             ).alias("avg_price"),
             F.expr(
-                f"ROUND(CAST(SUM(CAST((l_discount) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+                f"ROUND(CAST(SUM(TRY_CAST((l_discount) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -825,7 +828,7 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS n_parts,
            COUNT(DISTINCT l_suppkey) AS n_supps,
-           CAST(SUM(DISTINCT CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_dist_qty
+           CAST(SUM(DISTINCT TRY_CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_dist_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -836,7 +839,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        F.expr(f"CAST(SUM(DISTINCT CAST(l_quantity AS {DEC})) AS DOUBLE)").alias(
+        F.expr(f"CAST(SUM(DISTINCT TRY_CAST(l_quantity AS {DEC})) AS DOUBLE)").alias(
             "sum_dist_qty"
         ),
     )
@@ -858,7 +861,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.expr(f"CAST(SUM(CAST((o_totalprice) AS {DEC})) AS DOUBLE)").alias(
+            F.expr(f"CAST(SUM(TRY_CAST((o_totalprice) AS {DEC})) AS DOUBLE)").alias(
                 "total_spend"
             ),
         )
@@ -927,7 +930,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST((o_totalprice) AS {DEC})) AS DOUBLE) AS total
+               CAST(SUM(TRY_CAST((o_totalprice) AS {DEC})) AS DOUBLE) AS total
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -976,9 +979,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
-           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+           CAST(COALESCE(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6)))
                 FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f,
-           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+           CAST(COALESCE(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6)))
                 FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
     FROM lineitem
     GROUP BY l_returnflag
@@ -994,7 +997,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["F", "O"])
         .agg(
             F.count(F.lit(1)).alias("n"),  # count("*") is invalid inside pivot
-            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"),
+            F.sum(F.col("l_quantity").try_cast("decimal(18,6)")).alias("qty"),
         )
     )
     return p.select(
@@ -1200,7 +1203,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_rows",
     f"""
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
+           CAST(SUM(TRY_CAST(o_totalprice AS {DEC})) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
@@ -1221,7 +1224,7 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+        F.sum(F.col("o_totalprice").try_cast(DEC)).over(w).cast("double").alias("running_spend"),
         F.count("*").over(w).alias("n_so_far"),
     )
 
@@ -1233,7 +1236,7 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (
                PARTITION BY user_id ORDER BY epoch_s
                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min,
-           CAST(SUM(CAST(value AS {DEC})) OVER (
+           CAST(SUM(TRY_CAST(value AS {DEC})) OVER (
                PARTITION BY user_id ORDER BY epoch_s
                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_10min
     FROM (SELECT event_id, user_id, value,
@@ -1255,7 +1258,7 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).alias("n_10min"),
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("val_10min"),
+        F.sum(F.col("value").try_cast(DEC)).over(w).cast("double").alias("val_10min"),
     )
 
 
@@ -1266,7 +1269,7 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS n_90d,
-           CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
+           CAST(SUM(TRY_CAST(o_totalprice AS {DEC})) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
     FROM orders
@@ -1287,7 +1290,7 @@ def win_frame_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate
                    RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS n_90d,
-               CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
+               CAST(SUM(TRY_CAST(o_totalprice AS {DEC})) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate
                    RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
         FROM __orders_wfi
@@ -1467,7 +1470,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_unpivot",
     f"""
     SELECT l_returnflag, metric,
-           CAST(SUM(CAST(val AS {DEC})) AS DOUBLE) AS total
+           CAST(SUM(TRY_CAST(val AS {DEC})) AS DOUBLE) AS total
     FROM (
       SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
       FROM lineitem
@@ -1495,7 +1498,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
         .groupBy("l_returnflag", "metric")
-        .agg(F.expr(f"CAST(SUM(CAST(val AS {DEC})) AS DOUBLE)").alias("total"))
+        .agg(F.expr(f"CAST(SUM(TRY_CAST(val AS {DEC})) AS DOUBLE)").alias("total"))
     )
 
 
@@ -1618,7 +1621,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1
     ), b AS (
       SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
@@ -1642,7 +1645,7 @@ def gap_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.count("*").alias("n_events"),
-            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+            F.expr("CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
                 "sum_value"
             ),
         )
@@ -1740,7 +1743,7 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
              AS n_big,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))
                   FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
              AS urgent_total,
            CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)
@@ -1758,7 +1761,7 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.expr("CAST(count_if(o_totalprice > 150000) AS BIGINT)").alias("n_big"),
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+            "CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))"
             " FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)"
         ).alias("urgent_total"),
         F.expr(
@@ -1880,7 +1883,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST((o_totalprice) AS {DEC})) AS DOUBLE) AS sum_price,
+           CAST(SUM(TRY_CAST((o_totalprice) AS {DEC})) AS DOUBLE) AS sum_price,
            strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS min_date,
            strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS max_date
     FROM orders
@@ -1907,7 +1910,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out_dir)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
-        F.expr(f"CAST(SUM(CAST((o_totalprice) AS {DEC})) AS DOUBLE)").alias(
+        F.expr(f"CAST(SUM(TRY_CAST((o_totalprice) AS {DEC})) AS DOUBLE)").alias(
             "sum_price"
         ),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
@@ -1919,7 +1922,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_time_multi",
     f"""
     SELECT day, hr, COUNT(*) AS n_events,
-           CAST(SUM(CAST((value) AS {DEC})) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST((value) AS {DEC})) AS DOUBLE) AS sum_value
     FROM (
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
@@ -1943,7 +1946,7 @@ def rollup_time_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT day, hr, COUNT(*) AS n_events,
-               CAST(SUM(CAST((value) AS {DEC})) AS DOUBLE) AS sum_value
+               CAST(SUM(TRY_CAST((value) AS {DEC})) AS DOUBLE) AS sum_value
         FROM _rtm_events
         GROUP BY GROUPING SETS ((day), (day, hr))
         """
@@ -1993,7 +1996,7 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_twophase",
     f"""
     SELECT l_returnflag, COUNT(*) AS n_rows,
-           CAST(SUM(CAST((l_quantity) AS {DEC})) AS DOUBLE) AS sum_qty
+           CAST(SUM(TRY_CAST((l_quantity) AS {DEC})) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -2012,7 +2015,7 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "salt")
         .agg(
             F.count("*").alias("pn"),
-            F.expr(f"SUM(CAST((l_quantity) AS {DEC}))").alias("pq"),
+            F.expr(f"SUM(TRY_CAST((l_quantity) AS {DEC}))").alias("pq"),
         )
     )
     return phase1.groupBy("l_returnflag").agg(
@@ -2096,9 +2099,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted",
     f"""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS {DEC})) AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 4)
+           CAST(SUM(TRY_CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           ROUND(CAST(SUM(TRY_CAST(l_extendedprice * l_quantity AS {DEC})) AS DOUBLE)
+                 / CAST(SUM(TRY_CAST(l_quantity AS {DEC})) AS DOUBLE), 4)
              AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -2114,10 +2117,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.expr(f"CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE)").alias("sum_qty"),
+        F.expr(f"CAST(SUM(TRY_CAST(l_quantity AS {DEC})) AS DOUBLE)").alias("sum_qty"),
         F.expr(
-            f"ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS {DEC})) AS DOUBLE)"
-            f" / CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 4)"
+            f"ROUND(CAST(SUM(TRY_CAST(l_extendedprice * l_quantity AS {DEC})) AS DOUBLE)"
+            f" / CAST(SUM(TRY_CAST(l_quantity AS {DEC})) AS DOUBLE), 4)"
         ).alias("wavg_price"),
     )
 
@@ -2127,7 +2130,7 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pri,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
+           CAST(SUM(TRY_CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY pri
     """,
@@ -2156,7 +2159,7 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy(F.col("o_orderpriority").alias("pri")).agg(
         F.count("*").alias("n_rows"),
-        F.expr(f"CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE)").alias("sum_price"),
+        F.expr(f"CAST(SUM(TRY_CAST(o_totalprice AS {DEC})) AS DOUBLE)").alias("sum_price"),
     )
 
 
@@ -2239,14 +2242,14 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
              -- DECIMAL(19,6) operands force DuckDB's int128 multiply
              -- (int64 DECIMAL(18) products overflow); values are exact
              -- either way, so the sums equal Spark's DECIMAL(18,6) path
-             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(19,6)) * TRY_CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(19,6)) * TRY_CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(19,6)) * TRY_CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -2268,16 +2271,16 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = "DECIMAL(18,6)"
     s = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        F.expr(f"CAST(SUM(CAST(l_quantity AS {d})) AS DOUBLE)").alias("sx"),
-        F.expr(f"CAST(SUM(CAST(l_extendedprice AS {d})) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM(TRY_CAST(l_quantity AS {d})) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM(TRY_CAST(l_extendedprice AS {d})) AS DOUBLE)").alias("sy"),
         F.expr(
-            f"CAST(SUM(CAST(l_quantity AS {d}) * CAST(l_extendedprice AS {d})) AS DOUBLE)"
+            f"CAST(SUM(TRY_CAST(l_quantity AS {d}) * TRY_CAST(l_extendedprice AS {d})) AS DOUBLE)"
         ).alias("sxy"),
         F.expr(
-            f"CAST(SUM(CAST(l_quantity AS {d}) * CAST(l_quantity AS {d})) AS DOUBLE)"
+            f"CAST(SUM(TRY_CAST(l_quantity AS {d}) * TRY_CAST(l_quantity AS {d})) AS DOUBLE)"
         ).alias("sxx"),
         F.expr(
-            f"CAST(SUM(CAST(l_extendedprice AS {d}) * CAST(l_extendedprice AS {d})) AS DOUBLE)"
+            f"CAST(SUM(TRY_CAST(l_extendedprice AS {d}) * TRY_CAST(l_extendedprice AS {d})) AS DOUBLE)"
         ).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
@@ -2422,7 +2425,7 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bloom_prefilter",
     """
     SELECT s.s_suppkey, s.s_name,
-           CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount))
+           CAST(SUM(TRY_CAST((l.l_extendedprice * (1 - l.l_discount))
                          AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2454,7 +2457,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.expr(
-                f"CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)"
+                f"CAST(SUM(TRY_CAST((l_extendedprice * (1 - l_discount)) AS {DEC})) AS DOUBLE)"
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -2569,10 +2572,10 @@ _M_DEC = "DECIMAL(38,8)"
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS {_M_DEC})) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s3,
-             CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s4
+             CAST(SUM(TRY_CAST(l_quantity AS {_M_DEC})) AS DOUBLE) AS s1,
+             CAST(SUM(TRY_CAST(l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s2,
+             CAST(SUM(TRY_CAST(l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s3,
+             CAST(SUM(TRY_CAST(l_quantity*l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s4
       FROM lineitem GROUP BY l_returnflag
     )
     """,
@@ -2589,15 +2592,15 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     sums = l.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        F.expr(f"CAST(SUM(CAST(l_quantity AS {_M_DEC})) AS DOUBLE)").alias("s1"),
+        F.expr(f"CAST(SUM(TRY_CAST(l_quantity AS {_M_DEC})) AS DOUBLE)").alias("s1"),
         F.expr(
-            f"CAST(SUM(CAST(l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE)"
+            f"CAST(SUM(TRY_CAST(l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE)"
         ).alias("s2"),
         F.expr(
-            f"CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE)"
+            f"CAST(SUM(TRY_CAST(l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE)"
         ).alias("s3"),
         F.expr(
-            f"CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE)"
+            f"CAST(SUM(TRY_CAST(l_quantity*l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE)"
         ).alias("s4"),
     )
     mean = F.col("s1") / F.col("n")
@@ -2690,7 +2693,7 @@ def win_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT n_regionkey,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST((n_nationkey) AS {DEC})) AS DOUBLE) AS key_sum,
+           CAST(SUM(TRY_CAST((n_nationkey) AS {DEC})) AS DOUBLE) AS key_sum,
            MIN(n_name) AS first_name
     FROM nation
     GROUP BY n_regionkey
@@ -2716,7 +2719,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).csv(out_dir)
     return back.groupBy("n_regionkey").agg(
         F.count("*").alias("n_rows"),
-        F.expr(f"CAST(SUM(CAST((n_nationkey) AS {DEC})) AS DOUBLE)").alias("key_sum"),
+        F.expr(f"CAST(SUM(TRY_CAST((n_nationkey) AS {DEC})) AS DOUBLE)").alias("key_sum"),
         F.min("n_name").alias("first_name"),
     )
 
@@ -2841,8 +2844,8 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seg AS (
       SELECT user_id,
-             CAST(CAST(value AS DECIMAL(18,6))
-                  * CAST(next_s - t_s AS DECIMAL(12,0)) AS DECIMAL(38,6))
+             TRY_CAST(TRY_CAST(value AS DECIMAL(18,6))
+                  * TRY_CAST(next_s - t_s AS DECIMAL(12,0)) AS DECIMAL(38,6))
                AS num,
              next_s - t_s AS dt
       FROM seq WHERE next_s IS NOT NULL
@@ -2879,8 +2882,8 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = seq.filter(F.col("next_s").isNotNull()).select(
         "user_id",
         F.expr(
-            "CAST(CAST(value AS DECIMAL(18,6))"
-            " * CAST(next_s - t_s AS DECIMAL(12,0)) AS DECIMAL(38,6))"
+            "TRY_CAST(TRY_CAST(value AS DECIMAL(18,6))"
+            " * TRY_CAST(next_s - t_s AS DECIMAL(12,0)) AS DECIMAL(38,6))"
         ).alias("num"),
         (F.col("next_s") - F.col("t_s")).alias("dt"),
     )
@@ -2902,7 +2905,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
       FROM events GROUP BY event_type, d
     )
     SELECT event_type, strftime(d, '%Y-%m-%d') AS day, rev,
@@ -2926,7 +2929,7 @@ def pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     daily = (
         e.groupBy("event_type", F.to_date("ts").alias("d"))
-        .agg(F.expr(f"CAST(SUM(CAST(value AS {DEC})) AS DOUBLE)").alias("rev"))
+        .agg(F.expr(f"CAST(SUM(TRY_CAST(value AS {DEC})) AS DOUBLE)").alias("rev"))
     )
     w = Window.partitionBy("event_type").orderBy("d")
     prev = F.lag("rev").over(w)
@@ -3008,7 +3011,11 @@ def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no regex backtracking), so at 100 TB the text decode is "
     "CPU-bound exactly like a CSV scan, and the line format (tab "
     "join) is split-safe because the serialized columns are "
-    "tab-free.",
+    "tab-free. NULL fields serialize as the classic TSV \\\\N marker "
+    "(concat_ws silently DROPS nulls, misaligning every later field "
+    "— the null-payload-sweep crash) and decode back to NULL, so the "
+    "round-trip is lossless for nullable columns too; try_element_at "
+    "keeps a short line a NULL, never an ANSI crash.",
 )
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -3016,8 +3023,15 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _tmp_dir("scan_text", sf_dir)
     shutil.rmtree(out_dir, ignore_errors=True)
     d = load(spark, sf_dir, "documents")
+
+    def enc(c: str):
+        return F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+
+    def dec(e):
+        return F.when(e == "\\N", F.lit(None).cast("string")).otherwise(e)
+
     d.select(
-        F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("n_chars")).alias(
+        F.concat_ws("\t", enc("doc_id"), enc("lang"), enc("n_chars")).alias(
             "value"
         )
     ).write.mode("overwrite").text(out_dir)
@@ -3025,9 +3039,9 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.text(out_dir)
         .select(F.split("value", "\t").alias("p"))
         .select(
-            F.element_at("p", 1).cast("bigint").alias("doc_id"),
-            F.element_at("p", 2).alias("lang"),
-            F.element_at("p", 3).cast("bigint").alias("n_chars"),
+            dec(F.try_element_at("p", F.lit(1))).cast("bigint").alias("doc_id"),
+            dec(F.try_element_at("p", F.lit(2))).alias("lang"),
+            dec(F.try_element_at("p", F.lit(3))).cast("bigint").alias("n_chars"),
         )
     )
     return back.groupBy("lang").agg(
@@ -3042,7 +3056,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ranked AS (
       SELECT o_orderpriority,
-             CAST(o_totalprice AS DECIMAL(18,6)) AS x,
+             TRY_CAST(o_totalprice AS DECIMAL(18,6)) AS x,
              ROW_NUMBER() OVER (
                PARTITION BY o_orderpriority
                ORDER BY o_totalprice, o_orderkey) AS i
@@ -3051,7 +3065,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT o_orderpriority,
              COUNT(*) AS n_orders,
-             SUM(x * CAST(i AS DECIMAL(10,0))) AS num,
+             SUM(x * TRY_CAST(i AS DECIMAL(10,0))) AS num,
              SUM(x) AS den
       FROM ranked GROUP BY o_orderpriority
     )
@@ -3083,12 +3097,12 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = o.select(
         "o_orderpriority",
-        F.expr("CAST(o_totalprice AS DECIMAL(18,6))").alias("x"),
+        F.expr("TRY_CAST(o_totalprice AS DECIMAL(18,6))").alias("x"),
         F.row_number().over(w).alias("i"),
     )
     m = ranked.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.expr("SUM(x * CAST(i AS DECIMAL(10,0)))").alias("num"),
+        F.expr("SUM(x * TRY_CAST(i AS DECIMAL(10,0)))").alias("num"),
         F.sum("x").alias("den"),
     )
     return m.select(
@@ -3160,7 +3174,7 @@ def anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
       FROM events GROUP BY event_type, d
     ),
     framed AS (
@@ -3193,7 +3207,7 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(
-        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+        F.expr("CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
             "rev"
         )
     )
@@ -3283,7 +3297,7 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
                AS last_day,
              COUNT(*) AS freq,
-             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+             SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     tot AS (SELECT COUNT(*) AS n FROM cust),
@@ -3327,7 +3341,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("last_day"),
         F.count("*").alias("freq"),
-        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,6)))").alias("monetary"),
+        F.expr("SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))").alias("monetary"),
     )
     tot = cust.agg(F.count("*").alias("n"))
     ranked = cust.withColumn("one", F.lit(1))
@@ -3366,7 +3380,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH shard AS (
       SELECT o_orderkey % 8 AS shard_id, o_orderpriority,
              COUNT(*) AS n,
-             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+             SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS s,
              MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
       FROM orders GROUP BY shard_id, o_orderpriority
     )
@@ -3399,7 +3413,7 @@ def partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard_id", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,6)))").alias("s"),
+            F.expr("SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))").alias("s"),
             F.min("o_totalprice").alias("mn"),
             F.max("o_totalprice").alias("mx"),
         )
@@ -3480,7 +3494,7 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS v
+             CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS v
       FROM orders GROUP BY d
     ),
     marked AS (
@@ -3534,7 +3548,7 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(
             F.expr(
-                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
             ).alias("v")
         )
     )
@@ -3742,7 +3756,7 @@ def referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.cm AS cohort_m,
              (date_part('year', o.o_orderdate) * 12
               + date_part('month', o.o_orderdate)) - f.cm AS offs,
-             CAST(o.o_totalprice AS DECIMAL(18,6)) AS p,
+             TRY_CAST(o.o_totalprice AS DECIMAL(18,6)) AS p,
              o.o_custkey
       FROM orders o JOIN first f USING (o_custkey)
     ),
@@ -3778,7 +3792,7 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = o.join(first, "o_custkey").select(
         F.col("cm").alias("cohort_m"),
         (m - F.col("cm")).alias("offs"),
-        F.expr("CAST(o_totalprice AS DECIMAL(18,6))").alias("p"),
+        F.expr("TRY_CAST(o_totalprice AS DECIMAL(18,6))").alias("p"),
         "o_custkey",
     )
     g = r.groupBy("cohort_m", "offs").agg(
@@ -4223,7 +4237,7 @@ def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_value
     FROM b GROUP BY dow, hod
     """,
@@ -4250,7 +4264,7 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(
-                F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
+                F.expr("CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
                 / F.count("*"),
                 4,
             ).alias("avg_value"),
@@ -4270,7 +4284,7 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((r - 1) * 10 // n AS INT) AS bucket,
            COUNT(*) AS n_rows,
            MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS bucket_sum
     FROM ranked CROSS JOIN tot
     GROUP BY bucket
@@ -4309,7 +4323,7 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
             F.expr(
-                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
             ).alias("bucket_sum"),
         )
     )
@@ -4552,13 +4566,13 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT l_returnflag, COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(TRY_CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
                   AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+             CAST(SUM(TRY_CAST(l_extendedprice * l_extendedprice
                            AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+             CAST(SUM(TRY_CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
                   AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     ),
@@ -4596,19 +4610,19 @@ def anomaly_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)").alias("sx"),
         F.expr(
-            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)"
+            "CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)"
         ).alias("sy"),
         F.expr(
-            "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)"
+            "CAST(SUM(TRY_CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)"
         ).alias("sxx"),
         F.expr(
-            "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))"
+            "CAST(SUM(TRY_CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))"
             " AS DOUBLE)"
         ).alias("syy"),
         F.expr(
-            "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))"
+            "CAST(SUM(TRY_CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))"
             " AS DOUBLE)"
         ).alias("sxy"),
     )
@@ -4675,12 +4689,15 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", F.col("ts_ns").alias("t_ns"),
         F.lit(0).alias("replica"),
     )
+    # try_add (extreme-ts sweep): the +1h replay shift overflows at the
+    # ts_ns clamp rail; the NULL is harmless — t_ns only tie-breaks
+    # WITHIN a replica group and replica already orders original-first
     replay = (
         e.filter(F.col("event_id") % 7 == 0)
         .select(
             "event_id",
             "event_type",
-            (F.col("ts_ns") + F.lit(3600000000000)).alias("t_ns"),
+            F.try_add(F.col("ts_ns"), F.lit(3600000000000)).alias("t_ns"),
             F.lit(1).alias("replica"),
         )
     )
@@ -4699,7 +4716,7 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "concentration_8020",
     """
     WITH cust AS (
-      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      SELECT o_custkey, SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS rev
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -4735,7 +4752,7 @@ def concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
-        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,6)))").alias("rev")
+        F.expr("SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))").alias("rev")
     )
     # one prefix-sum pass yields BOTH the rank (cumsum of 1s) and the
     # running revenue: order by (-rev double, custkey)
@@ -4911,7 +4928,7 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(channel, 'unknown') AS channel,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS total
     FROM unioned GROUP BY COALESCE(channel, 'unknown')
     """,
@@ -4943,7 +4960,7 @@ def union_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"),
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            "CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
         ).alias("total"),
     )
 
@@ -5022,7 +5039,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(value, CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
              AS close,
            COUNT(*) AS n_ticks,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
     FROM events
     GROUP BY day, event_type
     """,
@@ -5047,7 +5064,7 @@ def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.expr("max_by(value, struct(ts_ns, event_id))").alias("close"),
         F.count("*").alias("n_ticks"),
-        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+        F.expr("CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
             "volume"
         ),
     )
@@ -5134,7 +5151,7 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            MIN(epoch_ns(ts) // 1000000000) AS first_s,
            MAX(epoch_ns(ts) // 1000000000) AS last_s,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            arg_max(event_type,
                    CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
              AS last_event_type,
@@ -5163,7 +5180,7 @@ def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.expr("MIN(ts_ns DIV 1000000000)").alias("first_s"),
         F.expr("MAX(ts_ns DIV 1000000000)").alias("last_s"),
-        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+        F.expr("CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
             "total_value"
         ),
         F.expr("max_by(event_type, struct(ts_ns, event_id))").alias(
@@ -5349,7 +5366,7 @@ def mutual_info_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type, COUNT(*) AS n,
            ROUND(MIN(lo), 4) AS p05,
            ROUND(MIN(hi), 4) AS p95,
-           CAST(SUM(CAST(LEAST(GREATEST(e.value, lo), hi)
+           CAST(SUM(TRY_CAST(LEAST(GREATEST(e.value, lo), hi)
                          AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*) AS winsorized_mean
     FROM events e JOIN th USING (event_type)
@@ -5379,7 +5396,7 @@ def winsorize_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("hi"), 4).alias("p95"),
         (
             F.expr(
-                "CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi) "
+                "CAST(SUM(TRY_CAST(LEAST(GREATEST(value, lo), hi) "
                 "AS DECIMAL(18,6))) AS DOUBLE)"
             )
             / F.count("*")
@@ -5398,8 +5415,12 @@ def winsorize_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ),
     flags AS (
-      SELECT CASE WHEN mn * 2 < lo + hi THEN 1 ELSE 0 END AS early_any,
-             CASE WHEN mx * 2 >= lo + hi THEN 1 ELSE 0 END AS late_any
+      SELECT CASE WHEN CAST(mn AS HUGEINT) * 2
+                       < CAST(lo AS HUGEINT) + hi THEN 1 ELSE 0
+             END AS early_any,
+             CASE WHEN CAST(mx AS HUGEINT) * 2
+                       >= CAST(lo AS HUGEINT) + hi THEN 1 ELSE 0
+             END AS late_any
       FROM u, bounds
     )
     SELECT COUNT(*) AS n_users,
@@ -5425,11 +5446,20 @@ def split_time_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = e.groupBy("user_id").agg(
         F.min("ts_ns").alias("mn"), F.max("ts_ns").alias("mx")
     )
+    # widened midpoint compare (extreme-ts sweep, full-materialization
+    # pass): mn*2 and lo+hi overflow int64 at the ts_ns clamp rails —
+    # DECIMAL(38,0)/HUGEINT on the two engines keeps the comparison
+    # EXACT at every magnitude, no overflow possible
+    d38 = "decimal(38,0)"
     flags = u.crossJoin(F.broadcast(b)).select(
-        F.when(F.col("mn") * 2 < F.col("lo") + F.col("hi"), 1)
+        F.when(
+            F.col("mn").cast(d38) * 2 < F.col("lo").cast(d38) + F.col("hi"), 1
+        )
         .otherwise(0)
         .alias("early_any"),
-        F.when(F.col("mx") * 2 >= F.col("lo") + F.col("hi"), 1)
+        F.when(
+            F.col("mx").cast(d38) * 2 >= F.col("lo").cast(d38) + F.col("hi"), 1
+        )
         .otherwise(0)
         .alias("late_any"),
     )
@@ -5534,7 +5564,7 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     reps AS (
       SELECT b,
-             CAST(SUM(m * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(m * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                / SUM(m) AS rep_mean
       FROM fan GROUP BY b
     )
@@ -5584,7 +5614,7 @@ def bootstrap_ci_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = fan.groupBy("b").agg(
         (
             F.expr(
-                "CAST(SUM(m * CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(m * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
             )
             / F.sum("m")
         ).alias("rep_mean")
@@ -5869,7 +5899,7 @@ def forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT d, n,
-             CAST(n AS DOUBLE) / SUM(n) OVER () AS share,
+             CAST(n AS DOUBLE) / NULLIF(SUM(n) OVER (), 0) AS share,
              ln(1.0 + 1.0 / d) / ln(10.0) AS expected
       FROM j
     )
@@ -5887,7 +5917,11 @@ def forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an explicit spine, expected shares ln(1+1/d)/ln(10) computed "
     "by the identical expression, and the chi-square-style deviation "
     "total summed in 1e-6 fixed-point. One map-side-combined digit "
-    "rollup over the scan; audit math on 9 rows.",
+    "rollup over the scan; audit math on 9 rows. The share division "
+    "is NULLIF-guarded on both engines: an empty partition makes the "
+    "spine total 0, and 0/0 is an ANSI DIVIDE_BY_ZERO on Spark and a "
+    "settings-dependent NULL-or-NaN on DuckDB — NULL share/chi2 is "
+    "the one answer both agree on (empty-input sweep).",
 )
 def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
@@ -5906,7 +5940,10 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = j.select(
         "d",
         "n",
-        (F.col("n").cast("double") / F.sum("n").over(wall)).alias("share"),
+        (
+            F.col("n").cast("double")
+            / F.nullif(F.sum("n").over(wall), F.lit(0))
+        ).alias("share"),
         (F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))).alias(
             "expected"
         ),
@@ -5942,10 +5979,10 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (
       SELECT event_type,
              CAST(SUM(CASE WHEN period = 0
-                           THEN CAST(value AS DECIMAL(18,6)) END)
+                           THEN TRY_CAST(value AS DECIMAL(18,6)) END)
                   AS DOUBLE) AS v0,
              CAST(SUM(CASE WHEN period = 1
-                           THEN CAST(value AS DECIMAL(18,6)) END)
+                           THEN TRY_CAST(value AS DECIMAL(18,6)) END)
                   AS DOUBLE) AS v1,
              CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n0,
@@ -5955,10 +5992,10 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n0, n1, v0, v1,
            v1 - v0 AS delta,
-           (v1 - v0) - (CAST(SUM(CAST(v1 - v0 AS DECIMAL(18,6))) OVER ()
+           (v1 - v0) - (CAST(SUM(TRY_CAST(v1 - v0 AS DECIMAL(18,6))) OVER ()
                              AS DOUBLE)
                         / COUNT(*) OVER ()) AS delta_vs_avg,
-           CAST(SUM(CAST(v1 - v0 AS DECIMAL(18,6))) OVER () AS DOUBLE)
+           CAST(SUM(TRY_CAST(v1 - v0 AS DECIMAL(18,6))) OVER () AS DOUBLE)
              AS total_bridge
     FROM seg
     """,
@@ -5986,11 +6023,11 @@ def period_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = halves.groupBy("event_type").agg(
         F.expr(
             "CAST(SUM(CASE WHEN period = 0 "
-            "THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
+            "THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
         ).alias("v0"),
         F.expr(
             "CAST(SUM(CASE WHEN period = 1 "
-            "THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
+            "THEN TRY_CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)"
         ).alias("v1"),
         F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
         .cast("bigint")
@@ -6002,7 +6039,7 @@ def period_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.partitionBy()
     delta = F.col("v1") - F.col("v0")
     bridge = F.expr(
-        "CAST(SUM(CAST(v1 - v0 AS DECIMAL(18,6))) "
+        "CAST(SUM(TRY_CAST(v1 - v0 AS DECIMAL(18,6))) "
         "OVER () AS DOUBLE)"
     )
     return seg.select(
@@ -6026,6 +6063,7 @@ def period_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
                AS y
       FROM events
+      WHERE value IS NULL OR abs(value) <= 1e9
     ),
     grouped AS (
       SELECT event_type, COUNT(*) AS n,
@@ -6068,7 +6106,15 @@ def period_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cents-level precision would overflow n*sxx at sf0.1.",
 )
 def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # integer-moment domain gate, mirrored in the oracle (non-finite
+    # sweep, full-materialization pass): floor(Inf+0.5) saturates to
+    # int64 max and x*x raises ARITHMETIC_OVERFLOW under ANSI. Rows
+    # with |value| > 1e9 can't be snapped into the moment domain;
+    # NULL-value rows are KEPT (their y moments still count — x-sums
+    # skip NULLs on both engines, the pre-existing behavior).
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | (F.abs(F.col("value")) <= 1e9)
+    )
     fp = e.select(
         "event_type",
         F.floor(F.col("value") + F.lit(0.5)).cast("bigint").alias("x"),
@@ -6123,7 +6169,7 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     conv AS (
       SELECT user_id,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     credited AS (
@@ -6174,7 +6220,7 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.expr(
-                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
             ).alias("revenue")
         )
     )
@@ -6202,7 +6248,7 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lt AS (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+             CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                            AS DECIMAL(18,6))) AS DOUBLE) AS computed
       FROM lineitem GROUP BY l_orderkey
     ),
@@ -6223,9 +6269,9 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey
     )
     SELECT bucket, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS header_total,
-           CAST(SUM(CAST(COALESCE(computed, 0) AS DECIMAL(18,6)))
+           CAST(SUM(TRY_CAST(COALESCE(computed, 0) AS DECIMAL(18,6)))
                 AS DOUBLE) AS line_total
     FROM j GROUP BY bucket
     """,
@@ -6246,7 +6292,7 @@ def reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     lt = li.groupBy("l_orderkey").agg(
         F.expr(
-            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+            "CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
             " AS DECIMAL(18,6))) AS DOUBLE)"
         ).alias("computed")
     )
@@ -6265,10 +6311,10 @@ def reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("bucket").agg(
         F.count("*").alias("n_orders"),
         F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            "CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
         ).alias("header_total"),
         F.expr(
-            "CAST(SUM(CAST(COALESCE(computed, 0) AS DECIMAL(18,6))) "
+            "CAST(SUM(TRY_CAST(COALESCE(computed, 0) AS DECIMAL(18,6))) "
             "AS DOUBLE)"
         ).alias("line_total"),
     )
@@ -6578,7 +6624,7 @@ def rule_violation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
+             SUM(TRY_CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -6617,7 +6663,7 @@ def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.expr(
-                "SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+                "SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))"
             ).alias("rev_dec")
         )
     )
@@ -6724,9 +6770,9 @@ def quantile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT disc_pct, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*) AS avg_price
     FROM tiers GROUP BY disc_pct
     """,
@@ -6752,13 +6798,13 @@ def discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (
             F.expr(
-                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
             )
             / F.count("*")
         ).alias("avg_qty"),
         (
             F.expr(
-                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) "
+                "CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) "
                 "AS DOUBLE)"
             )
             / F.count("*")
@@ -6811,7 +6857,7 @@ def heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH seg AS (
       SELECT c.c_mktsegment AS segment, o.o_custkey,
-             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
+             SUM(TRY_CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY c.c_mktsegment, o.o_custkey
     ),
@@ -6852,7 +6898,7 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"), "o_custkey"
         )
         .agg(
-            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,6)))").alias(
+            F.expr("SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))").alias(
                 "rev_dec"
             )
         )
