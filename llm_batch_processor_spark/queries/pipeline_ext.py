@@ -4703,7 +4703,7 @@ def pretokenize_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
            CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
-             / CAST(n1 * n2 AS DOUBLE) AS d_stat
+             / CAST(NULLIF(n1 * n2, 0) AS DOUBLE) AS d_stat
     FROM cum, tot
     GROUP BY n1, n2
     """,
@@ -4752,13 +4752,17 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n1", "n2")
         .agg(F.max("ad").alias("d_num"))
     )
+    # NULLIF-guard on both engines (skew sweep): a one-sided corpus
+    # (every event the same type) makes one sample empty — KS is
+    # undefined there, and ANSI x/0 would raise. NULL d_stat is the
+    # one answer both engines agree on.
     return d.select(
         "n1",
         "n2",
         "d_num",
         (
             F.col("d_num").cast("double")
-            / (F.col("n1") * F.col("n2")).cast("double")
+            / F.nullif(F.col("n1") * F.col("n2"), F.lit(0)).cast("double")
         ).alias("d_stat"),
     )
 

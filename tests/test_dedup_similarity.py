@@ -359,3 +359,39 @@ def test_ann_gate_forced_path_matches_brute_results(spark, monkeypatch):
     for name in ("knn_classify", "mmr_rerank"):
         forced = {tuple(r) for r in qs[name].fn(spark, sf).collect()}
         assert forced == normal[name], name
+
+
+def test_modal_dim_inference_and_ragged_gate(spark):
+    """dim=None kernels infer the modal vector length (count-desc,
+    dim-asc tie-break) and drop wrong-length rows; explicit dim pins
+    the contract without the inference scan (ragged-dim sweep)."""
+    from llm_batch_processor_spark.functions.vectors import modal_dim
+
+    rows = (
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)]       # modal: dim 4
+        + [(10, [1.0]), (11, [1.0, 2.0]), (12, None)]        # ragged + NULL
+    )
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert modal_dim(e, "embedding") == 4
+    # tie: two dims with equal counts -> smaller dim wins (determinism)
+    tie = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    assert modal_dim(tie, "embedding") == 2
+    # empty / all-NULL frame -> None (kernels then skip the size gate)
+    empty = e.filter(F.col("vec_id") < 0)
+    assert modal_dim(empty, "embedding") is None
+
+
+def test_embedding_pairs_empty_corpus_both_paths(spark):
+    """An empty (or all-unembeddable) corpus yields zero pairs on BOTH
+    strategies — the LSH path must not dereference first() on the
+    empty frame (the r5 empty-guard in _hyperplane_candidates)."""
+    from llm_batch_processor_spark.operators.dedup import embedding_pairs
+
+    e = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    for strategy in ("brute", "lsh"):
+        out = embedding_pairs(e, min_cosine=0.9, strategy=strategy)
+        assert out.count() == 0, strategy
+        assert out.columns == ["id_a", "id_b"]

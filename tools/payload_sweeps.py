@@ -1,12 +1,13 @@
 """Re-runnable builders for the r5 payload sweeps that originally ran
-as in-process one-offs: NULL payloads, hostile text, empty tables.
+as in-process one-offs: NULL payloads, hostile text, empty tables,
+pathological key skew.
 
 All three now share the full-materialization harness (tools/sweeplib —
 ``toPandas``, never ``count()``), closing the column-pruning blind spot
 the ragged sweep exposed: counting lets Catalyst prune the very result
 expressions that crash.
 
-Usage: python tools/payload_sweeps.py --mode nulls|hostile|empty
+Usage: python tools/payload_sweeps.py --mode nulls|hostile|empty|skew
                                       [--only name[,name...]]
 """
 
@@ -100,6 +101,60 @@ def build_hostile(src: str, dst: Path) -> None:
     pd.DataFrame(rows).to_parquet(str(dst / "documents.parquet"))
 
 
+def build_skew(src: str, dst: Path) -> None:
+    """Pathological key skew — THE 100 TB hazard class: one dominant
+    group everywhere. All documents one lang/source and half of them
+    byte-identical text (one giant dedup group); all events one
+    user/event_type (one session, one window partition); all
+    embeddings one label; lineitem/orders re-keyed so ~half of all
+    rows land on a single join/agg key. Crash-free execution proves
+    the salted/banded/bounded kernels hold when every 'uniform'
+    assumption breaks at once."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0
+                 THEN 'the same boilerplate page every crawler saw'
+                 ELSE text END AS text,
+            'en' AS lang, 'src0' AS source,
+            CASE WHEN doc_id % 2 = 0 THEN 43 ELSE n_chars END AS n_chars
+            FROM '{src}/documents.parquet')
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT event_id, ts, 0 AS user_id,
+            'click' AS event_type, value, props
+            FROM '{src}/events.parquet')
+            TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT vec_id, embedding, 'label_0' AS label
+            FROM '{src}/embeddings.parquet')
+            TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_partkey END
+              AS l_partkey,
+            CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END
+              AS l_suppkey)
+            FROM '{src}/lineitem.parquet')
+            TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE o_custkey END
+              AS o_custkey)
+            FROM '{src}/orders.parquet')
+            TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
+
+
 def build_empty(src: str, dst: Path) -> None:
     """Schema-identical EMPTY tables — the daily-empty-partition case
     (the r5 empty-input sweep dataset)."""
@@ -114,7 +169,12 @@ def build_empty(src: str, dst: Path) -> None:
     con.close()
 
 
-BUILDERS = {"nulls": build_nulls, "hostile": build_hostile, "empty": build_empty}
+BUILDERS = {
+    "nulls": build_nulls,
+    "hostile": build_hostile,
+    "empty": build_empty,
+    "skew": build_skew,
+}
 
 
 def main() -> int:
