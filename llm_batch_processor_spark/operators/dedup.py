@@ -30,7 +30,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -44,6 +44,89 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     return df.groupBy(*key_cols).agg(
         F.min(id_col).alias(id_col), F.count("*").alias("n_dups")
     )
+
+
+def _collapse_exact(df: DataFrame, id_col: str, text_col: str):
+    """Collapse byte-identical texts ahead of a signature kernel.
+
+    Returns ``(members, reps)``: ``members`` maps every id to its group
+    representative (the min id among rows whose ``text_col`` is
+    identical, grouped by md5 digest so the exchange key stays narrow;
+    NULL texts form one group, same as a groupBy would); ``reps`` is
+    one row per distinct text — ``(id, __txt, m)`` with ``m`` the group
+    size. One window exchange total; both frames come off the same
+    persisted base.
+
+    Why this sits INSIDE every signature kernel (r5 skew audit): each
+    signature below — minhash bands, simhash, hashed gram sets — is a
+    pure function of the text, so byte-identical docs are fully
+    interchangeable in every candidate join and every verification.
+    Running those stages on distinct texts keeps the quadratic parts
+    quadratic in DISTINCT docs. On the measured boilerplate-clique
+    dataset (half of sf0.1 one identical page — THE real-world 100 TB
+    dedup hazard) the uncollapsed kernels amplified 22-628x vs the
+    uniform corpus; collapsed, the clique costs one group row until
+    the final pair expansion, which is linear in the OUTPUT."""
+    w = Window.partitionBy(F.md5(F.col("__txt")))
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        .withColumn("rep", F.min("id").over(w))
+        .withColumn("m", F.count(F.lit(1)).over(w))
+        .persist()
+    )
+    members = base.select("id", "rep")
+    reps = base.filter(F.col("id") == F.col("rep")).select("id", "__txt", "m")
+    return members, reps
+
+
+def _expand_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    intra: dict | None,
+    survivors: DataFrame | None,
+) -> DataFrame:
+    """Map representative-level pairs back to the exact all-id pair set.
+
+    inter-group: every (x in group(a), y in group(b)) inherits the rep
+    pair's value columns (all symmetric: jaccard / hamming / distance),
+    re-oriented so id_a < id_b. intra-group: members of a group of
+    >= 2 identical texts are mutual near-dups by definition and are
+    emitted with the kernel's exact self-similarity constants
+    (``intra``: column name -> Column), restricted to ``survivors``
+    (an ``(id, ...)`` frame of reps that actually produced a
+    signature) so identical EMPTY texts keep producing no pairs,
+    exactly as the uncollapsed kernels behaved. Output cardinality and
+    values are identical to the uncollapsed kernel — only the work to
+    produce them changes."""
+    val_cols = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    ma = members.select(F.col("rep").alias("id_a"), F.col("id").alias("__xa"))
+    mb = members.select(F.col("rep").alias("id_b"), F.col("id").alias("__xb"))
+    inter = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            *val_cols,
+        )
+    )
+    if intra is None:
+        return inter
+    mm = members
+    if survivors is not None:
+        mm = mm.join(survivors.select(F.col("id").alias("rep")), "rep", "semi")
+    p, q = mm.alias("p"), mm.alias("q")
+    intra_df = p.join(
+        q, (F.col("p.rep") == F.col("q.rep")) & (F.col("p.id") < F.col("q.id"))
+    ).select(
+        F.col("p.id").alias("id_a"),
+        F.col("q.id").alias("id_b"),
+        *[
+            intra[c].cast(rep_pairs.schema[c].dataType).alias(c)
+            for c in val_cols
+        ],
+    )
+    return inter.unionByName(intra_df)
 
 
 # ---------------------------------------------------------------------------
@@ -177,10 +260,47 @@ def minhash_pairs(
        only affects recall (P[collide] = 1-(1-s^r)^b ~ 0.96 at s=0.5
        with b=24, r=3).
 
-    Scale: postings = n_docs x b rows; bucket skew (boilerplate docs)
-    is bounded because identical docs hash to ALL the same buckets and
-    verification is linear in candidate count, not bucket size squared
-    — cap pathological buckets upstream with exact_dedup first."""
+    Scale: postings = n_reps x b rows. Byte-identical docs are
+    collapsed to one representative BEFORE signatures (r5 skew audit:
+    a half-identical corpus made the banded join quadratic in the
+    clique — 22x wall amplification at sf0.1), then the rep pair set
+    expands back to the exact uncollapsed output (intra-group pairs
+    are distance-0 by definition), so candidate volume is quadratic
+    only in DISTINCT near-dup texts."""
+    rep_pairs, members, survivors = minhash_pairs_collapsed(
+        df,
+        id_col,
+        text_col,
+        shingle_n,
+        jaccard_max_distance,
+        num_hash_tables,
+        rows_per_band,
+        seed,
+    )
+    return _expand_pairs(
+        rep_pairs, members, {"jaccard_distance": F.lit(0.0)}, survivors
+    )
+
+
+def minhash_pairs_collapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    jaccard_max_distance: float = 0.6,
+    num_hash_tables: int = 24,
+    rows_per_band: int = 3,
+    seed: int = 42,
+) -> tuple:
+    """Collapsed form of :func:`minhash_pairs` for graph consumers.
+
+    Returns ``(rep_pairs, members, survivors)``: near-dup pairs among
+    exact-dedup REPRESENTATIVES only, the id -> rep mapping, and the
+    ``(id, m)`` frame of reps that produced a non-empty shingle set.
+    Consumers that aggregate over the near-dup graph (connected
+    components, triangle counts) can work on the collapsed graph and
+    expand in closed form instead of materializing intra-clique
+    pairs."""
     sig_len = num_hash_tables * rows_per_band
     rng = np.random.RandomState(seed)
     a_coef = rng.randint(1, _MERSENNE61, size=sig_len, dtype=np.int64)
@@ -206,17 +326,19 @@ def minhash_pairs(
 
     band_udf = F.pandas_udf(band_keys_fn, "array<long>")
 
-    # signature table materialized ONCE (id, shingle hashes, band keys):
-    # three consumers below (band postings + both verify sides) would
-    # otherwise each re-run the shingle scan. Small corpora use a lazy
-    # persist (first consumer fills the cache — no extra job); big ones
-    # cut lineage with an eager localCheckpoint so the downstream joins
-    # replan from materialized blocks.
-    n_docs = df.count()
+    # signature table materialized ONCE (rep id, shingle hashes, band
+    # keys): three consumers below (band postings + both verify sides)
+    # would otherwise each re-run the shingle scan. Small corpora use a
+    # lazy persist (first consumer fills the cache — no extra job); big
+    # ones cut lineage with an eager localCheckpoint so the downstream
+    # joins replan from materialized blocks.
+    members, reps = _collapse_exact(df, id_col, text_col)
+    n_docs = reps.count()
     sigs = (
-        _spread(df, n_docs).select(
-            F.col(id_col).alias("id"),
-            shingle_hashes(F.col(text_col), shingle_n).alias("gh"),
+        _spread(reps, n_docs).select(
+            "id",
+            "m",
+            shingle_hashes(F.col("__txt"), shingle_n).alias("gh"),
         )
         .filter(F.size("gh") > 0)
         .withColumn("bands", band_udf("gh"))
@@ -241,40 +363,19 @@ def minhash_pairs(
     sets_b = docs.select(F.col("id").alias("id_b"), F.col("gh").alias("gh_b"))
     inter = F.size(F.array_intersect("gh_a", "gh_b"))
     union = F.size("gh_a") + F.size("gh_b") - inter
-    return (
+    rep_pairs = (
         cand.join(sets_a, "id_a")
         .join(sets_b, "id_b")
         .withColumn("jaccard_distance", 1 - inter / union)
         .filter(F.col("jaccard_distance") <= jaccard_max_distance)
         .select("id_a", "id_b", "jaccard_distance")
     )
+    return rep_pairs, members, sigs.select("id", "m")
 
 
 # ---------------------------------------------------------------------------
 # SimHash (pure built-ins)
 # ---------------------------------------------------------------------------
-
-
-def _simhash_pack_fn(hash_arrays: pd.Series) -> pd.Series:
-    """Vectorized SimHash vote+pack over per-token hash arrays.
-
-    bit b of simhash = sign of sum over tokens of (bit b of hash ? +1 : -1).
-    numpy does the 64-lane vote in one shot per doc; the token hashing
-    itself stays JVM-side (xxhash64) so results are engine-deterministic.
-    """
-    out = np.zeros(len(hash_arrays), dtype=np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for i, h in enumerate(hash_arrays):
-        if h is None or len(h) == 0:
-            continue
-        a = np.asarray(h, dtype=np.int64).view(np.uint64)
-        votes = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0).astype(
-            np.int64
-        ) * 2 - len(a)
-        out[i] = np.bitwise_or.reduce(
-            np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
-        )
-    return pd.Series(out.view(np.int64))
 
 
 def simhash_col(text_col):
@@ -284,9 +385,33 @@ def simhash_col(text_col):
     An all-expression formulation (64 whens per token folded through
     aggregate/zip_with) is possible but runs interpreted (higher-order
     functions don't codegen) at ~10x the cost — the hybrid keeps the
-    scan/shuffle JVM-side and the O(tokens x 64) math vectorized."""
+    scan/shuffle JVM-side and the O(tokens x 64) math vectorized.
+
+    The vote/pack is a CLOSURE, not a module-level function, on
+    purpose: cloudpickle serializes closures by value, so executors
+    never need this package importable (a module-level fn pickles by
+    reference and raised ModuleNotFoundError on any worker whose
+    sys.path lacked the repo — r5 skew-audit finding; every other
+    kernel already builds its UDF locally)."""
+
+    def pack_fn(hash_arrays: pd.Series) -> pd.Series:
+        # bit b of simhash = sign over tokens of (bit b set ? +1 : -1)
+        out = np.zeros(len(hash_arrays), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, h in enumerate(hash_arrays):
+            if h is None or len(h) == 0:
+                continue
+            a = np.asarray(h, dtype=np.int64).view(np.uint64)
+            votes = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0).astype(
+                np.int64
+            ) * 2 - len(a)
+            out[i] = np.bitwise_or.reduce(
+                np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0))
+            )
+        return pd.Series(out.view(np.int64))
+
     # pandas_udf is built lazily: decorating at import time needs a session
-    pack = F.pandas_udf(_simhash_pack_fn, "long")
+    pack = F.pandas_udf(pack_fn, "long")
     return pack(F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t)))
 
 
@@ -312,12 +437,16 @@ def simhash_pairs(
     explicitly if guaranteed recall matters more than candidate volume.
     """
     band_bits = 64 // n_bands
+    # byte-identical texts collapse to one representative before the
+    # signature + banded join (the simhash is a pure function of the
+    # text, so intra-group pairs are Hamming-0 by definition and the
+    # banded join needs to see each distinct text once); the expansion
+    # below restores the exact uncollapsed pair set
+    members, reps = _collapse_exact(df, id_col, text_col)
     # persist: the banded self-join consumes this twice (probe + build),
     # and the signature lineage re-runs the tokenize + Arrow vote/pack
     # per consumer otherwise (ReuseExchange is not guaranteed pre-AQE)
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh")
-    ).persist()
+    sh = reps.select("id", simhash_col(F.col("__txt")).alias("sh")).persist()
     banded = sh.select(
         "id",
         "sh",
@@ -357,7 +486,16 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])  # a pair can share several bands
     )
-    return cand.select("id_a", "id_b", "hamming")
+    # survivors=None: EVERY text (incl. NULL / empty — they hash to a
+    # constant signature) produces a simhash, so every group of >= 2
+    # identical texts is a mutual Hamming-0 clique, exactly as the
+    # uncollapsed banded join emitted it
+    return _expand_pairs(
+        cand.select("id_a", "id_b", "hamming"),
+        members,
+        {"hamming": F.lit(0)},
+        None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +649,36 @@ def ngram_jaccard_pairs(
     Jaccard >= t must share a prefix gram, so candidates shrink to
     rare-gram collisions while staying EXACT. A size filter
     (``t*|a| <= |b| <= |a|/t``) prunes further before verification
-    against the full gram arrays (array_intersect)."""
+    against the full gram arrays (array_intersect).
+
+    Either strategy runs on exact-dedup representatives only
+    (byte-identical texts have identical gram sets — Jaccard 1.0 by
+    definition) and the pair set expands back afterwards; see
+    :func:`_collapse_exact` for the measured skew rationale."""
+    rep_pairs, members, survivors = ngram_jaccard_pairs_collapsed(
+        df, id_col, text_col, n, min_jaccard, dense_vocab_limit, block_size
+    )
+    return _expand_pairs(rep_pairs, members, {"jaccard": F.lit(1.0)}, survivors)
+
+
+def ngram_jaccard_pairs_collapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_jaccard: float = 0.5,
+    dense_vocab_limit: int = 16384,
+    block_size: int = 1024,
+) -> tuple:
+    """Collapsed form of :func:`ngram_jaccard_pairs` for graph consumers.
+
+    Returns ``(rep_pairs, members, survivors)``: exact Jaccard pairs
+    among exact-dedup REPRESENTATIVES, the id -> rep mapping, and the
+    ``(id, m)`` frame of reps with a non-empty gram set (identical
+    sub-shingle-length texts never pair — their groups must not expand
+    either). Graph consumers (connected components, triangle counting)
+    aggregate on the collapsed graph and expand in closed form instead
+    of materializing intra-clique pairs."""
     t = float(min_jaccard)
     if t <= 0.0:
         # both kernels only ever materialize pairs sharing >= 1 gram;
@@ -521,12 +688,14 @@ def ngram_jaccard_pairs(
     # hashed gram sets, materialized once: the vocabulary probe and both
     # downstream strategies consume them (lazy persist below 1 M rows —
     # the count right after fills the cache in the same job)
-    n_input = df.count()
+    members, reps = _collapse_exact(df, id_col, text_col)
+    n_input = reps.count()
     sets_df = (
-        _spread(df, n_input)
+        _spread(reps, n_input)
         .select(
-            F.col(id_col).alias("id"),
-            shingle_hashes(F.col(text_col), n).alias("gh"),
+            "id",
+            "m",
+            shingle_hashes(F.col("__txt"), n).alias("gh"),
         )
         .filter(F.size("gh") > 0)
     )
@@ -544,9 +713,14 @@ def ngram_jaccard_pairs(
         .limit(dense_vocab_limit + 1)
         .collect()
     )
+    survivors = sets_df.select("id", "m")
     if len(vocab_rows) <= dense_vocab_limit:
         vocab = np.sort(np.array([r["g"] for r in vocab_rows], dtype=np.int64))
-        return _dense_jaccard_pairs(sets_df, vocab, t, id_dtype, block_size, n_docs)
+        return (
+            _dense_jaccard_pairs(sets_df, vocab, t, id_dtype, block_size, n_docs),
+            members,
+            survivors,
+        )
     grams = sets_df.select("id", F.explode("gh").alias("g"))
     gram_df = grams.groupBy("g").agg(F.count("*").alias("gdf"))
     # persisted: three consumers (prefix postings + both verify sides)
@@ -589,7 +763,7 @@ def ngram_jaccard_pairs(
     sets_b = per_doc.select(
         F.col("id").alias("id_b"), F.col("gset").alias("gs_b"), F.col("sz").alias("sz_b")
     )
-    return (
+    rep_pairs = (
         cand.join(sets_a, "id_a")
         .join(sets_b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("gs_a", "gs_b")))
@@ -600,6 +774,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+    return rep_pairs, members, survivors
 
 
 # ---------------------------------------------------------------------------

@@ -55,15 +55,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash-LSH near-dup clusters (shingle->minhash->band->join), fixed seed",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, minhash_pairs
+    from ..operators.dedup import connected_components, minhash_pairs_collapsed
 
     d = load(spark, sf_dir, "documents")
-    pairs = minhash_pairs(d, shingle_n=3, jaccard_max_distance=0.5)
-    ids = d.select(F.col("doc_id").alias("id"))
-    clusters = connected_components(
-        pairs.select("id_a", "id_b"), ids, id_col="id", max_iter=5
+    # collapsed form (r5 skew audit): CC runs on the exact-dedup
+    # REPRESENTATIVE graph and labels expand through the id->rep map —
+    # a boilerplate clique contributes one node instead of a quadratic
+    # intra-pair set, and the labels are provably identical (each rep
+    # is its group's min id, so min-over-component is unchanged; a
+    # group whose text produced no shingles has no pairs either way
+    # and falls back to self-labels via the survivor check).
+    rep_pairs, members, surv = minhash_pairs_collapsed(
+        d, shingle_n=3, jaccard_max_distance=0.5
     )
-    return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
+    cc = connected_components(
+        rep_pairs.select("id_a", "id_b"), None, id_col="id", max_iter=5
+    )
+    rep_label = surv.join(cc, "id", "left").select(
+        F.col("id").alias("rep"),
+        F.coalesce("cluster_id", F.col("id")).alias("rep_cluster"),
+    )
+    return members.join(rep_label, "rep", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("rep_cluster", F.col("id")).alias("cluster_id"),
+    )
 
 
 @Q.add(
@@ -1196,21 +1211,35 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "labels themselves are hash-checked, not just the pair list",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs_collapsed
 
     d = load(spark, sf_dir, "documents")
-    # persist the (expensive) pair list once: CC's edge collect AND the
-    # node set below both read the cache. Only nodes WITH edges can land
-    # in a size>=2 cluster, so the node set derives from pairs — no
-    # second documents scan.
-    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2).select("id_a", "id_b").persist()
+    # collapsed form (r5 skew audit): CC runs on the exact-dedup
+    # REPRESENTATIVE graph (a boilerplate clique is one node, not a
+    # quadratic intra-pair set) and labels expand through the id->rep
+    # map. Labels are provably identical: each rep is its group's min
+    # id, so min-over-component is unchanged; sizes count members
+    # after expansion.
+    rep_pairs, members, surv = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
+    pairs = rep_pairs.select("id_a", "id_b").persist()
     # all_ids=None: only edge endpoints can land in a size>=2 cluster,
     # and on the bounded path the labels come straight off the collected
     # edge list — no distinct/join jobs
     cc = connected_components(pairs, None)
+    # a survivor group of >= 2 identical docs is a cluster even when its
+    # rep has no rep-graph edge (all its edges were intra-group)
+    isolated = (
+        surv.filter(F.col("m") >= 2)
+        .join(cc.select("id"), "id", "anti")
+        .select("id", F.col("id").alias("cluster_id"))
+    )
+    rep_label = cc.unionByName(isolated).select(
+        F.col("id").alias("rep"), "cluster_id"
+    )
+    lab = members.join(rep_label, "rep").select("id", "cluster_id")
     w = Window.partitionBy("cluster_id")
     return (
-        cc.withColumn("cluster_size", F.count("*").over(w))
+        lab.withColumn("cluster_size", F.count("*").over(w))
         .filter(F.col("cluster_size") >= 2)
         .select(
             F.col("id").alias("doc_id"),
@@ -6023,33 +6052,96 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="triangle counting on the similarity graph (the clustering-"
     "coefficient numerator — how clique-ish each near-dup "
     "neighborhood is, a redundancy signal CC's flat components "
-    "miss): edges are graph_pagerank's exact bigram-Jaccard pairs, "
-    "triangles enumerated ONCE each via the a<b<c ordered two-hop "
-    "join (e1 a-b, e2 b-c, e3 a-c — no 6x double counting, no "
-    "nested loop: all three are equi-joins on node keys), then a "
-    "3x node fan-out and rollup. At 100 TB the ordered-join trick "
-    "is what keeps this tractable; skewed hub nodes are the "
-    "salting candidates.",
+    "miss): edges are graph_pagerank's exact bigram-Jaccard pairs. "
+    "Runs on the exact-dedup-COLLAPSED graph (r5 skew audit: a "
+    "half-identical corpus has ~C(n/2,3) triangles — enumerating "
+    "them took 553 s at sf0.1, 628x the uniform corpus): rep "
+    "triangles are enumerated once each via the a<b<c ordered "
+    "two-hop join, then per-node counts expand in closed form from "
+    "group multiplicities m — T(g) = C(m_g-1,2) + (m_g-1)*S1 + S2 "
+    "+ W, where S1/S2 are neighbor-multiplicity sums and W the "
+    "multiplicity-weighted rep-triangle mass. Exact: identical "
+    "texts are interchangeable vertices, so every term is the "
+    "count of a disjoint triangle class.",
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.dedup import ngram_jaccard_pairs_collapsed
 
     d = load(spark, sf_dir, "documents")
-    edges = (
-        ngram_jaccard_pairs(d, n=2, min_jaccard=0.2)
-        .select("id_a", "id_b")
-        .persist()
+    rep_pairs, members, surv = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
+    edges = rep_pairs.select("id_a", "id_b").persist()
+    m_of = lambda alias_: surv.select(  # noqa: E731 - tiny local renamer
+        F.col("id").alias(alias_), F.col("m").alias(f"m_{alias_}")
     )
+    # neighbor-multiplicity sums over the symmetric rep adjacency:
+    # S1(g) = sum of m_h over neighbors h; S2(g) = sum of C(m_h, 2)
+    nbr = (
+        edges.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
+        .unionAll(edges.select(F.col("id_b").alias("g"), F.col("id_a").alias("h")))
+        .join(m_of("h"), "h")
+        .groupBy("g")
+        .agg(
+            F.sum("m_h").alias("s1"),
+            F.sum(F.expr("m_h * (m_h - 1) div 2")).alias("s2"),
+        )
+    )
+    # rep triangles, each enumerated once (a < b < c ordered two-hop);
+    # triangle (a,b,c) contributes m_b*m_c cross-group triangles to
+    # every member of a, etc.
     e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
-    tris = e1.join(e2, "b").join(e3, ["a", "c"])
-    nodes = tris.select(
-        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
-            "node"
-        )
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .join(m_of("a"), "a")
+        .join(m_of("b"), "b")
+        .join(m_of("c"), "c")
     )
-    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    wsum = (
+        tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("g"),
+                        (F.col("m_b") * F.col("m_c")).alias("w"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("g"),
+                        (F.col("m_a") * F.col("m_c")).alias("w"),
+                    ),
+                    F.struct(
+                        F.col("c").alias("g"),
+                        (F.col("m_a") * F.col("m_b")).alias("w"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.g", "x.w")
+        .groupBy("g")
+        .agg(F.sum("w").alias("w3"))
+    )
+    per_group = (
+        surv.select(F.col("id").alias("g"), "m")
+        .join(nbr, "g", "left")
+        .join(wsum, "g", "left")
+        .select(
+            "g",
+            (
+                F.expr("(m - 1) * (m - 2) div 2")  # all-three-in-group
+                + (F.col("m") - 1) * F.coalesce("s1", F.lit(0))  # two in group
+                + F.coalesce("s2", F.lit(0))  # two in one neighbor group
+                + F.coalesce("w3", F.lit(0))  # three distinct groups
+            ).alias("n_triangles"),
+        )
+        .filter(F.col("n_triangles") >= 1)
+    )
+    return members.join(
+        per_group.select(F.col("g").alias("rep"), "n_triangles"), "rep"
+    ).select(
+        F.col("id").alias("node"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+    )
 
 
 @Q.add(

@@ -395,3 +395,121 @@ def test_embedding_pairs_empty_corpus_both_paths(spark):
         out = embedding_pairs(e, min_cosine=0.9, strategy=strategy)
         assert out.count() == 0, strategy
         assert out.columns == ["id_a", "id_b"]
+
+
+def _dup_corpus(spark):
+    """Dup groups of every awkward shape: m=3 and m=2 text groups,
+    empty-string dups, NULL dups, single-token dups (no bigrams)."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+        (4, "spark engines differ completely about other text"),
+        (5, "spark engines differ completely about other text"),
+        (6, ""),
+        (7, ""),
+        (8, None),
+        (9, None),
+        (10, "word"),
+        (11, "word"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_collapse_pairs_match_bruteforce_jaccard(spark):
+    """The collapse/expand path must emit the EXACT uncollapsed pair
+    set — brute-force bigram Jaccard over the dup-group corpus is the
+    reference (r5 skew-audit invariant)."""
+    d = _dup_corpus(spark)
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(d, n=2, min_jaccard=0.2).collect()
+    }
+
+    def grams(t):
+        toks = t.split(" ")
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    texts = {i: t for i, t in [(r["doc_id"], r["text"]) for r in d.collect()]}
+    want = {}
+    for a in sorted(texts):
+        for b in sorted(texts):
+            if a >= b or texts[a] is None or texts[b] is None:
+                continue
+            ga, gb = grams(texts[a]), grams(texts[b])
+            if not ga or not gb:
+                continue  # kernels drop empty gram sets (incl. their dups)
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.2:
+                want[(a, b)] = round(j, 9)
+    assert got == want
+    # the m=3 group contributes all three intra pairs at exactly 1.0
+    assert got[(0, 1)] == got[(0, 2)] == got[(1, 2)] == 1.0
+    # single-token and empty/NULL dup groups have no bigrams -> no pairs
+    assert not any(a >= 6 for a, _ in got)
+
+
+def test_exact_collapse_intra_pairs_minhash_simhash(spark):
+    """Intra-dup-group pairs survive the collapse with the kernel's
+    exact self-similarity values; signatureless groups (empty text for
+    minhash) still produce none; simhash emits even for empty/NULL
+    texts (a simhash is total over texts)."""
+    d = _dup_corpus(spark)
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard_distance"]
+        for r in minhash_pairs(
+            d, shingle_n=2, jaccard_max_distance=0.5, num_hash_tables=8
+        ).collect()
+    }
+    for pair in [(0, 1), (0, 2), (1, 2), (4, 5)]:
+        assert mh[pair] == 0.0
+    assert not any(a >= 6 for a, _ in mh)  # no shingles -> no bands
+    sh = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(d, max_hamming=3).collect()
+    }
+    for pair in [(0, 1), (0, 2), (1, 2), (4, 5), (6, 7), (8, 9), (10, 11)]:
+        assert sh[pair] == 0
+
+
+def test_collapsed_triangle_counts_match_bruteforce(spark, tmp_path):
+    """graph_triangles' closed-form multiplicity expansion equals brute
+    triangle enumeration over the expanded pair graph."""
+    import itertools
+    from collections import Counter
+
+    import pandas as pd
+
+    rows = [(r.doc_id, r.text) for r in _dup_corpus(spark).collect()]
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in rows],
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["src0"] * len(rows),
+            "n_chars": [len(t or "") for _, t in rows],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    from llm_batch_processor_spark.queries import all_queries
+
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in all_queries()["graph_triangles"].fn(spark, str(tmp_path)).collect()
+    }
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            _dup_corpus(spark), n=2, min_jaccard=0.2
+        ).collect()
+    }
+    nodes = sorted({n for e in edges for n in e})
+    tri = Counter()
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    assert got == {n: c for n, c in tri.items() if c >= 1}
+    assert got  # the m=3 identical group alone guarantees triangles
