@@ -3220,35 +3220,65 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pure DataFrame ops. Undirected graph => no dangling-mass term.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.dedup import ngram_jaccard_pairs_collapsed
 
     d = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2).select("id_a", "id_b")
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # collapsed iteration (r5 skew audit): members of a group of
+    # identical texts have IDENTICAL neighborhoods, hence identical
+    # ranks at every step — so the fixed-point runs on the rep graph
+    # with multiplicity weights and expands once at the end. Exact:
+    # the integer floor-div happens per-NODE (r DIV deg) before the
+    # edge summation, so k identical neighbors contribute exactly
+    # k * (r DIV deg), and a member's degree is (m-1) intra-group
+    # neighbors + the external multiplicity mass.
+    rep_pairs, members, surv = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
+    # persist BEFORE the symmetric union: both union branches replay
+    # the full pair-generation lineage otherwise
+    rp = rep_pairs.select("id_a", "id_b").persist()
+    adj = (
+        rp.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
+        .unionByName(rp.select(F.col("id_b").alias("g"), F.col("id_a").alias("h")))
+        .join(surv.select(F.col("id").alias("h"), F.col("m").alias("m_h")), "h")
+        .persist()
     )
-    # the edge list feeds deg + 3 iterations: materialize once, not 4x
-    edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src").persist()
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1000000000000).cast("bigint").alias("r")
+    ext = adj.groupBy("g").agg(F.sum("m_h").alias("ext_deg"))
+    nodes = (
+        surv.select(F.col("id").alias("g"), "m")
+        .join(ext, "g", "left")
+        .select(
+            "g",
+            "m",
+            (F.col("m") - 1 + F.coalesce("ext_deg", F.lit(0))).alias("deg"),
+        )
+        .filter(F.col("deg") >= 1)
+        .persist()
     )
+    ranks = nodes.select("g", F.lit(1000000000000).cast("bigint").alias("r"))
     for _ in range(3):
+        # contrib feeds BOTH mass branches: checkpoint it each round or
+        # the rank lineage doubles per iteration (2^rounds replay) —
+        # same pattern as _label_propagation_cc's per-round labels
+        contrib = (
+            nodes.join(ranks, "g")
+            .select("g", "m", F.expr("r DIV deg").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        own = contrib.select("g", ((F.col("m") - 1) * F.col("c")).alias("mass"))
+        cross = adj.join(
+            contrib.select(F.col("g").alias("h"), F.col("c")), "h"
+        ).select("g", (F.col("m_h") * F.col("c")).alias("mass"))
         ranks = (
-            ed.join(ranks, ed.src == ranks.node)
-            .groupBy(ed.dst)
+            own.unionByName(cross)
+            .groupBy("g")
             .agg(
                 (
-                    F.lit(150000000000)
-                    + F.expr("(85 * SUM(r DIV deg)) DIV 100")
+                    F.lit(150000000000) + F.expr("(85 * SUM(mass)) DIV 100")
                 ).alias("r")
             )
-            .select(F.col("dst").alias("node"), "r")
         )
-    return ranks.select("node", F.col("r").alias("rank_fp"))
+    return members.join(ranks.select(F.col("g").alias("rep"), "r"), "rep").select(
+        F.col("id").alias("node"), F.col("r").alias("rank_fp")
+    )
 
 
 @Q.add(

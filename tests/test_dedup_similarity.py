@@ -513,3 +513,45 @@ def test_collapsed_triangle_counts_match_bruteforce(spark, tmp_path):
             tri[c] += 1
     assert got == {n: c for n, c in tri.items() if c >= 1}
     assert got  # the m=3 identical group alone guarantees triangles
+
+
+def test_collapsed_pagerank_matches_bruteforce(spark, tmp_path):
+    """graph_pagerank's multiplicity-weighted collapsed iteration equals
+    the per-node integer fixed point on the expanded graph."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    rows = [(r.doc_id, r.text) for r in _dup_corpus(spark).collect()]
+    pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in rows],
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["src0"] * len(rows),
+            "n_chars": [len(t or "") for _, t in rows],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    from llm_batch_processor_spark.queries import all_queries
+
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in all_queries()["graph_pagerank"].fn(spark, str(tmp_path)).collect()
+    }
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            _dup_corpus(spark), n=2, min_jaccard=0.2
+        ).collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    r = {n: 10**12 for n in nbrs}
+    for _ in range(3):
+        c = {n: r[n] // len(nbrs[n]) for n in nbrs}
+        r = {n: 150000000000 + (85 * sum(c[u] for u in nbrs[n])) // 100 for n in nbrs}
+    assert got == r
+    assert len({got[0], got[1], got[2]}) == 1  # identical texts, equal rank
