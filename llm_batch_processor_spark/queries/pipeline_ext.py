@@ -6450,39 +6450,26 @@ def _mmr_round_sql(k: int) -> str:
     "selected. Every cosine — query-candidate AND candidate-"
     "candidate — is the SAME ascending-dim in-row fold on both "
     "engines (never the engine's builtin cosine, whose op order "
-    "isn't pinned), argmaxes tie-break on vec_id. The greedy loop "
-    "is 4 rounds over a 20-row candidate frame x a <=4-row "
-    "selected set — bounded broadcasts, the corpus is touched only "
-    "by the initial top-k (brute force here; sim_ann_* are the "
-    "scale path that feeds MMR its candidates at 100 TB).",
+    "isn't pinned), argmaxes tie-break on vec_id. Shapes: the "
+    "corpus is touched exactly once, by the distributed top-20 "
+    "(an Arrow-batched numpy kernel that vectorizes ACROSS rows "
+    "while accumulating dims ASCENDING — bit-identical doubles to "
+    "the scalar fold, the embedding_pq_assign pattern; sim_ann_* "
+    "narrows the scan above the size gate at 100 TB). The greedy "
+    "selection is inherently sequential over a k x 20 frame, so it "
+    "runs driver-side on the collected 20-row candidate set — a "
+    "bounded-by-construction collect (LIMIT 20 of (vec_id, 64 "
+    "doubles)), replaying the identical IEEE ops (ascending dot "
+    "fold, 0.7*rel - 0.3*ms) in scalar Python; ROUND stays in the "
+    "engine so half-up semantics match the oracle.",
 )
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     from ..functions.vectors import embeddable
-
-    # unembeddable (null/zero-norm/non-finite/wrong-dim) vectors can't
-    # rank: the rel/ps divisions below would raise DIVIDE_BY_ZERO under
-    # ANSI on a zero norm, and the 0..63 dot folds would raise
-    # INVALID_ARRAY_INDEX on a short vector (non-finite- and
-    # ragged-dim-sweep contract, same as the kernels)
-    e = load(spark, sf_dir, "embeddings").filter(embeddable("embedding", 64))
-
-    def dot(x, y):
-        return (
-            f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
-            f"(acc, i) -> acc + CAST({x}[i] AS DOUBLE)"
-            f" * CAST({y}[i] AS DOUBLE))"
-        )
-
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"),
-        F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("qnrm"),
-    )
-    corpus = e.filter(F.col("vec_id") != 0)
-    # size gate (VERDICT r04 stretch): above ANN_CANDIDATE_GATE the
-    # corpus is first narrowed to multiprobe-LSH candidates — the
-    # expr-fold rel below then runs on <=20 rows, so the greedy MMR
-    # math (and its oracle-exact fold order) is untouched. Below the
-    # gate the plan is exactly the former direct one.
     from ..operators.similarity import (
         ANN_CANDIDATE_GATE,
         ANN_N_FLIP,
@@ -6490,7 +6477,34 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_query_topk,
     )
 
-    if corpus.count() > ANN_CANDIDATE_GATE:
+    # unembeddable (null/zero-norm/non-finite/wrong-dim) vectors can't
+    # rank: the rel/ps divisions below would see a zero norm, and the
+    # 0..63 dot folds would batch-stack a short vector (non-finite- and
+    # ragged-dim-sweep contract, same as the kernels)
+    e = load(spark, sf_dir, "embeddings").filter(embeddable("embedding", 64))
+    out_schema = "step int, vec_id bigint, score double"
+
+    q_rows = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    qe = [float(v) for v in q_rows[0][0]]
+    qacc = 0.0
+    for v in qe:
+        qacc = qacc + v * v
+    qnrm = math.sqrt(qacc)
+    qv = np.array(qe, dtype=np.float64)
+
+    corpus = e.filter(F.col("vec_id") != 0)
+    # size gate (VERDICT r04 stretch): above ANN_CANDIDATE_GATE the
+    # corpus is first narrowed to multiprobe-LSH candidates — the rel
+    # kernel below then runs on <=20 rows, so the greedy MMR math (and
+    # its oracle-exact fold order) is untouched. The gate reads the
+    # table's footer row count (metadata-only), not a filtered scan.
+    if load(spark, sf_dir, "embeddings").count() > ANN_CANDIDATE_GATE:
         ids = lsh_query_topk(
             corpus,
             e.filter(F.col("vec_id") == 0).select(
@@ -6501,78 +6515,93 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_flip=ANN_N_FLIP,
         ).select(F.col("neighbor_id").alias("vec_id"))
         corpus = corpus.join(ids, "vec_id")
-    cands = (
-        corpus
-        .crossJoin(F.broadcast(q))
-        .select(
+
+    def rel_kernel(batches):
+        # vectorized across rows, SEQUENTIAL ascending across dims:
+        # each row's accumulation order matches the scalar fold exactly
+        # -> bit-identical doubles (the embedding_pq_assign pattern)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n = len(X)
+            nsq = np.zeros(n, dtype=np.float64)
+            dq = np.zeros(n, dtype=np.float64)
+            for i in range(64):
+                xi = X[:, i]
+                nsq += xi * xi
+                dq += xi * qv[i]
+            nrm = np.sqrt(nsq)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "embedding": pdf["embedding"].values,
+                    "nrm": nrm,
+                    "rel": dq / (nrm * qnrm),
+                }
+            )
+
+    cand_rows = (
+        corpus.select(
             "vec_id",
-            "embedding",
-            F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("nrm"),
-            F.expr(f"{dot('embedding', 'qe')}").alias("dq"),
-            "qnrm",
+            F.col("embedding").cast("array<double>").alias("embedding"),
         )
-        .select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            (F.col("dq") / (F.col("nrm") * F.col("qnrm"))).alias("rel"),
+        .mapInPandas(
+            rel_kernel,
+            schema="vec_id bigint, embedding array<double>, "
+            "nrm double, rel double",
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(20)
-        .persist()
+        .collect()
     )
-    selected = (
-        cands.orderBy(F.desc("rel"), "vec_id")
-        .limit(1)
-        .select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            F.lit(1).alias("step"),
-            (F.lit(0.7) * F.col("rel")).alias("score"),
+    if not cand_rows:
+        return spark.createDataFrame([], out_schema)
+
+    # greedy selection over the bounded 20-row candidate set, driver-
+    # side: identical IEEE ops as the former per-round engine jobs
+    # (ascending dot fold, dot/(nrm*s_nrm), 0.7*rel - 0.3*ms) with the
+    # same (score desc, vec_id asc) argmax tie-break
+    def pdot(x, y):
+        acc = 0.0
+        for i in range(64):
+            acc = acc + x[i] * y[i]
+        return acc
+
+    cands = [
+        (
+            int(r["vec_id"]),
+            [float(v) for v in r["embedding"]],
+            float(r["nrm"]),
+            float(r["rel"]),
         )
-        .persist()
-    )
+        for r in cand_rows
+    ]
+    first = min(cands, key=lambda c: (-c[3], c[0]))
+    picked = [(1, first[0], 0.7 * first[3])]
+    sel_vecs = [(first[1], first[2])]
+    remaining = [c for c in cands if c[0] != first[0]]
     for k in (2, 3, 4, 5):
-        s = selected.select(
-            F.col("embedding").alias("s_emb"), F.col("nrm").alias("s_nrm")
-        )
-        m = (
-            cands.join(
-                selected.select("vec_id"), "vec_id", "left_anti"
+        if not remaining:
+            break
+        best = None
+        for c in remaining:
+            ms = max(
+                pdot(c[1], sv) / (c[2] * snrm) for sv, snrm in sel_vecs
             )
-            .crossJoin(F.broadcast(s))
-            .select(
-                "vec_id",
-                "rel",
-                (
-                    F.expr(f"{dot('embedding', 's_emb')}")
-                    / (F.col("nrm") * F.col("s_nrm"))
-                ).alias("ps"),
-            )
-            .groupBy("vec_id", "rel")
-            .agg(F.max("ps").alias("ms"))
-        )
-        best = (
-            m.select(
-                "vec_id",
-                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")).alias(
-                    "score"
-                ),
-            )
-            .orderBy(F.desc("score"), "vec_id")
-            .limit(1)
-            .join(cands.select("vec_id", "embedding", "nrm"), "vec_id")
-            .select(
-                "vec_id", "embedding", "nrm", F.lit(k).alias("step"),
-                "score",
-            )
-        )
-        selected = selected.unionByName(best).persist()
-    return selected.select(
-        F.col("step").cast("int").alias("step"),
-        "vec_id",
-        F.round("score", 6).alias("score"),
+            score = 0.7 * c[3] - 0.3 * ms
+            key = (-score, c[0])
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        picked.append((k, best[1][0], best[2]))
+        sel_vecs.append((best[1][1], best[1][2]))
+        remaining = [c for c in remaining if c[0] != best[1][0]]
+
+    res = spark.createDataFrame(picked, out_schema)
+    # ROUND runs in the engine: half-up double rounding, same as the
+    # oracle's ROUND(score, 6)
+    return res.select(
+        "step", "vec_id", F.round("score", 6).alias("score")
     )
 
 
