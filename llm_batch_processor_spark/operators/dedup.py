@@ -777,6 +777,54 @@ def ngram_jaccard_pairs_collapsed(
     return rep_pairs, members, survivors
 
 
+def collapsed_degree_nodes(rep_pairs: DataFrame, survivors: DataFrame):
+    """Per-node degrees of the EXPANDED near-dup graph, computed on the
+    collapsed rep graph — shared by the graph consumers
+    (``graph_pagerank``, ``degree_distribution``).
+
+    Returns ``(adj, nodes)``:
+
+    - ``adj``: the symmetric rep adjacency ``(g, h, m_h)`` with the
+      neighbor group's multiplicity attached (persisted — the union's
+      two branches would replay the pair-generation lineage otherwise);
+    - ``nodes``: ``(g, m, deg)`` for every rep whose members have
+      degree >= 1. Every member of group ``g`` (size ``m``) has the
+      IDENTICAL expanded degree ``deg = (m - 1) + sum(m_h over rep
+      edges)``: the ``m - 1`` intra-clique neighbors (byte-identical
+      survivor texts pair at jaccard 1.0 by definition) plus one edge
+      to EVERY member of each neighboring group. Rep-pair endpoints are
+      always survivors (pairs come from non-empty gram sets), so the
+      left join from survivors covers all of them.
+
+    This is the closed form of exploding ``_expand_pairs`` output and
+    counting endpoints — identical values, but the intra-clique m^2/2
+    pair set is never materialized (the 100 TB boilerplate hazard)."""
+    rp = rep_pairs.select("id_a", "id_b").persist()
+    adj = (
+        rp.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
+        .unionByName(
+            rp.select(F.col("id_b").alias("g"), F.col("id_a").alias("h"))
+        )
+        .join(
+            survivors.select(F.col("id").alias("h"), F.col("m").alias("m_h")),
+            "h",
+        )
+        .persist()
+    )
+    ext = adj.groupBy("g").agg(F.sum("m_h").alias("ext_deg"))
+    nodes = (
+        survivors.select(F.col("id").alias("g"), "m")
+        .join(ext, "g", "left")
+        .select(
+            "g",
+            "m",
+            (F.col("m") - 1 + F.coalesce("ext_deg", F.lit(0))).alias("deg"),
+        )
+        .filter(F.col("deg") >= 1)
+    )
+    return adj, nodes
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine pairs
 # ---------------------------------------------------------------------------

@@ -2830,23 +2830,28 @@ def label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "templates that salted CC handles; a thin one means pairwise "
     "suffices) and catches crawler loops before they melt a cluster. "
     "Shapes: pairs from the SAME blocked AllPairs/GEMM kernel as "
-    "dedup_ngram_jaccard (never naive all-pairs), endpoints explode "
-    "2 rows per edge, two bounded integer aggregations after that — "
-    "degree cardinality is tiny, so the final rollup is map-side "
-    "combined to almost nothing.",
+    "dedup_ngram_jaccard (never naive all-pairs), then degrees in "
+    "CLOSED FORM on the collapsed rep graph (operators/dedup."
+    "collapsed_degree_nodes): every member of a group of m identical "
+    "texts has the identical degree (m-1) + sum of neighbor-group "
+    "sizes, so the group contributes m nodes at that degree and its "
+    "min member id IS the rep (the group min) — the intra-clique "
+    "m^2/2 pair set is never materialized, exactly the pagerank "
+    "treatment. The final rollup is one bounded integer aggregation.",
 )
 def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.dedup import (
+        collapsed_degree_nodes,
+        ngram_jaccard_pairs_collapsed,
+    )
 
     d = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2).select("id_a", "id_b")
-    deg = (
-        pairs.select(F.explode(F.array("id_a", "id_b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
+    rep_pairs, _members, surv = ngram_jaccard_pairs_collapsed(
+        d, n=2, min_jaccard=0.2
     )
-    return deg.groupBy("degree").agg(
-        F.count("*").alias("n_docs"), F.min("node").alias("min_doc_id")
+    _adj, nodes = collapsed_degree_nodes(rep_pairs, surv)
+    return nodes.groupBy(F.col("deg").alias("degree")).agg(
+        F.sum("m").alias("n_docs"), F.min("g").alias("min_doc_id")
     )
 
 
@@ -3232,27 +3237,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k * (r DIV deg), and a member's degree is (m-1) intra-group
     # neighbors + the external multiplicity mass.
     rep_pairs, members, surv = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
-    # persist BEFORE the symmetric union: both union branches replay
-    # the full pair-generation lineage otherwise
-    rp = rep_pairs.select("id_a", "id_b").persist()
-    adj = (
-        rp.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
-        .unionByName(rp.select(F.col("id_b").alias("g"), F.col("id_a").alias("h")))
-        .join(surv.select(F.col("id").alias("h"), F.col("m").alias("m_h")), "h")
-        .persist()
-    )
-    ext = adj.groupBy("g").agg(F.sum("m_h").alias("ext_deg"))
-    nodes = (
-        surv.select(F.col("id").alias("g"), "m")
-        .join(ext, "g", "left")
-        .select(
-            "g",
-            "m",
-            (F.col("m") - 1 + F.coalesce("ext_deg", F.lit(0))).alias("deg"),
-        )
-        .filter(F.col("deg") >= 1)
-        .persist()
-    )
+    # shared closed-form degree construction (degree_distribution uses
+    # the same helper); adj comes back persisted against union replay
+    from ..operators.dedup import collapsed_degree_nodes
+
+    adj, nodes = collapsed_degree_nodes(rep_pairs, surv)
+    nodes = nodes.persist()
     ranks = nodes.select("g", F.lit(1000000000000).cast("bigint").alias("r"))
     for _ in range(3):
         # contrib feeds BOTH mass branches: checkpoint it each round or
