@@ -169,6 +169,9 @@ def main() -> int:
             ).save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        # same hygiene as bench.py: without this, sf1 runs leave GBs of
+        # persisted frames that inflate every later probe in the session
+        spark.catalog.clearCache()
         return best
 
     # warmup
