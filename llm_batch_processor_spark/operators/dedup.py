@@ -799,7 +799,14 @@ def collapsed_degree_nodes(rep_pairs: DataFrame, survivors: DataFrame):
     This is the closed form of exploding ``_expand_pairs`` output and
     counting endpoints — identical values, but the intra-clique m^2/2
     pair set is never materialized (the 100 TB boilerplate hazard)."""
-    rp = rep_pairs.select("id_a", "id_b").persist()
+    # EAGER checkpoint, not lazy persist: the symmetric union's two
+    # branches scan rp inside ONE job, and a lazy persist fills only as
+    # partitions are first touched — concurrent branch tasks race past
+    # the cache and replay the full pair-generation kernel (measured:
+    # degree_distribution 120 s vs the kernel's own 25 s single-pass at
+    # sf1). The pair set is output-bounded, so materializing it once —
+    # and truncating the kernel lineage with it — is the cheap side.
+    rp = rep_pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     adj = (
         rp.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
         .unionByName(

@@ -6089,7 +6089,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     rep_pairs, members, surv = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
-    edges = rep_pairs.select("id_a", "id_b").persist()
+    # eager checkpoint, not lazy persist: FIVE branches (both nbr
+    # orientations + e1/e2/e3) scan edges inside one job — lazy-persist
+    # fills racily and each branch can replay the full pair kernel
+    # (same defect collapsed_degree_nodes documents); the pair set is
+    # output-bounded, so one materialization job is the cheap side
+    edges = rep_pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     m_of = lambda alias_: surv.select(  # noqa: E731 - tiny local renamer
         F.col("id").alias(alias_), F.col("m").alias(f"m_{alias_}")
     )
