@@ -343,7 +343,15 @@ def minhash_pairs_collapsed(
         .filter(F.size("gh") > 0)
         .withColumn("bands", band_udf("gh"))
     )
-    sigs = sigs.persist() if n_docs <= 1_000_000 else sigs.localCheckpoint(eager=True)
+    if n_docs <= 1_000_000:
+        # eager fill: the banded self-join (a,b) and both verify sides
+        # scan sigs inside ONE job — a lazy persist races and replays
+        # the Arrow band kernel per branch (same defect
+        # collapsed_degree_nodes documents)
+        sigs = sigs.persist()
+        sigs.count()
+    else:
+        sigs = sigs.localCheckpoint(eager=True)
     docs = sigs.select("id", "gh")
     # band postings carry only (id, band, key) — the shingle arrays do
     # NOT ride the 24x explode/shuffle; they rejoin for verification
@@ -443,10 +451,12 @@ def simhash_pairs(
     # banded join needs to see each distinct text once); the expansion
     # below restores the exact uncollapsed pair set
     members, reps = _collapse_exact(df, id_col, text_col)
-    # persist: the banded self-join consumes this twice (probe + build),
-    # and the signature lineage re-runs the tokenize + Arrow vote/pack
-    # per consumer otherwise (ReuseExchange is not guaranteed pre-AQE)
+    # persist + EAGER fill: the banded self-join consumes this twice
+    # (probe + build) inside one job, and a lazy persist races — each
+    # branch replays the tokenize + Arrow vote/pack lineage
+    # (ReuseExchange is not guaranteed pre-AQE either)
     sh = reps.select("id", simhash_col(F.col("__txt")).alias("sh")).persist()
+    sh.count()
     banded = sh.select(
         "id",
         "sh",
@@ -744,6 +754,10 @@ def ngram_jaccard_pairs_collapsed(
         .drop("ordered")
         .persist()
     )
+    # eager fill: four branches (both posting sides + both verify
+    # sides) scan per_doc inside the pair job — a lazy persist races
+    # and replays the df-join + per-doc sort lineage per branch
+    per_doc.count()
     posts = per_doc.select("id", "sz", F.explode("prefix").alias("g"))
     a, b = posts.alias("a"), posts.alias("b")
     cand = (

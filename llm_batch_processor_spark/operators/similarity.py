@@ -272,9 +272,11 @@ def ivf_topk(
 
     # one probe pass serves both sides: cell = nearest centroid
     # (first probe), queries explode their n_probe nearest cells.
-    # Lazy persist: the cogroup's two consumers share one materialization
-    # without the extra eager-checkpoint job.
+    # persist + EAGER fill: the cogroup's two consumers scan sig inside
+    # one job, and a lazy persist races — each side replays the probe
+    # GEMM over the full corpus
     sig = feats.withColumn("cells", probe_udf("arr")).persist()
+    sig.count()
     assigned = sig.select(
         F.element_at("cells", 1).alias("bucket"),
         F.col("id").alias("neighbor_id"),

@@ -3112,6 +3112,9 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok")
     )
     post = tf.join(rare, "tok").persist()
+    # eager fill: norms + both posting sides scan post inside one job;
+    # a lazy persist races and replays the tf/df lineage per branch
+    post.count()
     norms = post.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("s2")
     )
@@ -3918,6 +3921,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     post = sh.join(rare, "g").persist()
+    # eager fill: sizes + both posting sides scan post inside one job;
+    # a lazy persist races and replays the shingle/df lineage per branch
+    post.count()
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = post.select(F.col("g"), F.col("doc_id").alias("id_a"))
     b = post.select(F.col("g"), F.col("doc_id").alias("id_b"))
