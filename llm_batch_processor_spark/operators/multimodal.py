@@ -192,6 +192,63 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize, import-guarded: Pillow decode -> LANCZOS
+    scale -> re-encode in the SOURCE container format (so a JPEG stays
+    a JPEG and :func:`parse_image_dims` reads the new dims off the
+    output header). Same deployment contract as :func:`decode_image`:
+    environments with Pillow pass ``resizer=resize_image`` to
+    :func:`resize_media` unchanged — identical Arrow plumbing, real
+    pixels. Raises ``NotImplementedError`` when no codec library is
+    installed (this container), keeping :func:`fake_resize` as the
+    deterministic oracle path.
+    Reference parity: real-JPEG processing in spec/image_processing_spec.rb:29-40.
+    """
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires a codec library (pip install Pillow); "
+            "use fake_resize for deterministic tests"
+        ) from e
+    with Image.open(io.BytesIO(payload)) as im:
+        fmt = im.format or "PNG"
+        out = im.resize((width, height), Image.LANCZOS)
+        buf = io.BytesIO()
+        # JPEG cannot encode alpha; drop it the way a transcode stage would
+        if fmt == "JPEG" and out.mode not in ("RGB", "L"):
+            out = out.convert("RGB")
+        out.save(buf, format=fmt)
+        return buf.getvalue()
+
+
+def image_frames(payload: bytes) -> list[bytes]:
+    """Real multi-frame demux (GIF/TIFF), import-guarded: each frame
+    re-encoded PNG so downstream per-frame decoders see a standalone
+    container. Single-frame formats yield one frame — same contract as
+    :func:`fake_frames`, real codec. ``NotImplementedError`` without
+    Pillow (this container)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "frame demux requires a codec library (pip install Pillow); "
+            "use fake_frames for deterministic tests"
+        ) from e
+    frames: list[bytes] = []
+    with Image.open(io.BytesIO(payload)) as im:
+        for idx in range(int(getattr(im, "n_frames", 1))):
+            im.seek(idx)
+            buf = io.BytesIO()
+            im.convert("RGBA").save(buf, format="PNG")
+            frames.append(buf.getvalue())
+    return frames
+
+
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic fake resize: truncate/cycle payload to w*h bytes
     (a real kernel decodes, scales, re-encodes — codec library needed)."""

@@ -375,6 +375,7 @@ def candidate_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus_rows=None,
 ) -> DataFrame:
     """Size-gated candidate generation: exact brute force below
     ``ANN_CANDIDATE_GATE`` corpus rows (one broadcast of the bounded
@@ -383,8 +384,30 @@ def candidate_topk(
     collisions). This is the candidate stage `knn_classify` and
     `mmr_rerank` promise for 100 TB: the downstream logic (vote /
     greedy MMR) is identical either way, only where candidates come
-    from changes."""
-    if vectors.count() <= ANN_CANDIDATE_GATE:
+    from changes.
+
+    ``corpus_rows`` (VERDICT r05 item 6 — drop the plan-time count):
+    the exact corpus row count (int) or ``(lo, hi)`` bounds on it —
+    e.g. a parquet footer/metadata count is an upper bound, and footer
+    minus a bounded held-out set is a lower bound. When the bounds
+    DECIDE the gate, no count job runs at plan time; when they
+    straddle the gate (or are absent) one exact ``count()`` decides
+    it. The gate never routes to the APPROXIMATE path on an upper
+    bound alone — an inflated hint can only keep it exact (the
+    ADVICE r05 mmr_rerank hazard, designed out here)."""
+    if isinstance(corpus_rows, int):
+        lo = hi = corpus_rows
+    elif corpus_rows is not None:
+        lo, hi = corpus_rows
+    else:
+        lo, hi = None, None
+    if hi is not None and hi <= ANN_CANDIDATE_GATE:
+        n = hi
+    elif lo is not None and lo > ANN_CANDIDATE_GATE:
+        n = lo
+    else:
+        n = vectors.count()
+    if n <= ANN_CANDIDATE_GATE:
         return brute_force_topk(
             vectors, queries, k, id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, dim=dim,

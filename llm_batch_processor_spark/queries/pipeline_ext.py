@@ -65,7 +65,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is its group's min id, so min-over-component is unchanged; a
     # group whose text produced no shingles has no pairs either way
     # and falls back to self-labels via the survivor check).
-    rep_pairs, members, surv = minhash_pairs_collapsed(
+    rep_pairs, members, surv, _collapsed = minhash_pairs_collapsed(
         d, shingle_n=3, jaccard_max_distance=0.5
     )
     cc = connected_components(
@@ -1220,7 +1220,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map. Labels are provably identical: each rep is its group's min
     # id, so min-over-component is unchanged; sizes count members
     # after expansion.
-    rep_pairs, members, surv = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
+    rep_pairs, members, surv, _collapsed = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
     pairs = rep_pairs.select("id_a", "id_b").persist()
     # all_ids=None: only edge endpoints can land in a size>=2 cluster,
     # and on the bounded path the labels come straight off the collected
@@ -2846,7 +2846,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    rep_pairs, _members, surv = ngram_jaccard_pairs_collapsed(
+    rep_pairs, _members, surv, _collapsed = ngram_jaccard_pairs_collapsed(
         d, n=2, min_jaccard=0.2
     )
     _adj, nodes = collapsed_degree_nodes(rep_pairs, surv)
@@ -3239,22 +3239,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge summation, so k identical neighbors contribute exactly
     # k * (r DIV deg), and a member's degree is (m-1) intra-group
     # neighbors + the external multiplicity mass.
-    rep_pairs, members, surv = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
+    rep_pairs, members, surv, _collapsed = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
     # shared closed-form degree construction (degree_distribution uses
-    # the same helper); adj comes back persisted against union replay
-    from ..operators.dedup import collapsed_degree_nodes
+    # the same helper); persist_adj because the fixed point below
+    # re-scans adj once per iteration — the one caller that earns the
+    # cache entry (ADVICE r05)
+    from ..operators.dedup import _checkpoint, collapsed_degree_nodes
 
-    adj, nodes = collapsed_degree_nodes(rep_pairs, surv)
+    adj, nodes = collapsed_degree_nodes(rep_pairs, surv, persist_adj=True)
+    # persist + EAGER fill: the first contrib job reads nodes through
+    # two branches of one job (directly, and via ranks = the select
+    # below) — a lazy persist races and replays the ext aggregation
+    # per branch (ADVICE r05; same defect class as the sig kernels)
     nodes = nodes.persist()
+    nodes.count()
     ranks = nodes.select("g", F.lit(1000000000000).cast("bigint").alias("r"))
     for _ in range(3):
         # contrib feeds BOTH mass branches: checkpoint it each round or
         # the rank lineage doubles per iteration (2^rounds replay) —
         # same pattern as _label_propagation_cc's per-round labels
-        contrib = (
-            nodes.join(ranks, "g")
-            .select("g", "m", F.expr("r DIV deg").alias("c"))
-            .localCheckpoint(eager=True)
+        # (reliable-checkpoint-aware via the shared helper)
+        contrib = _checkpoint(
+            nodes.join(ranks, "g").select(
+                "g", "m", F.expr("r DIV deg").alias("c")
+            )
         )
         own = contrib.select("g", ((F.col("m") - 1) * F.col("c")).alias("mass"))
         cross = adj.join(
@@ -5478,8 +5486,15 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # size-gated: brute force below ANN_CANDIDATE_GATE (the driver
     # scales), multiprobe-LSH candidates above (the 100 TB path);
-    # full-probe equality is pytest-pinned
-    nb = candidate_topk(train, queries, k=5)
+    # full-probe equality is pytest-pinned. The gate decision rides a
+    # metadata-only footer count: train is the corpus minus at most 50
+    # held-out queries, so (footer-50, footer) bounds it exactly and
+    # no plan-time corpus count() runs unless the bounds straddle the
+    # gate (VERDICT r05 item 6)
+    nt = load(spark, sf_dir, "embeddings").count()
+    nb = candidate_topk(
+        train, queries, k=5, corpus_rows=(max(0, nt - 50), nt)
+    )
     labeled = nb.join(
         train.select(F.col("vec_id").alias("neighbor_id"), "label"),
         "neighbor_id",
@@ -6091,16 +6106,16 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count of a disjoint triangle class.",
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs_collapsed
+    from ..operators.dedup import _checkpoint, ngram_jaccard_pairs_collapsed
 
     d = load(spark, sf_dir, "documents")
-    rep_pairs, members, surv = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
+    rep_pairs, members, surv, _collapsed = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
     # eager checkpoint, not lazy persist: FIVE branches (both nbr
     # orientations + e1/e2/e3) scan edges inside one job — lazy-persist
     # fills racily and each branch can replay the full pair kernel
     # (same defect collapsed_degree_nodes documents); the pair set is
     # output-bounded, so one materialization job is the cheap side
-    edges = rep_pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = _checkpoint(rep_pairs.select("id_a", "id_b"))
     m_of = lambda alias_: surv.select(  # noqa: E731 - tiny local renamer
         F.col("id").alias(alias_), F.col("m").alias(f"m_{alias_}")
     )
@@ -6503,9 +6518,18 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size gate (VERDICT r04 stretch): above ANN_CANDIDATE_GATE the
     # corpus is first narrowed to multiprobe-LSH candidates — the rel
     # kernel below then runs on <=20 rows, so the greedy MMR math (and
-    # its oracle-exact fold order) is untouched. The gate reads the
-    # table's footer row count (metadata-only), not a filtered scan.
-    if load(spark, sf_dir, "embeddings").count() > ANN_CANDIDATE_GATE:
+    # its oracle-exact fold order) is untouched. The decision is on
+    # the EMBEDDABLE corpus (ADVICE r05: a raw footer count includes
+    # the query row and unembeddable vectors and could flip the path
+    # to approximate while the true corpus is at/below the gate): the
+    # metadata-only footer count is an upper bound that settles the
+    # common below-gate case with zero scans, and only when it
+    # exceeds the gate does one exact corpus.count() decide — the
+    # approximate path is never taken on an upper bound alone.
+    if (
+        load(spark, sf_dir, "embeddings").count() > ANN_CANDIDATE_GATE
+        and corpus.count() > ANN_CANDIDATE_GATE
+    ):
         ids = lsh_query_topk(
             corpus,
             e.filter(F.col("vec_id") == 0).select(

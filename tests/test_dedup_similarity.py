@@ -4,6 +4,7 @@ pinned on purpose-built fixtures)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from llm_batch_processor_spark.operators.dedup import (
@@ -417,10 +418,19 @@ def _dup_corpus(spark):
     return spark.createDataFrame(rows, "doc_id LONG, text STRING")
 
 
-def test_exact_collapse_pairs_match_bruteforce_jaccard(spark):
+@pytest.mark.parametrize("collapse_factor", [1.0, -1.0])
+def test_exact_collapse_pairs_match_bruteforce_jaccard(
+    spark, monkeypatch, collapse_factor
+):
     """The collapse/expand path must emit the EXACT uncollapsed pair
     set — brute-force bigram Jaccard over the dup-group corpus is the
     reference (r5 skew-audit invariant)."""
+    # run both strategies: the default materiality gate (skips — this
+    # corpus's dup mass is immaterial, r6) and the forced collapse
+    # path (negative factor -> collapse whenever any dup group exists)
+    from llm_batch_processor_spark.operators import dedup as _dd
+
+    monkeypatch.setattr(_dd, "COLLAPSE_EXTRA_PAIRS_FACTOR", collapse_factor)
     d = _dup_corpus(spark)
     got = {
         (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
@@ -450,11 +460,20 @@ def test_exact_collapse_pairs_match_bruteforce_jaccard(spark):
     assert not any(a >= 6 for a, _ in got)
 
 
-def test_exact_collapse_intra_pairs_minhash_simhash(spark):
+@pytest.mark.parametrize("collapse_factor", [1.0, -1.0])
+def test_exact_collapse_intra_pairs_minhash_simhash(
+    spark, monkeypatch, collapse_factor
+):
     """Intra-dup-group pairs survive the collapse with the kernel's
     exact self-similarity values; signatureless groups (empty text for
     minhash) still produce none; simhash emits even for empty/NULL
     texts (a simhash is total over texts)."""
+    # run both strategies: the default materiality gate (skips — this
+    # corpus's dup mass is immaterial, r6) and the forced collapse
+    # path (negative factor -> collapse whenever any dup group exists)
+    from llm_batch_processor_spark.operators import dedup as _dd
+
+    monkeypatch.setattr(_dd, "COLLAPSE_EXTRA_PAIRS_FACTOR", collapse_factor)
     d = _dup_corpus(spark)
     mh = {
         (r["id_a"], r["id_b"]): r["jaccard_distance"]
@@ -473,9 +492,18 @@ def test_exact_collapse_intra_pairs_minhash_simhash(spark):
         assert sh[pair] == 0
 
 
-def test_collapsed_triangle_counts_match_bruteforce(spark, tmp_path):
+@pytest.mark.parametrize("collapse_factor", [1.0, -1.0])
+def test_collapsed_triangle_counts_match_bruteforce(
+    spark, tmp_path, monkeypatch, collapse_factor
+):
     """graph_triangles' closed-form multiplicity expansion equals brute
     triangle enumeration over the expanded pair graph."""
+    # run both strategies: the default materiality gate (skips — this
+    # corpus's dup mass is immaterial, r6) and the forced collapse
+    # path (negative factor -> collapse whenever any dup group exists)
+    from llm_batch_processor_spark.operators import dedup as _dd
+
+    monkeypatch.setattr(_dd, "COLLAPSE_EXTRA_PAIRS_FACTOR", collapse_factor)
     import itertools
     from collections import Counter
 
@@ -515,9 +543,18 @@ def test_collapsed_triangle_counts_match_bruteforce(spark, tmp_path):
     assert got  # the m=3 identical group alone guarantees triangles
 
 
-def test_collapsed_pagerank_matches_bruteforce(spark, tmp_path):
+@pytest.mark.parametrize("collapse_factor", [1.0, -1.0])
+def test_collapsed_pagerank_matches_bruteforce(
+    spark, tmp_path, monkeypatch, collapse_factor
+):
     """graph_pagerank's multiplicity-weighted collapsed iteration equals
     the per-node integer fixed point on the expanded graph."""
+    # run both strategies: the default materiality gate (skips — this
+    # corpus's dup mass is immaterial, r6) and the forced collapse
+    # path (negative factor -> collapse whenever any dup group exists)
+    from llm_batch_processor_spark.operators import dedup as _dd
+
+    monkeypatch.setattr(_dd, "COLLAPSE_EXTRA_PAIRS_FACTOR", collapse_factor)
     from collections import defaultdict
 
     import pandas as pd

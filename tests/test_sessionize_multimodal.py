@@ -251,3 +251,88 @@ def test_decode_image_agrees_with_header_parse_on_reference_fixture():
     dims = parse_image_dims(payload)
     meta = decode_image(payload)
     assert (meta["width"], meta["height"]) == (dims["width"], dims["height"])
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed: stub path not reachable")
+def test_real_resize_and_frames_are_explicit_stubs_without_pil():
+    from llm_batch_processor_spark.operators.multimodal import (
+        image_frames,
+        resize_image,
+    )
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        resize_image(b"\xff\xd8\xff", 8, 8)
+    with pytest.raises(NotImplementedError, match="codec"):
+        image_frames(b"GIF89a")
+
+
+@pytest.mark.skipif(
+    not _pil_available() or not __import__("os").path.exists(APPLE_JPG),
+    reason="Pillow or reference fixture absent",
+)
+def test_real_resize_roundtrips_reference_jpeg(spark):
+    # conditional tier (reference parity: spec/image_processing_spec.rb
+    # resizes the same real JPEG): resize_image plugs into the SAME
+    # resize_media Arrow plumbing as fake_resize, the output stays a
+    # JPEG, and the codec-free header parser reads the NEW dims off it
+    from pathlib import Path
+
+    from llm_batch_processor_spark.operators.multimodal import (
+        parse_image_dims,
+        resize_image,
+        resize_media,
+    )
+
+    payload = Path(APPLE_JPG).read_bytes()
+    small = resize_image(payload, 32, 24)
+    assert parse_image_dims(small) == {"width": 32, "height": 24, "n_frames": 1}
+
+    df = spark.createDataFrame(
+        [("apple", bytearray(payload))], "id STRING, content BINARY"
+    )
+    media = df.select(
+        F.col("id").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.lit("image/jpeg").alias("format"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    out = resize_media(media, 32, 24, resizer=resize_image).collect()
+    assert parse_image_dims(bytes(out[0]["payload"]))["width"] == 32
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed (container has no image libs)")
+def test_real_frames_demux_plugs_into_sample_frames(spark):
+    # conditional tier: a 3-frame GIF demuxes through the SAME
+    # sample_frames 1:N fan-out as fake_frames, each frame a standalone
+    # PNG whose header parses
+    import io
+
+    from PIL import Image
+
+    from llm_batch_processor_spark.operators.multimodal import (
+        image_frames,
+        parse_image_dims,
+        sample_frames,
+    )
+
+    frames = [Image.new("P", (4, 4), color=i) for i in range(3)]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="GIF", save_all=True, append_images=frames[1:])
+    payload = buf.getvalue()
+    assert len(image_frames(payload)) == 3
+
+    df = spark.createDataFrame(
+        [("g1", bytearray(payload))], "id STRING, content BINARY"
+    )
+    media = df.select(
+        F.col("id").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.lit("image/gif").alias("format"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+    )
+    out = sample_frames(media, every_n=1, framer=image_frames).collect()
+    assert len(out) == 3
+    assert all(
+        parse_image_dims(bytes(r["frame"])) == {"width": 4, "height": 4, "n_frames": 1}
+        for r in out
+    )
