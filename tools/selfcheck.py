@@ -60,12 +60,30 @@ def main() -> int:
         help="write per-query results as JSON (same row shape as the "
         "driver's CORRECTNESS artifact, plus elapsed seconds)",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra Spark conf (repeatable) — used by the "
+        "execution-strategy invariance sweeps, e.g. "
+        "--conf spark.sql.autoBroadcastJoinThreshold=-1 "
+        "--conf spark.sql.adaptive.enabled=false",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as E
     from llm_batch_processor_spark.session import get_spark
 
-    spark = get_spark(app_name="selfcheck")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark(app_name="selfcheck", extra_conf=extra or None)
+    # session-conf hardening force-resets the AQE/Arrow family; an
+    # invariance sweep's explicit --conf must win over the defaults
+    for k, v in extra.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
 
     con = duckdb.connect()
     for t in (
