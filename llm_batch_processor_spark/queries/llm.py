@@ -218,12 +218,17 @@ def think_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def enrich_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..job.pipeline import enrich
 
-    recs = _records(spark, sf_dir)
-    d = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("id"), F.upper("lang").alias("_lab")
+    # per-RECORD enrichment off one scan — the reference's A10 shape
+    # (each JSONL item carries its own metadata; ids are opaque and
+    # need NOT be unique, lib/job_processor.rb:43-52). The former
+    # join-back-by-id shortcut fanned out on duplicate ids (dupkeys
+    # sweep, r6) and cost a shuffle; a projection does neither.
+    recs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.create_map(F.lit("content"), F.col("text")).alias("texts"),
+        F.upper("lang").alias("_lab"),
     )
-    j = recs.join(d, "id")
-    out = j.select(
+    out = recs.select(
         "id", enrich(F.col("texts"), "label", F.col("_lab")).alias("texts")
     )
     return out.select(
@@ -277,11 +282,15 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..job.pipeline import enrich
     from ..sources.jsonl import read_records, write_records
 
-    recs = _records(spark, sf_dir)
-    d = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("id"), F.col("lang").alias("_tag")
+    # single-scan per-record enrichment (same dupkeys-sweep fix as
+    # enrich_label: no join-by-id fan-out, no shuffle)
+    recs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.create_map(F.lit("content"), F.col("text")).alias("texts"),
+        F.array().cast("array<string>").alias("images"),
+        F.col("lang").alias("_tag"),
     )
-    enriched = recs.join(d, "id").select(
+    enriched = recs.select(
         "id", enrich(F.col("texts"), "tag", F.col("_tag")).alias("texts"), "images"
     )
     out_dir = _tmp_dir("sink_jsonl", sf_dir)

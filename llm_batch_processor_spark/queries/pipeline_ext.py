@@ -1271,7 +1271,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_segs,
            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx),
+           -- (seg_idx, seg) mirrors the engine's array_sort(struct(...))
+           -- total order: duplicate doc_ids merge two docs into one
+           -- group, where seg_idx alone ties (dupkeys sweep, r6)
+           COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+                               ORDER BY seg_idx, seg),
                     '') AS new_text
     FROM marked
     GROUP BY doc_id
@@ -1611,12 +1615,20 @@ def length_filter_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "ngram_counts",
     """
-    WITH pos AS (
-      SELECT doc_id, unnest(sp) AS w, unnest(range(1, len(sp) + 1)) AS i
-      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+    WITH rows0 AS (
+      -- join on a PHYSICAL-ROW id, not doc_id: duplicate doc_ids would
+      -- pair positions across documents and fabricate bigrams (dupkeys
+      -- sweep, r6); rn only scopes the self-join and never reaches the
+      -- output, so its assignment order is irrelevant
+      SELECT row_number() OVER () AS rid, string_split(text, ' ') AS sp
+      FROM documents
+    ),
+    pos AS (
+      SELECT rid, unnest(sp) AS w, unnest(range(1, len(sp) + 1)) AS i
+      FROM rows0
     )
     SELECT a.w || ' ' || b.w AS bigram, COUNT(*) AS cnt
-    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    FROM pos a JOIN pos b ON a.rid = b.rid AND b.i = a.i + 1
     GROUP BY bigram
     ORDER BY cnt DESC, bigram
     LIMIT 25
@@ -2067,7 +2079,12 @@ def quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     merged AS (
       SELECT doc_id, source, op,
-             row_number() OVER (PARTITION BY doc_id ORDER BY prio DESC) AS rn
+             -- full struct order (prio, op, source) DESC: mirrors the
+             -- engine's max(struct(...)) so the winner stays total even
+             -- when duplicate keys put two rows at one (key, prio)
+             -- (dupkeys sweep, r6)
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY prio DESC, op DESC, source DESC) AS rn
       FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
     )
     SELECT doc_id, source, op FROM merged WHERE rn = 1 AND op <> 'D'

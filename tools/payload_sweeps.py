@@ -169,11 +169,62 @@ def build_empty(src: str, dst: Path) -> None:
     con.close()
 
 
+def build_dupkeys(src: str, dst: Path) -> None:
+    """Duplicate PRIMARY-KEY values — the re-crawl / retry-ingest /
+    at-least-once-delivery shape every real pipeline sees: ~10% of
+    ids collide with an EXISTING lower id while both rows keep their
+    own payloads. Stresses two assumption classes: (a) id-uniqueness
+    (dedup reps, joins fan out, "per-id" aggregations see 2 rows),
+    (b) ORDER-BY-id determinism (window/order ties between two rows
+    with the same key — any query whose result depends on tie ORDER
+    rather than tie-insensitive math diverges between engines, which
+    is exactly the partition-order hazard a cluster run has).
+    Crash-freedom here + selfcheck parity on the same dir is the bar."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (SELECT
+            CASE WHEN doc_id % 10 = 7 THEN doc_id - 5 ELSE doc_id END AS doc_id,
+            text, lang, source, n_chars
+            FROM '{src}/documents.parquet')
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT
+            CASE WHEN vec_id % 10 = 7 THEN vec_id - 5 ELSE vec_id END AS vec_id,
+            embedding, label
+            FROM '{src}/embeddings.parquet')
+            TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT
+            CASE WHEN event_id % 10 = 7 THEN event_id - 5 ELSE event_id END
+              AS event_id,
+            ts, user_id, event_type, value, props
+            FROM '{src}/events.parquet')
+            TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT
+            CASE WHEN o_orderkey % 10 = 7 THEN o_orderkey - 5
+                 ELSE o_orderkey END AS o_orderkey,
+            o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+            o_orderpriority
+            FROM '{src}/orders.parquet')
+            TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem"):
+        shutil.copy(Path(src) / f"{t}.parquet", dst / f"{t}.parquet")
+    con.close()
+
+
 BUILDERS = {
     "nulls": build_nulls,
     "hostile": build_hostile,
     "empty": build_empty,
     "skew": build_skew,
+    "dupkeys": build_dupkeys,
 }
 
 
