@@ -4469,7 +4469,11 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ce"))
         .collect()
     )
-    cb_rows.sort(key=lambda r: r["vec_id"])
+    # total sort key: under duplicate vec_ids (the documented key-
+    # contract violation) id alone ties and the collect order would
+    # leak into the codebook — (id, vector) keeps even that case
+    # run-deterministic within the engine
+    cb_rows.sort(key=lambda r: (r["vec_id"], r["ce"]))
     cids = np.array([r["vec_id"] for r in cb_rows], dtype=np.int64)
     C = np.array([r["ce"] for r in cb_rows], dtype=np.float64)  # (16, 64)
 
