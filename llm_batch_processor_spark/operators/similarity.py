@@ -387,14 +387,18 @@ def candidate_topk(
     from changes.
 
     ``corpus_rows`` (VERDICT r05 item 6 — drop the plan-time count):
-    the exact corpus row count (int) or ``(lo, hi)`` bounds on it —
-    e.g. a parquet footer/metadata count is an upper bound, and footer
-    minus a bounded held-out set is a lower bound. When the bounds
-    DECIDE the gate, no count job runs at plan time; when they
-    straddle the gate (or are absent) one exact ``count()`` decides
-    it. The gate never routes to the APPROXIMATE path on an upper
-    bound alone — an inflated hint can only keep it exact (the
-    ADVICE r05 mmr_rerank hazard, designed out here)."""
+    the exact EMBEDDABLE corpus row count (int) or ``(lo, hi)`` bounds
+    on it. A raw parquet footer/metadata count is always a valid
+    UPPER bound (raw >= embeddable); a valid LOWER bound must hold
+    for the embeddable subset — when in doubt pass ``(0, footer)``.
+    When the bounds DECIDE the gate, no count job runs at plan time;
+    when they straddle the gate (or are absent) one exact count of
+    the EMBEDDABLE corpus decides it (the same predicate the kernels
+    filter by — ADVICE r05: a raw count includes null/zero-norm/
+    non-finite/ragged rows and could flip the path to approximate
+    while the true corpus is at/below the gate). The gate never
+    routes to the APPROXIMATE path on an upper bound alone — an
+    inflated hint can only keep it exact."""
     if isinstance(corpus_rows, int):
         lo = hi = corpus_rows
     elif corpus_rows is not None:
@@ -406,7 +410,7 @@ def candidate_topk(
     elif lo is not None and lo > ANN_CANDIDATE_GATE:
         n = lo
     else:
-        n = vectors.count()
+        n = vectors.filter(embeddable(F.col(vec_col), dim)).count()
     if n <= ANN_CANDIDATE_GATE:
         return brute_force_topk(
             vectors, queries, k, id_col=id_col, vec_col=vec_col,

