@@ -2497,8 +2497,12 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (SELECT COUNT(*) AS big_n FROM documents),
     cand AS (
+      -- pmod-then-HUGEINT mix mirrors the engine's pmod-then-DECIMAL:
+      -- total at the int64 rail, bit-identical on dense 0..N-1 ids
       SELECT d.doc_id, j.j,
-             (d.doc_id * 2654435761 + j.j * 40503 + 17) % big_n AS raw_neg
+             CAST((CAST(((d.doc_id % big_n) + big_n) % big_n AS HUGEINT)
+                   * 2654435761 + j.j * 40503 + 17) % big_n
+                  AS BIGINT) AS raw_neg
       FROM documents d, n, (SELECT unnest([0,1,2,3]) AS j) j
     )
     SELECT c.doc_id, CAST(c.j AS INT) AS neg_idx,
@@ -2524,7 +2528,18 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     big_n = d.count()  # bounded metadata job; inlined as a literal
-    raw = (F.col("doc_id") * 2654435761 + F.col("j") * 40503 + 17) % big_n
+    # rail-proof Knuth mix (extremekeys sweep, r6): reduce to the
+    # non-negative residue FIRST (pmod — Spark's % keeps the dividend
+    # sign and a negative index can never hit the join), then multiply
+    # in DECIMAL(38,0) so ids at the int64 rail cannot overflow the
+    # ANSI bigint product (residue * 2654435761 <= ~2.4e28 << 10^38).
+    # On the fixtures' dense 0..N-1 ids the residue IS doc_id and the
+    # wider intermediate folds to the same integers — output
+    # bit-identical to the pre-r6 arithmetic there.
+    rid = F.pmod(F.col("doc_id"), F.lit(big_n)).cast("decimal(38,0)")
+    raw = (
+        (rid * 2654435761 + F.col("j") * 40503 + 17) % big_n
+    ).cast("bigint")
     neg = F.when(raw == F.col("doc_id"), (raw + 1) % big_n).otherwise(raw)
     cand = d.select(
         "doc_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j")

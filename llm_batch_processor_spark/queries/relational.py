@@ -2128,7 +2128,11 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "scan_schema_merge",
     f"""
-    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pri,
+    -- sign-safe parity: % keeps the dividend sign in both engines, so
+    -- a NEGATIVE odd key yields -1 — `= 1` silently dropped those rows
+    -- from the "new" generation (extremekeys sweep, r6); `<> 0` is the
+    -- total odd-test
+    SELECT CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END AS pri,
            COUNT(*) AS n_rows,
            CAST(SUM(TRY_CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
     FROM orders
@@ -2148,8 +2152,12 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tmp_dir("schema_merge", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     o = load(spark, sf_dir, "orders")
+    # % 2 != 0, not == 1: Spark's % keeps the dividend sign, and a
+    # negative odd key (-k % 2 == -1) matched NEITHER generation —
+    # rows silently vanished from the merged dataset (extremekeys
+    # sweep, r6). The even/odd split must be a partition.
     old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
-    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+    new = o.filter(F.col("o_orderkey") % 2 != 0).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     old.write.mode("overwrite").parquet(f"{root}/gen=old")
@@ -3592,7 +3600,13 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE o_totalprice END AS price
       FROM orders WHERE o_orderkey % 101 <> 0
       UNION ALL
-      SELECT o_orderkey + 10000000, o_totalprice
+      -- guarded shift mirrors the engine: +10000000 below the int64
+      -- rail, deterministic 2^62-band wrap at it (extremekeys, r6)
+      SELECT CASE WHEN o_orderkey > 9223372036854775807 - 10000000
+                  THEN 4611686018427387904
+                       + (o_orderkey - (9223372036854775807 - 10000000))
+                  ELSE o_orderkey + 10000000 END,
+             o_totalprice
       FROM orders WHERE o_orderkey % 103 = 0
     ),
     d AS (
@@ -3634,7 +3648,23 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             o.filter(F.col("o_orderkey") % 103 == 0).select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                # synthetic "added" keys: plain +10000000 below the
+                # int64 rail (pre-r6 output bit-identical there);
+                # rail keys wrap deterministically into the reserved
+                # 2^62 band instead of ANSI-overflowing (extremekeys
+                # sweep, r6) — band top 2^62+1e7 stays far from any
+                # fixture id domain
+                F.when(
+                    F.col("o_orderkey")
+                    > F.lit(9223372036854775807 - 10000000),
+                    F.lit(4611686018427387904)
+                    + (
+                        F.col("o_orderkey")
+                        - F.lit(9223372036854775807 - 10000000)
+                    ),
+                )
+                .otherwise(F.col("o_orderkey") + 10000000)
+                .alias("o_orderkey"),
                 F.col("o_totalprice").alias("price"),
             )
         )
@@ -5031,16 +5061,31 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "resample_ohlc",
     """
+    WITH ev AS (
+      SELECT *,
+             -- int128 composite ORDER-ISOMORPHIC to Spark's
+             -- struct(ts_ns, event_id) for ANY int64 event_id
+             -- (extremekeys sweep, r6 — the old ns*1e6+event_id
+             -- encoding assumed event_id < 1e6): ns is clamped in
+             -- micros exactly like tables.load's ts_ns, the 2^64
+             -- radix strictly separates ns buckets, and the +2^63
+             -- bias maps event_id into [0, 2^64) preserving order;
+             -- |ns_c|*2^64 + 2^64 - 1 < 2^127 - 1, no overflow
+             CAST(least(greatest(epoch_us(ts), -9223372036854775),
+                        9223372036854775) * 1000 AS HUGEINT)
+               * 18446744073709551616::HUGEINT
+               + (CAST(event_id AS HUGEINT) + 9223372036854775808::HUGEINT)
+               AS ord_key
+      FROM events
+    )
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
-           arg_min(value, CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
-             AS open,
+           arg_min(value, ord_key) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
-             AS close,
+           arg_max(value, ord_key) AS close,
            COUNT(*) AS n_ticks,
            CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
-    FROM events
+    FROM ev
     GROUP BY day, event_type
     """,
     doc="time-series downsampling to daily OHLC bars per series "
@@ -5147,18 +5192,28 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "golden_record",
     """
+    WITH ev AS (
+      SELECT *,
+             -- same order-isomorphic (ts_ns, event_id) int128
+             -- composite as resample_ohlc (extremekeys sweep, r6):
+             -- 2^64 radix + 2^63 bias is total for ANY int64
+             -- event_id, clamp mirrors tables.load's ts_ns
+             CAST(least(greatest(epoch_us(ts), -9223372036854775),
+                        9223372036854775) * 1000 AS HUGEINT)
+               * 18446744073709551616::HUGEINT
+               + (CAST(event_id AS HUGEINT) + 9223372036854775808::HUGEINT)
+               AS ord_key
+      FROM events
+    )
     SELECT user_id,
            COUNT(*) AS n_events,
            MIN(epoch_ns(ts) // 1000000000) AS first_s,
            MAX(epoch_ns(ts) // 1000000000) AS last_s,
            CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-           arg_max(event_type,
-                   CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
-             AS last_event_type,
+           arg_max(event_type, ord_key) AS last_event_type,
            arg_max(CAST(json_extract_string(props, '$.k') AS BIGINT),
-                   CAST(epoch_ns(ts) AS HUGEINT) * 1000000 + event_id)
-             AS last_k
-    FROM events
+                   ord_key) AS last_k
+    FROM ev
     GROUP BY user_id
     """,
     doc="survivorship merge (golden record): collapse each entity's "

@@ -219,12 +219,71 @@ def build_dupkeys(src: str, dst: Path) -> None:
     con.close()
 
 
+def build_extremekeys(src: str, dst: Path) -> None:
+    """Extreme INTEGER keys — ids near int64 max and negative ids, the
+    synthetic-id shapes real pipelines mint (snowflake ids ~2^63,
+    hash-derived ids that went negative, tombstone sentinels): ~10% of
+    ids remap to ``int64_max - id`` and another ~10% to ``-id`` (both
+    bijective — uniqueness preserved; orders and lineitem transform
+    o_orderkey/l_orderkey IDENTICALLY so join pairs survive). Stresses
+    ANSI arithmetic ON KEYS: any ``id * c`` / ``id + c`` fold
+    overflows at the rail, any ``sequence(min_id, max_id)`` explodes,
+    ``%`` of a negative dividend flips sign (Spark and DuckDB both
+    keep the dividend sign — but any engine-side pmod/hash-bucket
+    mixing diverges), and min/max-id canonicalization meets negative
+    representatives."""
+    import duckdb
+
+    i64 = 9223372036854775807
+    remap = (
+        f"CASE WHEN {{c}} % 10 = 7 THEN {i64} - {{c}} "
+        f"WHEN {{c}} % 10 = 3 THEN -{{c}} ELSE {{c}} END"
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (SELECT {remap.format(c='doc_id')} AS doc_id,
+            text, lang, source, n_chars
+            FROM '{src}/documents.parquet')
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT {remap.format(c='vec_id')} AS vec_id,
+            embedding, label
+            FROM '{src}/embeddings.parquet')
+            TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT {remap.format(c='event_id')} AS event_id,
+            ts, {remap.format(c='user_id')} AS user_id,
+            event_type, value, props
+            FROM '{src}/events.parquet')
+            TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT {remap.format(c='o_orderkey')} AS o_orderkey,
+            o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+            o_orderpriority
+            FROM '{src}/orders.parquet')
+            TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            {remap.format(c='l_orderkey')} AS l_orderkey)
+            FROM '{src}/lineitem.parquet')
+            TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(Path(src) / f"{t}.parquet", dst / f"{t}.parquet")
+    con.close()
+
+
 BUILDERS = {
     "nulls": build_nulls,
     "hostile": build_hostile,
     "empty": build_empty,
     "skew": build_skew,
     "dupkeys": build_dupkeys,
+    "extremekeys": build_extremekeys,
 }
 
 
