@@ -859,7 +859,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window",
     """
     WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS epoch_s
+      -- clamped trunc-seconds mirror the engine's ts_ns DIV 1e9 (r6)
+      SELECT user_id, event_id, ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000 AS epoch_s
       FROM events
     ),
     marked AS (
@@ -901,7 +902,9 @@ def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "tumbling_window",
     """
-    SELECT (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 600) AS bucket_start,
+    -- clamped trunc-seconds (engine: ts_ns DIV 1e9), then the same
+    -- dividend-sign % both engines share (r6)
+    SELECT (((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) - ((((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) % 600) AS bucket_start,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -1849,8 +1852,9 @@ def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT user_id, event_type AS src,
+             -- clamped ordering key mirrors the engine's ts_ns (r6)
              LEAD(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+               PARTITION BY user_id ORDER BY least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775), event_id) AS dst
       FROM events
     )
     SELECT src, dst, COUNT(*) AS n_transitions
@@ -4870,11 +4874,11 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift_psi",
     """
     WITH bounds AS (
-      SELECT MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi FROM events
+      SELECT MIN((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS lo, MAX((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS hi FROM events
     ),
     lab AS (
       SELECT CAST(GREATEST(-1, LEAST(9, floor(value / 50))) AS INT) AS bucket,
-             CASE WHEN CAST(epoch_ns(ts) AS HUGEINT) * 2
+             CASE WHEN CAST((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000) AS HUGEINT) * 2
                        >= CAST(lo AS HUGEINT) + hi THEN 1 ELSE 0
              END AS late
       FROM events, bounds

@@ -1239,8 +1239,10 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(TRY_CAST(value AS {DEC})) OVER (
                PARTITION BY user_id ORDER BY epoch_s
                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_10min
+    -- clamped trunc-seconds mirror the engine's ts_ns DIV 1e9
+    -- (extreme-ts parity audit, r6)
     FROM (SELECT event_id, user_id, value,
-                 epoch_us(ts) // 1000000 AS epoch_s
+                 ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000 AS epoch_s
           FROM events)
     """,
     doc="RANGE frame over epoch seconds: trailing-10-minute counts/sums",
@@ -1694,10 +1696,12 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_cumulative_distinct",
     """
     WITH f AS (
-      SELECT event_id, event_type, epoch_us(ts) AS us,
+      -- clamped us: sentinel dates tie at the rail exactly like the
+      -- engine's ts_ns, with event_id breaking the tie (r6)
+      SELECT event_id, event_type, least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) AS us,
              CASE WHEN ROW_NUMBER() OVER (
                     PARTITION BY event_type, user_id
-                    ORDER BY epoch_us(ts), event_id) = 1
+                    ORDER BY least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775), event_id) = 1
                   THEN 1 ELSE 0 END AS is_first
       FROM events
     )
@@ -1778,9 +1782,10 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(us AS BIGINT) AS last_us,
            ROUND(value, 4) AS last_value
     FROM (
-      SELECT user_id, event_type, epoch_us(ts) AS us, value,
+      -- clamped us == the engine's ts_ns DIV 1000, value and order (r6)
+      SELECT user_id, event_type, least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) AS us, value,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                                ORDER BY least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) DESC, event_id DESC) AS rn
       FROM events
     )
     WHERE rn = 1
@@ -2306,8 +2311,10 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT event_id, user_id,
+             -- order by the CLAMPED key: sentinel dates tie at the rail
+             -- exactly like the engine's ts_ns ordering (r6)
              list_sort(list(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775), event_id
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS cs
       FROM events
       WHERE value IS NOT NULL
@@ -2352,14 +2359,17 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_debounce",
     """
     WITH e AS (
-      SELECT event_id, user_id, event_type, epoch_us(ts) // 1000000 AS epoch_s,
-             epoch_ns(ts) AS t_ns
+      SELECT event_id, user_id, event_type, ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000 AS epoch_s,
+             (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000) AS t_ns
       FROM events
     )
     SELECT event_id, user_id, event_type, epoch_s
     FROM (
       SELECT event_id, user_id, event_type, epoch_s,
-             CASE WHEN t_ns - lag(t_ns) OVER w <= 5000000000
+             -- HUGEINT gap mirrors the engine's try_subtract: an
+             -- int64-overflowing gap is > 5s either way (r6)
+             CASE WHEN CAST(t_ns AS HUGEINT) - lag(CAST(t_ns AS HUGEINT)) OVER w
+                       <= 5000000000
                   THEN 0 ELSE 1 END AS is_start
       FROM e
       WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t_ns, event_id)
@@ -2397,7 +2407,7 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            last_value(masked IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             PARTITION BY user_id ORDER BY (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000), event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
     FROM (
       SELECT event_id, user_id, ts,
@@ -2481,7 +2491,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY user_id ORDER BY t_ns, event_id) // 1000000000
              AS BIGINT) AS valid_to_s,
            ROUND(value, 4) AS attr_value
-    FROM (SELECT event_id, user_id, epoch_ns(ts) AS t_ns, value FROM events)
+    FROM (SELECT event_id, user_id, (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000) AS t_ns, value FROM events)
     """,
     doc="SCD type-2 interval build: each record becomes a "
     "[valid_from, valid_to) validity row, closed by the next record's "
@@ -2522,10 +2532,10 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN event_type END IGNORE NULLS) OVER w
                AS touch_type,
              last_value(CASE WHEN event_type IN ('click','view')
-                             THEN epoch_ns(ts) // 1000000000 END IGNORE NULLS)
+                             THEN ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000 END IGNORE NULLS)
                OVER w AS touch_s
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
     WHERE event_type = 'purchase'
@@ -2642,7 +2652,7 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
                / COUNT(*) OVER w AS meansq7,
              COUNT(*) OVER w AS n7
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000), event_id
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     WHERE n7 >= 4
@@ -2845,14 +2855,18 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH seq AS (
       SELECT user_id, value,
-             epoch_ns(ts) // 1000000000 AS t_s,
-             lead(epoch_ns(ts) // 1000000000) OVER (
-               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS next_s
+             ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000 AS t_s,
+             lead(((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) OVER (
+               PARTITION BY user_id ORDER BY (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000), event_id) AS next_s
       FROM events
     ),
     seg AS (
       SELECT user_id,
-             TRY_CAST(TRY_CAST(value AS DECIMAL(18,6))
+             -- DECIMAL(24,6) widening: DuckDB multiplies the scaled
+             -- int64 DECIMAL(18) representations and overflows on
+             -- rail-to-rail spans; int128 storage is exact, result
+             -- values identical (r6)
+             TRY_CAST(CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(24,6))
                   * TRY_CAST(next_s - t_s AS DECIMAL(12,0)) AS DECIMAL(38,6))
                AS num,
              next_s - t_s AS dt
@@ -2861,7 +2875,12 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_intervals,
            CAST(SUM(dt) AS BIGINT) AS span_s,
-           CAST(CAST(SUM(num) AS DOUBLE)
+           -- VARCHAR hop: DuckDB's direct DECIMAL->DOUBLE cast
+           -- double-rounds above 2^53 (measured: ...712.5 -> ...712.0);
+           -- strtod is correctly rounded like Spark's
+           -- BigDecimal.doubleValue, and below 2^53 the paths agree
+           -- exactly, so pristine output is unchanged (r6)
+           CAST(CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE)
                 / CAST(SUM(dt) AS DOUBLE) AS DOUBLE) AS twa
     FROM seg
     GROUP BY user_id
@@ -3247,15 +3266,15 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conversion_lag",
     """
     WITH s AS (
-      SELECT user_id, MIN(epoch_ns(ts) // 1000000000) AS signup_s
+      SELECT user_id, MIN(((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) AS signup_s
       FROM events WHERE event_type = 'signup' GROUP BY user_id
     ),
     p AS (
       SELECT e.user_id,
-             MIN(epoch_ns(e.ts) // 1000000000) AS purchase_s
+             MIN(((least(greatest(epoch_us(e.ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(e.ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) AS purchase_s
       FROM events e JOIN s ON e.user_id = s.user_id
       WHERE e.event_type = 'purchase'
-        AND epoch_ns(e.ts) // 1000000000 >= s.signup_s
+        AND ((least(greatest(epoch_us(e.ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(e.ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000 >= s.signup_s
       GROUP BY e.user_id
     )
     SELECT s.user_id, s.signup_s, p.purchase_s,
@@ -3920,8 +3939,8 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
       SELECT user_id,
-             MIN(epoch_ns(ts) // 1000000000) AS first_s,
-             MAX(epoch_ns(ts) // 1000000000) AS last_s
+             MIN(((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) AS first_s,
+             MAX(((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) AS last_s
       FROM events GROUP BY user_id
     ),
     mx AS (SELECT MAX(last_s) AS max_s FROM u),
@@ -4009,7 +4028,7 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH fp AS (
       SELECT user_id,
-             MIN(ROW(epoch_ns(ts), event_id)) AS p
+             MIN(ROW((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000), event_id)) AS p
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id
     ),
@@ -4019,7 +4038,7 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS channel
       FROM events e JOIN fp ON e.user_id = fp.user_id
       WHERE e.event_type IN ('click', 'view')
-        AND ROW(epoch_ns(e.ts), e.event_id) < fp.p
+        AND ROW((least(greatest(epoch_us(e.ts), -9223372036854775), 9223372036854775) * 1000), e.event_id) < fp.p
     ),
     per_user AS (
       SELECT user_id, channel, COUNT(*) AS n_ch
@@ -4102,7 +4121,7 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(event_type, 1) OVER w AS e2,
              lead(event_type, 2) OVER w AS e3
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000), event_id)
     )
     SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
     FROM seq WHERE e3 IS NOT NULL
@@ -4259,11 +4278,24 @@ def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "seasonality_profile",
     """
-    WITH b AS (
-      SELECT ((epoch_ns(ts) // 1000000000 // 86400) + 4) % 7 AS dow,
-             (epoch_ns(ts) // 1000000000 % 86400) // 3600 AS hod,
+    WITH s AS (
+      -- clamped-us trunc to seconds mirrors the engine's clamped
+      -- ts_ns DIV 1e9; every later / is ALSO trunc-mirrored ((a -
+      -- a % b) // b) because sentinel dates clamp to NEGATIVE
+      -- seconds, where DuckDB's // floors but Spark's DIV truncates
+      -- (extreme-ts parity audit, r6)
+      SELECT ((least(greatest(epoch_us(ts), -9223372036854775),
+                     9223372036854775))
+              - (least(greatest(epoch_us(ts), -9223372036854775),
+                       9223372036854775)) % 1000000) // 1000000 AS sec,
              value
       FROM events
+    ),
+    b AS (
+      SELECT (((sec - sec % 86400) // 86400) + 4) % 7 AS dow,
+             ((sec % 86400) - (sec % 86400) % 3600) // 3600 AS hod,
+             value
+      FROM s
     )
     SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
            COUNT(*) AS n,
@@ -4551,10 +4583,18 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "sliding_distinct_users",
     """
-    WITH ud AS (
-      SELECT DISTINCT user_id,
-             epoch_ns(ts) // 1000000000 // 86400 AS d
+    WITH sec0 AS (
+      -- trunc-mirrored day bucket (see seasonality_profile note)
+      SELECT user_id,
+             ((least(greatest(epoch_us(ts), -9223372036854775),
+                     9223372036854775))
+              - (least(greatest(epoch_us(ts), -9223372036854775),
+                       9223372036854775)) % 1000000) // 1000000 AS sec
       FROM events
+    ),
+    ud AS (
+      SELECT DISTINCT user_id, (sec - sec % 86400) // 86400 AS d
+      FROM sec0
     ),
     contrib AS (
       SELECT user_id, d + t.i AS wd
@@ -4682,10 +4722,20 @@ def anomaly_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_replay",
     """
     WITH stream AS (
-      SELECT event_id, event_type, epoch_ns(ts) AS t_ns, 0 AS replica
+      SELECT event_id, event_type, (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000) AS t_ns, 0 AS replica
       FROM events
       UNION ALL
-      SELECT event_id, event_type, epoch_ns(ts) + 3600000000000, 1
+      -- NULL at the rail mirrors the engine's try_add (harmless:
+      -- t_ns only tie-breaks within a replica group, and each
+      -- event_id has at most one replay row)
+      SELECT event_id, event_type,
+             CASE WHEN (least(greatest(epoch_us(ts), -9223372036854775),
+                              9223372036854775) * 1000)
+                       > 9223372036854775807 - 3600000000000
+                  THEN NULL
+                  ELSE (least(greatest(epoch_us(ts), -9223372036854775),
+                              9223372036854775) * 1000) + 3600000000000
+             END, 1
       FROM events WHERE event_id % 7 = 0
     ),
     kept AS (
@@ -4818,12 +4868,12 @@ def concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decayed_engagement",
     """
     WITH mx AS (
-      SELECT MAX(epoch_ns(ts) // 1000000000) AS max_s FROM events
+      SELECT MAX(((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) AS max_s FROM events
     ),
     w AS (
       SELECT user_id, event_type,
              CAST(ROUND(exp(ln(0.5)
-                            * CAST((max_s - epoch_ns(ts) // 1000000000)
+                            * CAST((max_s - ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000)
                                    // 86400 AS DOUBLE) / 7.0)
                         * 1000000) AS BIGINT) AS w_fp
       FROM events CROSS JOIN mx
@@ -5198,6 +5248,8 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- composite as resample_ohlc (extremekeys sweep, r6):
              -- 2^64 radix + 2^63 bias is total for ANY int64
              -- event_id, clamp mirrors tables.load's ts_ns
+             least(greatest(epoch_us(ts), -9223372036854775),
+                   9223372036854775) * 1000 AS ns_c,
              CAST(least(greatest(epoch_us(ts), -9223372036854775),
                         9223372036854775) * 1000 AS HUGEINT)
                * 18446744073709551616::HUGEINT
@@ -5207,8 +5259,13 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_events,
-           MIN(epoch_ns(ts) // 1000000000) AS first_s,
-           MAX(epoch_ns(ts) // 1000000000) AS last_s,
+           -- clamped ns (same as the engine's ts_ns — bare epoch_ns
+           -- overflows BIGINT on sentinel dates), and TRUNCATING
+           -- division to mirror Spark's DIV: DuckDB's // floors, which
+           -- diverges on pre-1970 negative ns; (a - a%b)//b is exact
+           -- truncation since % keeps the dividend sign in both engines
+           MIN((ns_c - ns_c % 1000000000) // 1000000000) AS first_s,
+           MAX((ns_c - ns_c % 1000000000) // 1000000000) AS last_s,
            CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            arg_max(event_type, ord_key) AS last_event_type,
            arg_max(CAST(json_extract_string(props, '$.k') AS BIGINT),
@@ -5249,7 +5306,7 @@ def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chi2_independence",
     """
     WITH obs AS (
-      SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+      SELECT CAST((((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 86400000000) // 86400000000 + 4) % 7 AS INT) AS dow,
              event_type, COUNT(*) AS o
       FROM events GROUP BY dow, event_type
     ),
@@ -5330,7 +5387,7 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mutual_info_feature",
     """
     WITH obs AS (
-      SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+      SELECT CAST((((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 86400000000) // 86400000000 + 4) % 7 AS INT) AS dow,
              event_type, COUNT(*) AS o
       FROM events GROUP BY dow, event_type
     ),
@@ -5463,10 +5520,10 @@ def winsorize_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_time_leakage",
     """
     WITH bounds AS (
-      SELECT MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi FROM events
+      SELECT MIN((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS lo, MAX((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS hi FROM events
     ),
     u AS (
-      SELECT user_id, MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx
+      SELECT user_id, MIN((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS mn, MAX((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS mx
       FROM events GROUP BY user_id
     ),
     flags AS (
@@ -5745,13 +5802,13 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minmax_downsample",
     """
     WITH sel AS (
-      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hb,
+      SELECT event_type, ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 3600000000) // 3600000000 AS hb,
              event_id, value,
              row_number() OVER (
-               PARTITION BY event_type, epoch_ns(ts) // 3600000000000
+               PARTITION BY event_type, ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 3600000000) // 3600000000
                ORDER BY value ASC, event_id ASC) AS r_lo,
              row_number() OVER (
-               PARTITION BY event_type, epoch_ns(ts) // 3600000000000
+               PARTITION BY event_type, ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 3600000000) // 3600000000
                ORDER BY value DESC, event_id ASC) AS r_hi
       FROM events
     )
@@ -5810,7 +5867,7 @@ def minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "theilsen_trend",
     """
     WITH daily AS (
-      SELECT epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS x
+      SELECT ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 86400000000) // 86400000000 AS d, COUNT(*) AS x
       FROM events GROUP BY d
     ),
     pairs AS (
@@ -6026,7 +6083,7 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH halves AS (
       SELECT event_type,
-             CASE WHEN epoch_ns(ts) // 86400000000000 - 19723 < 15
+             CASE WHEN ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 86400000000) // 86400000000 - 19723 < 15
                   THEN 0 ELSE 1 END AS period,
              value
       FROM events
@@ -6218,7 +6275,7 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, value,
              row_number() OVER (
                PARTITION BY user_id
-               ORDER BY epoch_ns(ts), event_id) AS pos,
+               ORDER BY (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000), event_id) AS pos,
              COUNT(*) OVER (PARTITION BY user_id) AS n
       FROM events WHERE event_type IN ('click', 'view')
     ),
@@ -6379,7 +6436,7 @@ def reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_lag_matrix",
     """
     WITH daily AS (
-      SELECT user_id, epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS x
+      SELECT user_id, ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 86400000000) // 86400000000 AS d, COUNT(*) AS x
       FROM events GROUP BY user_id, d
     )
     SELECT user_id, CAST(d AS BIGINT) AS epoch_day, x,
@@ -6426,7 +6483,7 @@ def feature_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seasonal_decompose",
     """
     WITH daily AS (
-      SELECT epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS x
+      SELECT ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 86400000000) // 86400000000 AS d, COUNT(*) AS x
       FROM events GROUP BY d
     ),
     tr AS (
@@ -6506,18 +6563,23 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "lifecycle_stages",
     """
-    WITH bounds AS (SELECT MAX(epoch_ns(ts)) AS hi FROM events),
+    WITH bounds AS (SELECT MAX((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS hi FROM events),
     u AS (
       SELECT user_id,
-             MIN(epoch_ns(ts)) AS first_ns, MAX(epoch_ns(ts)) AS last_ns,
+             MIN((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS first_ns, MAX((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS last_ns,
              COUNT(*) AS n_events
       FROM events GROUP BY user_id
     ),
     staged AS (
       SELECT user_id, n_events,
+             -- HUGEINT spans mirror the engine's try_subtract
+             -- branches exactly: an overflowing span is neither
+             -- 'new' (> 7d) and always 'churned' (> 1d) (r6)
              CASE
-               WHEN hi - first_ns < 7 * 86400000000000 THEN 'new'
-               WHEN hi - last_ns > 86400000000000 THEN 'churned'
+               WHEN CAST(hi AS HUGEINT) - first_ns < 7 * 86400000000000
+                 THEN 'new'
+               WHEN CAST(hi AS HUGEINT) - last_ns > 86400000000000
+                 THEN 'churned'
                ELSE 'active'
              END AS stage
       FROM u, bounds
@@ -6591,7 +6653,7 @@ def lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id,
              CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END
                AS r_value_pos,
-             CASE WHEN epoch_ns(ts) // 86400000000000
+             CASE WHEN ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 86400000000) // 86400000000
                        NOT BETWEEN 19723 AND 19752 THEN 1 ELSE 0 END
                AS r_ts_range,
              CASE WHEN json_extract_string(props, '$.k') IS NULL
@@ -6871,8 +6933,8 @@ def discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heatmap_dow_hour",
     """
     WITH cells AS (
-      SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
-             CAST((epoch_ns(ts) // 3600000000000) % 24 AS INT) AS hour,
+      SELECT CAST((((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 86400000000) // 86400000000 + 4) % 7 AS INT) AS dow,
+             CAST((((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 3600000000) // 3600000000) % 24 AS INT) AS hour,
              COUNT(*) AS n
       FROM events GROUP BY dow, hour
     )
