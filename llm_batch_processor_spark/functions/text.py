@@ -112,7 +112,13 @@ def duckdb_lang_id(col: str) -> str:
             op = ">" if LANG_ORDER.index(o) < LANG_ORDER.index(lang) else ">="
             conds.append(f"{score(lang)} {op} {score(o)}")
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+    # NULL text -> NULL prediction, mirroring the Arrow kernel's
+    # identity-preserving null flow; 'und' is for scoreable-but-
+    # undetermined text only (r6 NULL-corpus parity audit)
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        + "CASE " + " ".join(whens) + " ELSE 'und' END END"
+    )
 
 
 def quality_features(text: Column) -> dict[str, Column]:

@@ -28,7 +28,16 @@ from typing import Any
 
 import jinja2
 
-_ENV = jinja2.Environment(undefined=jinja2.Undefined, autoescape=False)
+# finalize: Ruby ERB renders nil as "" (lib/job_processor.rb template
+# path — `<%= texts[:content] %>` of a missing/nil key interpolates
+# empty); Jinja2's default would print the string "None" for a None
+# binding, silently corrupting every prompt built from a NULL text
+# (r6 NULL-corpus parity audit). Undefined already renders "".
+_ENV = jinja2.Environment(
+    undefined=jinja2.Undefined,
+    autoescape=False,
+    finalize=lambda v: "" if v is None else v,
+)
 
 _ERB_OUT = re.compile(r"<%=\s*(.*?)\s*%>", re.S)
 

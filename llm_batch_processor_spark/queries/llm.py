@@ -52,7 +52,10 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT CAST(doc_id AS VARCHAR) AS id,
            text AS content,
-           'MOCK ' || substr(md5('{_PROMPT_PREFIX}' || text), 1, 8) AS summary
+           -- COALESCE mirrors ERB nil-interpolation: a NULL text renders
+           -- '' into the prompt, it does not null the whole summary (r6)
+           'MOCK ' || substr(md5('{_PROMPT_PREFIX}' || COALESCE(text, '')), 1, 8)
+             AS summary
     FROM documents
     """,
     doc="full A4+A7+A9+A10 pipeline with deterministic mock backend; "
@@ -88,7 +91,7 @@ _JSON_PREFIX = "Extract: "
     "llm_json_project",
     f"""
     SELECT CAST(doc_id AS VARCHAR) AS id,
-           substr(md5('{_JSON_PREFIX}' || text), 1, 8) AS digest
+           substr(md5('{_JSON_PREFIX}' || COALESCE(text, '')), 1, 8) AS digest
     FROM documents
     """,
     doc="A8 + typed-output extension: json_mode pins response_format on "
@@ -123,7 +126,7 @@ def llm_json_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS VARCHAR) AS id,
            CASE WHEN doc_id % 7 = 0 THEN 'error' ELSE 'ok' END AS status,
            CASE WHEN doc_id % 7 = 0 THEN NULL
-                ELSE 'MOCK ' || substr(md5('ok Summarize: ' || text), 1, 8)
+                ELSE 'MOCK ' || substr(md5('ok Summarize: ' || COALESCE(text, '')), 1, 8)
            END AS summary
     FROM documents
     """,
@@ -311,18 +314,18 @@ _CACHE_PREFIX = "Summarize: "
     "llm_cache_join",
     f"""
     WITH cache AS (
-      SELECT DISTINCT md5('{_CACHE_PREFIX}' || text) AS prompt_hash
+      SELECT DISTINCT md5('{_CACHE_PREFIX}' || COALESCE(text, '')) AS prompt_hash
       FROM documents WHERE doc_id < 100
     )
     SELECT CAST(d.doc_id AS VARCHAR) AS id,
            CASE WHEN c.prompt_hash IS NOT NULL
-                THEN 'CACHED ' || substr(md5('{_CACHE_PREFIX}' || d.text), 1, 8)
-                ELSE 'MOCK ' || substr(md5('{_CACHE_PREFIX}' || d.text), 1, 8)
+                THEN 'CACHED ' || substr(md5('{_CACHE_PREFIX}' || COALESCE(d.text, '')), 1, 8)
+                ELSE 'MOCK ' || substr(md5('{_CACHE_PREFIX}' || COALESCE(d.text, '')), 1, 8)
            END AS summary,
            CASE WHEN c.prompt_hash IS NOT NULL THEN 'hit' ELSE 'miss' END
              AS cache_status
     FROM documents d
-    LEFT JOIN cache c ON md5('{_CACHE_PREFIX}' || d.text) = c.prompt_hash
+    LEFT JOIN cache c ON md5('{_CACHE_PREFIX}' || COALESCE(d.text, '')) = c.prompt_hash
     """,
     doc="cache-aside LLM batch inference: join each record's rendered-"
     "prompt digest against a response cache (docs 0-99 stand in for a "
@@ -342,7 +345,11 @@ def llm_cache_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..job.spec import JobSpec
 
     d = load(spark, sf_dir, "documents")
-    prompt_hash = F.md5(F.concat(F.lit(_CACHE_PREFIX), F.col("text")))
+    # coalesce mirrors the template's nil -> '' rendering so a NULL
+    # text hashes the same prompt the backend would actually see (r6)
+    prompt_hash = F.md5(
+        F.concat(F.lit(_CACHE_PREFIX), F.coalesce(F.col("text"), F.lit("")))
+    )
     # the "previous run's" response cache: digest -> response. CACHED
     # marker (vs the live backend's MOCK) proves rows were served from
     # the cache path, not recomputed.

@@ -154,13 +154,25 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "sim_topk",
     """
+    -- emb = the SQL twin of the engine's embeddable() entry gate
+    -- (non-null, 64-dim, 0 < norm^2 < inf) on BOTH sides — an
+    -- unembeddable query cannot rank and emits no rows (r6
+    -- NULL-corpus parity audit)
+    WITH emb AS (
+      SELECT * FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+        AND isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+    )
     SELECT query_id, neighbor_id, rank FROM (
       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
              row_number() OVER (
                PARTITION BY q.vec_id
                ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
                         v.vec_id ASC) AS rank
-      FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+      FROM emb q JOIN emb v ON v.vec_id <> q.vec_id
       WHERE q.vec_id < 10
     ) WHERE rank <= 5
     """,
@@ -214,7 +226,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS l2,
              list_sum(CAST(embedding AS DOUBLE[])) AS s
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ) WHERE l2 > 0 AND isfinite(l2)
     """,
     doc="embedding L2 normalization entirely JVM-side: the dot product is "
@@ -509,7 +521,10 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(i AS INT) AS frag_idx, parts[i + 1] AS fragment,
            CAST(length(parts[i + 1]) AS INT) AS frag_chars
     FROM (
-      SELECT doc_id, string_split(text, '. ') AS parts FROM documents
+      -- COALESCE mirrors the UDTF's (text or "") — a NULL doc still
+      -- yields one empty fragment (r6 NULL-corpus parity audit)
+      SELECT doc_id, string_split(COALESCE(text, ''), '. ') AS parts
+      FROM documents
     ), unnest(range(len(parts))) AS t(i)
     """,
     doc="sentence-fragment fan-out via a Python UDTF (lateral table "
@@ -778,9 +793,13 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, rn
     FROM (
       SELECT doc_id, lang,
+             -- COALESCE keeps the seeded order key total: a NULL text
+             -- would null the hash and sort NULLS FIRST in Spark but
+             -- LAST in DuckDB (r6 NULL-corpus parity audit)
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               ORDER BY md5(COALESCE(text, '') || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
       FROM documents
     )
     WHERE rn <= 50
@@ -792,8 +811,15 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # coalesce keeps the seeded order key total on NULL texts (r6)
     w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string"))), F.col("doc_id")
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.col("doc_id"),
     )
     return (
         d.withColumn("rn", F.row_number().over(w))
@@ -988,8 +1014,18 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
            64 AS width, 48 AS height,
            3072 AS out_bytes,
-           md5(substr(repeat(text, CAST(FLOOR(3072 / len(text)) AS INT) + 1),
-                      1, 3072)) AS content_md5
+           -- NULL/empty payloads resize to 3072 zero bytes in the
+           -- engine (fake_resize fallback); DuckDB cannot md5 a BLOB,
+           -- so that digest is inlined as a constant. The repeat path
+           -- hashes the VARCHAR, whose md5 is over its UTF-8 bytes —
+           -- byte-exact on ASCII corpora; a truncation that splits a
+           -- multibyte char has no SQL twin (documented: pytest pins
+           -- the byte behavior) (r6)
+           CASE WHEN text IS NULL OR len(text) = 0
+                THEN 'd2a70550489de356a2cd6bfc40711204'
+                ELSE md5(substr(repeat(text, CAST(FLOOR(3072 / len(text)) AS INT) + 1),
+                                1, 3072))
+           END AS content_md5
     FROM documents
     """,
     doc="1:1 payload-transform plumbing (resize/transcode shape): bytes "
@@ -1016,9 +1052,21 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "multimodal_embed",
     """
-    WITH codes AS (
-      SELECT doc_id, [ord(substr(text, i, 1)) FOR i IN range(1, len(text)+1)] AS cs
-      FROM documents
+    WITH hx AS (
+      -- the engine featurizes raw UTF-8 BYTES (np.frombuffer uint8);
+      -- ord-of-char only equals the byte on ASCII. hex() exposes the
+      -- bytes to SQL; NULL/empty payloads featurize as the engine's
+      -- single-zero-byte fallback -> [0] (r6 NULL/hostile parity audit)
+      SELECT doc_id, hex(encode(COALESCE(text, ''))) AS h FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             CASE WHEN len(h) = 0 THEN [0]
+                  ELSE [ (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+                         + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1)
+                         FOR i IN range(1, len(h)//2 + 1) ]
+             END AS cs
+      FROM hx
     ),
     hist AS (
       SELECT doc_id,
@@ -1591,9 +1639,12 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang, n_chars
     FROM (
+      -- NULL lengths carry no rank mass (engine filters identically;
+      -- unmirrored they also shift percent_rank differently — Spark
+      -- ranks them FIRST, DuckDB LAST) (r6 NULL-corpus parity audit)
       SELECT doc_id, lang, n_chars,
              percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     )
     WHERE pr >= 0.05 AND pr <= 0.95
     """,
@@ -1606,7 +1657,8 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter) when rank exactness isn't contractual",
 )
 def length_filter_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # NULL lengths carry no rank mass (r6 NULL parity; see oracle note)
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("n_chars"))
     return (
         d.select("doc_id", "lang", "n_chars", pr.alias("pr"))
@@ -2035,7 +2087,10 @@ def dedup_priority_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT lang, n_chars,
-             ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+             -- NULLS FIRST mirrors Spark's ASC default; DuckDB defaults
+             -- NULLS LAST and would move NULL-length docs to Q4 (r6)
+             ntile(4) OVER (PARTITION BY lang
+                            ORDER BY n_chars NULLS FIRST, doc_id)
                AS quartile
       FROM documents
     )
@@ -2895,8 +2950,13 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interleave_shards",
     """
     WITH sidx AS (
+      -- non-null dictionary: NULL-source docs drop at the join in
+      -- both engines, but a NULL inside the dictionary would shift
+      -- every s_idx (Spark sorts NULLS FIRST) and inflate n_sources
+      -- (r6 NULL-corpus parity audit)
       SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS s_idx
-      FROM (SELECT DISTINCT source FROM documents)
+      FROM (SELECT DISTINCT source FROM documents
+            WHERE source IS NOT NULL)
     ),
     cnt AS (SELECT COUNT(*) AS n_sources FROM sidx),
     ranked AS (
@@ -2925,7 +2985,8 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    srcs = d.select("source").distinct()
+    # non-null shard dictionary (r6 NULL parity; see oracle note)
+    srcs = d.select("source").filter(F.col("source").isNotNull()).distinct()
     # the single-partition window runs over the bounded distinct-source
     # dim (20 rows), never the corpus
     sidx = srcs.select(
@@ -4202,7 +4263,9 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     )
     SELECT doc_id, n AS n_bigrams,
-           ROUND(-s / CAST(n AS DOUBLE), 4) AS xent_bigram
+           -- + 0.0 normalizes IEEE -0.0 (a zero-entropy doc) to the
+           -- +0.0 the engine emits; every other value is unchanged (r6)
+           ROUND(-s / CAST(n AS DOUBLE), 4) + 0.0 AS xent_bigram
     FROM per
     """,
     doc="per-document cross-entropy under the corpus BIGRAM LM (avg "
@@ -5055,9 +5118,17 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dict_encode",
     """
     SELECT doc_id, source,
-           CAST(dense_rank() OVER (ORDER BY source) AS INT) AS source_id,
+           -- NULL category -> NULL id, row KEPT (the engine's left
+           -- broadcast join against a non-null dictionary; DuckDB
+           -- ASC sorts NULLS LAST, so non-null ranks are unaffected)
+           -- (r6 NULL-corpus parity audit)
+           CASE WHEN source IS NULL THEN NULL
+                ELSE CAST(dense_rank() OVER (ORDER BY source) AS INT)
+           END AS source_id,
            lang,
-           CAST(dense_rank() OVER (ORDER BY lang) AS INT) AS lang_id
+           CASE WHEN lang IS NULL THEN NULL
+                ELSE CAST(dense_rank() OVER (ORDER BY lang) AS INT)
+           END AS lang_id
     FROM documents
     """,
     doc="dictionary (categorical) encoding of low-cardinality string "
@@ -5073,8 +5144,13 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # dictionaries over NON-NULL domains + LEFT joins back: a NULL
+    # category encodes as NULL id with the row kept — an inner join
+    # silently dropped those rows, and a NULL inside the dictionary
+    # would shift every id (Spark windows order NULLS FIRST) (r6)
     srcm = (
         d.select("source")
+        .filter(F.col("source").isNotNull())
         .distinct()
         .select(
             "source",
@@ -5086,6 +5162,7 @@ def dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     langm = (
         d.select("lang")
+        .filter(F.col("lang").isNotNull())
         .distinct()
         .select(
             "lang",
@@ -5096,8 +5173,8 @@ def dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        d.join(F.broadcast(srcm), "source")
-        .join(F.broadcast(langm), "lang")
+        d.join(F.broadcast(srcm), "source", "left")
+        .join(F.broadcast(langm), "lang", "left")
         .select("doc_id", "source", "source_id", "lang", "lang_id")
     )
 
@@ -5485,19 +5562,32 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "knn_classify",
     """
-    WITH nb AS (
+    WITH emb AS (
+      SELECT * FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+        AND isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+    ),
+    nb AS (
+      -- embeddable gate both sides, as in sim_topk (r6)
       SELECT q.vec_id AS query_id, v.label,
              row_number() OVER (
                PARTITION BY q.vec_id
                ORDER BY list_cosine_similarity(q.embedding, v.embedding)
                           DESC,
                         v.vec_id ASC) AS rank
-      FROM embeddings q JOIN embeddings v ON v.vec_id >= 50
+      FROM emb q JOIN emb v ON v.vec_id >= 50
       WHERE q.vec_id < 50
     ),
     votes AS (
+      -- unlabeled neighbors keep their top-5 slot but cast no vote
+      -- (engine drops them at the label join; a NULL vote group would
+      -- also tie-break NULLS FIRST in Spark vs LAST in DuckDB) (r6)
       SELECT query_id, label, COUNT(*) AS c
-      FROM nb WHERE rank <= 5 GROUP BY query_id, label
+      FROM nb WHERE rank <= 5 AND label IS NOT NULL
+      GROUP BY query_id, label
     )
     SELECT query_id, label AS pred_label, c AS n_votes FROM (
       SELECT query_id, label, c,
@@ -5535,8 +5625,12 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (VERDICT r05 item 6 + ADVICE r05 gate-flip hazard)
     nt = load(spark, sf_dir, "embeddings").count()
     nb = candidate_topk(train, queries, k=5, corpus_rows=(0, nt))
+    # unlabeled neighbors occupy their top-5 slot but cast no vote —
+    # the inner join drops them AFTER selection (r6 NULL parity)
     labeled = nb.join(
-        train.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        train.filter(F.col("label").isNotNull()).select(
+            F.col("vec_id").alias("neighbor_id"), "label"
+        ),
         "neighbor_id",
     )
     votes = labeled.groupBy("query_id", "label").agg(

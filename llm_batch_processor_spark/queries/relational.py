@@ -222,8 +222,11 @@ def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(source) AS src_l,
            substr(text, 1, 20) AS head,
            length(text) AS n_len,
-           concat(lang, ':', source) AS tag,
-           trim(concat(' ', lang, ' ')) AS trimmed,
+           -- concat_ws mirrors Spark's null-skipping concat_ws; the ||
+           -- chain mirrors F.concat's null-PROPAGATION (DuckDB's concat
+           -- would silently skip NULLs in both) (r6 NULL parity)
+           concat_ws(':', lang, source) AS tag,
+           trim(' ' || lang || ' ') AS trimmed,
            lpad(lang, 5, '_') AS padded,
            regexp_replace(text, '(the|data)', 'X', 'g') AS masked
     FROM documents
@@ -5128,14 +5131,31 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS ord_key
       FROM events
     )
-    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
-           arg_min(value, ord_key) AS open,
+    , w AS (
+      -- window first/last_value RESPECT NULL values like Spark's
+      -- min_by/max_by; DuckDB's arg_min/arg_max silently skip rows
+      -- whose value is NULL and would report the first non-null tick
+      -- as the open (r6 NULL-corpus parity audit)
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+             value,
+             first_value(value) OVER (
+               PARTITION BY strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_type
+               ORDER BY ord_key) AS open_v,
+             last_value(value) OVER (
+               PARTITION BY strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_type
+               ORDER BY ord_key
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS close_v
+      FROM ev
+    )
+    SELECT day, event_type,
+           MIN(open_v) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, ord_key) AS close,
+           MIN(close_v) AS close,
            COUNT(*) AS n_ticks,
            CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
-    FROM ev
+    FROM w
     GROUP BY day, event_type
     """,
     doc="time-series downsampling to daily OHLC bars per series "
@@ -5267,10 +5287,20 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN((ns_c - ns_c % 1000000000) // 1000000000) AS first_s,
            MAX((ns_c - ns_c % 1000000000) // 1000000000) AS last_s,
            CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-           arg_max(event_type, ord_key) AS last_event_type,
-           arg_max(CAST(json_extract_string(props, '$.k') AS BIGINT),
-                   ord_key) AS last_k
-    FROM ev
+           MIN(let) AS last_event_type,
+           MIN(lk) AS last_k
+    FROM (
+      -- first_value over ord_key DESC RESPECTS a NULL k at the latest
+      -- event (Spark max_by returns it); arg_max would skip to the
+      -- newest non-null k (r6 NULL-corpus parity audit). let/lk are
+      -- constant per user, so MIN just projects them through the group
+      SELECT *,
+             first_value(event_type) OVER (
+               PARTITION BY user_id ORDER BY ord_key DESC) AS let,
+             first_value(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ord_key DESC) AS lk
+      FROM ev
+    )
     GROUP BY user_id
     """,
     doc="survivorship merge (golden record): collapse each entity's "
@@ -5743,10 +5773,13 @@ def bootstrap_ci_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_median",
     """
     WITH w AS (
+      -- NULL values carry no median mass (engine filters identically;
+      -- unmirrored they also sort NULLS FIRST in Spark vs LAST in
+      -- DuckDB) (r6 NULL-corpus parity audit)
       SELECT event_type, value,
              COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1,
                       1) AS wt
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     c AS (
       SELECT event_type, value, wt,
@@ -5771,7 +5804,9 @@ def bootstrap_ci_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and winsorize_pct (trimmed mean).",
 )
 def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select(
+    # NULL values carry no median mass (r6 NULL-corpus parity; Spark
+    # would otherwise sort them NULLS FIRST into the cum-weight walk)
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
         "event_type",
         "value",
         F.coalesce(
@@ -5810,7 +5845,7 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY event_type, ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 3600000000) // 3600000000
                ORDER BY value DESC, event_id ASC) AS r_hi
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type, CAST(hb AS BIGINT) AS hour_bucket,
            COUNT(*) AS n_points,
@@ -5831,8 +5866,14 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reduction ahead of any dashboard query.",
 )
 def minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").withColumn(
-        "hb", F.expr("ts_ns DIV 3600000000000")
+    # NULL values cannot be extremes — and Spark's ASC window would
+    # rank them FIRST (NULLS FIRST) while DuckDB ranks them LAST,
+    # silently electing a NULL row as the bucket minimum (r6
+    # NULL-corpus parity audit)
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("hb", F.expr("ts_ns DIV 3600000000000"))
     )
     wlo = Window.partitionBy("event_type", "hb").orderBy(
         F.asc("value"), F.asc("event_id")
