@@ -28,6 +28,29 @@ sys.path.insert(0, REPO)
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def gemm_gflops(n: int = 2000, repeat: int = 3) -> float:
+    """Host-state microbench: best-of-N numpy f64 GEMM throughput.
+
+    This VM's speed has swung ~100x across reboots (BASELINE.md "HOST
+    ENVIRONMENT SHIFT" / "HOST RECOVERED" rows: 252 vs 2.5 GFLOPS), so
+    every bench artifact self-documents the host moment it ran in —
+    cross-round comparisons are meaningless without it (VERDICT r6
+    item 3). ~0.2 s when healthy; bounded either way."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((n, n))
+    b = rng.random((n, n))
+    a @ b  # warm the BLAS thread pool outside the measurement
+    best = None
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        a @ b
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(2 * n**3 / best / 1e9, 1)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=DEFAULT_SF_DIR)
@@ -76,6 +99,10 @@ def main() -> int:
 
     total = round(sum(per_query.values()), 3)
     sf_label = os.path.basename(os.path.normpath(args.sf))
+    # measured AFTER the queries so it reflects the same host moment
+    # (and a second time would catch a mid-run governor shift; one
+    # sample keeps the line small — BASELINE.md records any anomaly)
+    gflops = gemm_gflops()
 
     # The driver captures only a bounded TAIL of stdout and JSON-parses
     # it. Round 2's 130-query line overran that window ("parsed": null);
@@ -99,6 +126,7 @@ def main() -> int:
                 "queries": per_query,
                 "sf": sf_label,
                 "n_queries": len(per_query),
+                "gemm_gflops": gflops,
             },
             f,
         )
@@ -115,6 +143,7 @@ def main() -> int:
             "queries_full": os.path.basename(full_path),
             "sf": sf_label,
             "n_queries": len(per_query),
+            "gemm_gflops": gflops,
         },
         separators=(",", ":"),
     )

@@ -45,16 +45,18 @@ def unique_key_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
 class KeyContractError(ValueError):
     """A key-uniqueness contract failed; carries a bounded sample."""
 
-    def __init__(self, key_cols: list[str], sample: list):
+    def __init__(self, key_cols: list[str], sample: list, sample_rows: int = 20):
         self.key_cols = key_cols
         self.sample = sample
+        # the sample came from limit(sample_rows): a full sample means
+        # there may be more violations beyond the truncation point
         super().__init__(
             f"duplicate key(s) on {key_cols}: "
             + ", ".join(
                 "(" + ", ".join(str(r[c]) for c in key_cols) + f") x{r['n_rows']}"
                 for r in sample
             )
-            + (" ..." if len(sample) >= 20 else "")
+            + (" ..." if len(sample) >= sample_rows else "")
         )
 
 
@@ -69,5 +71,5 @@ def require_unique(
     """
     sample = unique_key_violations(df, key_cols).limit(sample_rows).collect()
     if sample:
-        raise KeyContractError(key_cols, sample)
+        raise KeyContractError(key_cols, sample, sample_rows)
     return df

@@ -387,20 +387,22 @@ def candidate_topk(
     from changes.
 
     ``corpus_rows`` (VERDICT r05 item 6 — drop the plan-time count):
-    the exact EMBEDDABLE corpus row count (int) or ``(lo, hi)`` bounds
-    on it. A raw parquet footer/metadata count is always a valid
-    UPPER bound (raw >= embeddable); a valid LOWER bound must hold
-    for the embeddable subset — when in doubt pass ``(0, footer)``.
-    When the bounds DECIDE the gate, no count job runs at plan time;
-    when they straddle the gate (or are absent) one exact count of
-    the EMBEDDABLE corpus decides it (the same predicate the kernels
-    filter by — ADVICE r05: a raw count includes null/zero-norm/
-    non-finite/ragged rows and could flip the path to approximate
-    while the true corpus is at/below the gate). The gate never
-    routes to the APPROXIMATE path on an upper bound alone — an
-    inflated hint can only keep it exact."""
+    an UPPER bound on the embeddable corpus row count (int — a raw
+    parquet footer/metadata count is always valid, raw >= embeddable)
+    or ``(lo, hi)`` bounds on it. A bare int is treated as
+    ``(0, n)`` (ADVICE r06): the natural value to have on hand is a
+    footer count, and a footer count passed as an exact count could
+    route to the approximate path while the true embeddable corpus
+    is at/below the gate. Callers that have proven an exact
+    embeddable count pass ``(n, n)``. When the bounds DECIDE the
+    gate, no count job runs at plan time; when they straddle the
+    gate (or are absent) one exact count of the EMBEDDABLE corpus
+    decides it (the same predicate the kernels filter by — ADVICE
+    r05: a raw count includes null/zero-norm/non-finite/ragged rows).
+    The gate never routes to the APPROXIMATE path on an upper bound
+    alone — an inflated hint can only keep it exact."""
     if isinstance(corpus_rows, int):
-        lo = hi = corpus_rows
+        lo, hi = 0, corpus_rows
     elif corpus_rows is not None:
         lo, hi = corpus_rows
     else:

@@ -19,6 +19,7 @@ from .introspect import (
     pushed_filters,
     read_schemas,
     shuffle_count,
+    single_partition_window_count,
     whole_stage_codegen_count,
 )
 from .tuning import recommend_conf
@@ -33,6 +34,7 @@ __all__ = [
     "broadcast_join_count",
     "partial_agg_count",
     "has_take_ordered",
+    "single_partition_window_count",
     "whole_stage_codegen_count",
     "recommend_conf",
 ]

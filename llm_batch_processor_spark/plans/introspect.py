@@ -94,6 +94,64 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def single_partition_window_count(df: DataFrame) -> int:
+    """Window operators with NO partition spec — each forces an
+    ``Exchange SinglePartition`` under it, i.e. the whole input streams
+    through one task. Fine only when the input frame is BOUNDED by
+    construction (the engine's only uses: 32-row bin-offset scans in
+    ``global_cumsum``, day-grain/vocab-bounded rollups — see the
+    ``tests/test_plans.py`` allowlist); on a data-proportional input it
+    is the canonical 100 TB scale-killer. Detection: the formatted
+    plan's ``(N) Window`` detail section renders
+    ``Arguments: [exprs], [partition], [order]`` — the partition group
+    is ABSENT for unpartitioned windows. Either trailing group may be
+    omitted when empty, so group COUNT alone is ambiguous at 2:
+    ``[exprs], [order]`` (unpartitioned, sorted) and
+    ``[exprs], [partition]`` (partitioned, unsorted) both render two
+    groups — but order-spec entries always carry a sort direction
+    (``ASC``/``DESC``), partition expressions never do. Bracket groups
+    are parsed at depth 0 because window expressions nest brackets
+    freely."""
+
+    def top_level_groups(args: str) -> list[str]:
+        depth = 0
+        groups: list[str] = []
+        buf: list[str] = []
+        for ch in args:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        return groups
+
+    def is_order_spec(group: str) -> bool:
+        return bool(re.search(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)", group))
+
+    plan = formatted_plan(df)
+    n = 0
+    for m in re.finditer(
+        r"\(\d+\) (?:Window|WindowInPandas)\n"
+        r"(?:[^\n]*\n)*?Arguments: ([^\n]*)",
+        plan,
+    ):
+        groups = top_level_groups(m.group(1))
+        if len(groups) >= 3:
+            continue  # [exprs], [partition], [order]
+        if len(groups) == 2 and not is_order_spec(groups[1]):
+            continue  # [exprs], [partition] — partitioned, unsorted
+        n += 1
+    return n
+
+
 def whole_stage_codegen_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (wider = more fused JVM work).
     Formatted plans mark members with ``[codegen id : N]``."""

@@ -1011,28 +1011,31 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "multimodal_resize",
     """
+    WITH hx AS (
+      -- DuckDB cannot md5 a BLOB, so the digest domain is the HEX
+      -- ENCODING of the resized bytes on BOTH engines (VERDICT r6
+      -- item 5): hex exposes the payload BYTES to SQL, repeating the
+      -- hex string == hex of the repeated bytes, and the 2*3072-char
+      -- truncation always lands on a byte boundary — byte-exact even
+      -- when the 3072-byte cut splits a multibyte char (the r6
+      -- hostile-text residual). NULL/empty payloads resize to 3072
+      -- zero bytes in the engine (fake_resize fallback) = 6144 '0's.
+      SELECT doc_id, hex(encode(COALESCE(text, ''))) AS h FROM documents
+    )
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
            64 AS width, 48 AS height,
            3072 AS out_bytes,
-           -- NULL/empty payloads resize to 3072 zero bytes in the
-           -- engine (fake_resize fallback); DuckDB cannot md5 a BLOB,
-           -- so that digest is inlined as a constant. The repeat path
-           -- hashes the VARCHAR, whose md5 is over its UTF-8 bytes —
-           -- byte-exact on ASCII corpora; a truncation that splits a
-           -- multibyte char has no SQL twin (documented: pytest pins
-           -- the byte behavior) (r6)
-           CASE WHEN text IS NULL OR len(text) = 0
-                THEN 'd2a70550489de356a2cd6bfc40711204'
-                ELSE md5(substr(repeat(text, CAST(FLOOR(3072 / len(text)) AS INT) + 1),
-                                1, 3072))
+           CASE WHEN len(h) = 0
+                THEN md5(repeat('0', 6144))
+                ELSE md5(substr(repeat(h, 6144 // len(h) + 1), 1, 6144))
            END AS content_md5
-    FROM documents
+    FROM hx
     """,
     doc="1:1 payload-transform plumbing (resize/transcode shape): bytes "
     "in, bytes out, one Arrow hop, no shuffle — pipelines with the scan "
     "at 100 TB. Deterministic fake resizer (cycle payload to w*h bytes) "
-    "replicated by the oracle byte-for-byte via md5 (corpus is ASCII, "
-    "so char ops == byte ops in DuckDB)",
+    "replicated by the oracle byte-for-byte; digest = md5 over the HEX "
+    "encoding of the bytes so both engines compute it on any corpus",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_payload, resize_media
@@ -1045,7 +1048,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
         F.octet_length("payload").cast("int").alias("out_bytes"),
-        F.md5("payload").alias("content_md5"),
+        # digest over the HEX encoding of the bytes, not the bytes:
+        # the oracle's DuckDB has no md5(BLOB), and hex is a faithful
+        # byte-level domain both engines share (see oracle note)
+        F.md5(F.hex("payload")).alias("content_md5"),
     )
 
 
@@ -1670,11 +1676,14 @@ def length_filter_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "ngram_counts",
     """
-    WITH rows0 AS (
+    WITH rows0 AS MATERIALIZED (
       -- join on a PHYSICAL-ROW id, not doc_id: duplicate doc_ids would
       -- pair positions across documents and fabricate bigrams (dupkeys
       -- sweep, r6); rn only scopes the self-join and never reaches the
-      -- output, so its assignment order is irrelevant
+      -- output, so its assignment order is irrelevant. MATERIALIZED so
+      -- row_number() OVER () is evaluated ONCE — DuckDB inlines plain
+      -- CTEs, re-evaluating the window independently on both join
+      -- sides (ADVICE r6)
       SELECT row_number() OVER () AS rid, string_split(text, ' ') AS sp
       FROM documents
     ),

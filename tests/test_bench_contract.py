@@ -48,3 +48,9 @@ def test_bench_emits_driver_contract_json():
     assert set(rec["queries"]) == {"scan_parquet", "agg_global"}
     assert all(isinstance(v, (int, float)) for v in rec["queries"].values())
     assert "metric" in rec and "sf" in rec
+    # every bench artifact self-documents the host moment (VERDICT r6
+    # item 3): the ~100x cross-reboot swings make artifacts without a
+    # same-moment microbench uninterpretable
+    assert isinstance(rec["gemm_gflops"], (int, float)) and rec["gemm_gflops"] > 0
+    full = json.loads((REPO / "BENCH_SUBSET.json").read_text())
+    assert isinstance(full["gemm_gflops"], (int, float)) and full["gemm_gflops"] > 0

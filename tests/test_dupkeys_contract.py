@@ -32,6 +32,21 @@ def test_unique_key_violations_reports_counts(spark):
         require_unique(df, ["id"])
 
 
+def test_truncation_marker_tracks_sample_rows(spark):
+    """ADVICE r6: the ' ...' marker must compare against the CALLER's
+    sample_rows, not a hardcoded 20 — a sample_rows=2 run with 3
+    violating keys is truncated and must say so."""
+    df = spark.createDataFrame(
+        [(i, c) for i in (1, 2, 3) for c in ("a", "b")], "id LONG, v STRING"
+    )
+    with pytest.raises(KeyContractError) as exc2:
+        require_unique(df, ["id"], sample_rows=2)
+    assert str(exc2.value).endswith("...")
+    with pytest.raises(KeyContractError) as exc_all:
+        require_unique(df, ["id"], sample_rows=10)
+    assert not str(exc_all.value).endswith("...")
+
+
 def test_unique_key_violations_composite_key(spark):
     df = spark.createDataFrame(
         [(1, "x", 1.0), (1, "y", 2.0), (1, "x", 3.0)],

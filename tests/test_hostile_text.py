@@ -79,6 +79,29 @@ def test_hostile_text_contract(spark, hostile_dir):
         assert n >= 0, name
 
 
+def test_multimodal_resize_digest_is_byte_exact_on_multibyte(spark, hostile_dir):
+    """The r6 hostile residual, closed in r7 (VERDICT item 5): the
+    resize digest is md5 over the HEX encoding of the resized BYTES,
+    so a 3072-byte truncation that splits a multibyte char has an
+    exact SQL twin (hex truncation at 6144 chars == byte truncation
+    at 3072). Pin the engine side against hashlib ground truth for
+    the Japanese doc (3-byte chars: 3072 % 3 != 0 splits a char) and
+    the empty doc (zero-fill fallback)."""
+    import hashlib
+
+    from llm_batch_processor_spark.queries import all_queries
+
+    out = {
+        r["media_id"]: r["content_md5"]
+        for r in all_queries()["multimodal_resize"].fn(spark, hostile_dir).collect()
+    }
+    ja = HOSTILE_TEXTS[1].encode("utf-8")
+    cycled = (ja * (3072 // len(ja) + 1))[:3072]
+    assert out["1"] == hashlib.md5(cycled.hex().upper().encode()).hexdigest()
+    zero = b"\x00" * 3072
+    assert out["8"] == hashlib.md5(zero.hex().upper().encode()).hexdigest()
+
+
 def test_bigram_single_token_docs_produce_no_pairs(spark, hostile_dir):
     """The fixed contract: 1-token / empty docs contribute zero
     bigrams (DuckDB's range(1,1) semantics), never an ANSI index

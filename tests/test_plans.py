@@ -19,6 +19,7 @@ from llm_batch_processor_spark.plans import (
     read_schemas,
     recommend_conf,
     shuffle_count,
+    single_partition_window_count,
     whole_stage_codegen_count,
 )
 from llm_batch_processor_spark.queries import all_queries
@@ -233,6 +234,58 @@ _NESTED_LOOP_ALLOWED = {
     # 10-row label-centroid broadcast onto the vector stream
     "embedding_silhouette",
 }
+
+
+# Queries whose plan LEGITIMATELY contains an unpartitioned Window
+# (=> Exchange SinglePartition under it). The invariant this pins
+# (VERDICT r6 item 4): every such window's INPUT is bounded by
+# construction — a constant-ish number of rows independent of data
+# size — so one task handling it is correct at 100 TB. Grouped by
+# mechanism:
+_SINGLE_PARTITION_WINDOW_ALLOWED = {
+    # -- global_cumsum's bin-offset scan (operators/prefix.py:92-99):
+    # the ONLY unpartitioned window is over the 32 per-bin TOTAL rows
+    # (one per hash bin), never the data
+    "shard_plan_tokens", "rarity_score", "compact_binpack",
+    "rfm_segmentation", "zipf_fit", "histogram_equidepth",
+    "concentration_8020", "drift_ks",
+    # -- day-grain / time-bucket series: the window input is one row
+    # per day/hour-bucket of the 2024 corpus (<=366 rows at any sf;
+    # at a longer retention it grows with CALENDAR time, not data)
+    "seasonal_decompose", "interpolate_linear", "changepoint_cusum",
+    "rolling_corr_daily", "autocorrelation", "forecast_mase",
+    "period_bridge", "heatmap_dow_hour", "survival_km",
+    # -- vocab- / category- / dimension-bounded aggregates: the window
+    # ranks or scans a bounded dim (top-k vocab rows, label sets,
+    # contingency cells, decile spines, digit spines, source dims)
+    "vocab_coverage", "dict_encode", "collocations_pmi",
+    "rare_category_collapse", "mutual_info_feature",
+    "chi2_independence", "benford_audit", "drift_psi",
+    "brier_calibration", "interleave_shards", "share_of_parent",
+    "lifecycle_stages",
+    # -- bounded derived frames: pareto over the per-size aggregate
+    # (|p_size domain| rows); 64-dim moment rows (power iteration /
+    # analogy)
+    "pareto_frontier", "embedding_power_iteration",
+    "embedding_analogy",
+}
+
+
+def test_single_partition_windows_are_allowlisted_and_exact(spark, qs):
+    """Sweep EVERY declared query: an unpartitioned Window on a
+    data-proportional input is the canonical silent scale-killer (the
+    whole dataset streams through ONE task). Exact-set equality: a new
+    query planning one must document its bounded frame here, and a
+    stale allowlist entry (query no longer plans one) must be pruned
+    so the pin stays meaningful."""
+    actual = set()
+    for name, qd in qs.items():
+        if single_partition_window_count(qd.fn(spark, SF)) > 0:
+            actual.add(name)
+    assert actual == _SINGLE_PARTITION_WINDOW_ALLOWED, {
+        "unallowlisted": sorted(actual - _SINGLE_PARTITION_WINDOW_ALLOWED),
+        "stale": sorted(_SINGLE_PARTITION_WINDOW_ALLOWED - actual),
+    }
 
 
 def test_no_query_plans_unbounded_nested_loop(spark, qs):

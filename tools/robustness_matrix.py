@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""One command for the per-round cross-corpus parity matrix.
+
+r6 proved the sweep regime finds real bugs (2 engine bugs in the NULL
+corpus alone), so keeping every row green per round is the cheapest
+regression net the project has (VERDICT r6 item 8). This orchestrates
+the five hostile-corpus builders + the three execution-regime
+invariance sweeps + pristine, each as a `tools/selfcheck.py`
+subprocess (own SparkSession — masters/confs can differ per row), and
+prints the ROBUSTNESS.md-ready matrix.
+
+Expected state (r6 baseline):
+  pristine / extreme-ts / extremekeys / nulls / hostile  267/0/5
+  dupkeys  260/7/5  (the documented keyed-entity contract class)
+  local4 / noBroadcastNoAQE / noCodegen                  267/0/5
+
+Usage:
+    python tools/robustness_matrix.py [--rows r1,r2,...] [--sf DIR]
+        [--out MATRIX.json]
+Rows: pristine extremets extremekeys nulls hostile dupkeys
+      local4 nobcast nocodegen  (default: all, in that order)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TAIL = re.compile(r"(\d+) pass, (\d+) fail, (\d+) rows-only")
+
+
+def run_selfcheck(sf_dir: str, conf: list[str] | None = None,
+                  env: dict[str, str] | None = None) -> dict:
+    cmd = [sys.executable, str(REPO / "tools" / "selfcheck.py"), "--sf", sf_dir]
+    for kv in conf or []:
+        cmd += ["--conf", kv]
+    full_env = dict(os.environ)
+    full_env.update(env or {})
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=str(REPO), env=full_env
+    )
+    m = TAIL.search(proc.stdout)
+    fails = []
+    fm = re.search(r"^failures: (.*)$", proc.stdout, re.M)
+    if fm:
+        fails = fm.group(1).split(",")
+    return {
+        "pass": int(m.group(1)) if m else None,
+        "fail": int(m.group(2)) if m else None,
+        "rows_only": int(m.group(3)) if m else None,
+        "failures": fails,
+        "sec": round(time.time() - t0, 1),
+        "exit": proc.returncode,
+        "tail": proc.stdout[-400:] if not m else "",
+    }
+
+
+def corpus_row(builder, sf_dir: str) -> dict:
+    tmp = Path(tempfile.mkdtemp(prefix="robust_"))
+    try:
+        builder(sf_dir, tmp)
+        return run_selfcheck(str(tmp))
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--rows", default="")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from tools.extreme_ts_sweep import build_dataset as build_extremets
+    from tools.payload_sweeps import (
+        build_dupkeys,
+        build_extremekeys,
+        build_hostile,
+        build_nulls,
+    )
+
+    rows = {
+        "pristine": lambda: run_selfcheck(args.sf),
+        "extremets": lambda: corpus_row(build_extremets, args.sf),
+        "extremekeys": lambda: corpus_row(build_extremekeys, args.sf),
+        "nulls": lambda: corpus_row(build_nulls, args.sf),
+        "hostile": lambda: corpus_row(build_hostile, args.sf),
+        "dupkeys": lambda: corpus_row(build_dupkeys, args.sf),
+        "local4": lambda: run_selfcheck(
+            args.sf, env={"SPARK_MASTER": "local[4]", "SPARK_SHUFFLE_PARTITIONS": "7"}
+        ),
+        "nobcast": lambda: run_selfcheck(
+            args.sf,
+            conf=[
+                "spark.sql.autoBroadcastJoinThreshold=-1",
+                "spark.sql.adaptive.enabled=false",
+            ],
+        ),
+        "nocodegen": lambda: run_selfcheck(
+            args.sf, conf=["spark.sql.codegen.factoryMode=NO_CODEGEN"]
+        ),
+    }
+    picked = [r for r in args.rows.split(",") if r] or list(rows)
+    unknown = [r for r in picked if r not in rows]
+    if unknown:
+        ap.error(f"unknown rows: {unknown}; valid: {list(rows)}")
+
+    results: dict[str, dict] = {}
+    for name in picked:
+        print(f"== {name} ...", flush=True)
+        r = rows[name]()
+        results[name] = r
+        print(
+            f"== {name}: {r['pass']}/{r['fail']}/{r['rows_only']} "
+            f"({r['sec']}s)" + (f" failures={r['failures']}" if r["failures"] else ""),
+            flush=True,
+        )
+
+    print("\n| corpus / regime | result |")
+    print("|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['pass']} / {r['fail']} / {r['rows_only']} |")
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=1) + "\n")
+        print(f"wrote {args.out}")
+    # dupkeys is EXPECTED to fail exactly the 7-query contract class;
+    # any other nonzero fail count is a regression
+    contract = {
+        "embedding_pq_assign", "knn_classify", "dedup_ngram_jaccard",
+        "dedup_clusters", "graph_triangles", "graph_pagerank",
+        "degree_distribution",
+    }
+    bad = []
+    for name, r in results.items():
+        if r["fail"] is None:
+            bad.append(f"{name}: selfcheck did not complete: {r['tail']!r}")
+        elif name == "dupkeys":
+            extra = set(r["failures"]) - contract
+            if extra:
+                bad.append(f"dupkeys: non-contract failures {sorted(extra)}")
+        elif r["fail"]:
+            bad.append(f"{name}: {r['fail']} failures {r['failures']}")
+    for b in bad:
+        print("REGRESSION:", b)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

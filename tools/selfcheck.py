@@ -75,6 +75,9 @@ def main() -> int:
     import __spark_entry__ as E
     from llm_batch_processor_spark.session import get_spark
 
+    for kv in args.conf:
+        if "=" not in kv:
+            ap.error(f"--conf expects K=V, got {kv!r}")
     extra = dict(kv.split("=", 1) for kv in args.conf)
     spark = get_spark(app_name="selfcheck", extra_conf=extra or None)
     # session-conf hardening force-resets the AQE/Arrow family; an
