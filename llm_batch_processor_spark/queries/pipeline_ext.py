@@ -4456,7 +4456,11 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(embedding) = 64
     )
     SELECT vec_id, CAST(dim_out AS INT) AS dim_out,
-           ROUND(y, 4) AS y
+           -- + 0.0 normalizes IEEE -0.0 (a projection summing to a tiny
+           -- negative that rounds to zero) to the +0.0 Spark's
+           -- BigDecimal ROUND emits; found by the r7 sf0.1 parity gate
+           -- (sf0.01 never produced a negative-rounds-to-zero sum)
+           ROUND(y, 4) + 0.0 AS y
     FROM proj
     """,
     doc="random-projection dimensionality reduction 64-d -> 8-d "

@@ -882,8 +882,17 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    -- Spark-semantics mirror (empty-corpus parity, r7): on EMPTY input
+    -- Spark's ROLLUP emits ZERO rows while ANSI/DuckDB emit the ()
+    -- grand-total row (count 0). Every real rollup group aggregates
+    -- >=1 input row, so HAVING n>0 suppresses exactly that one row and
+    -- is a no-op on any non-empty corpus.
+    HAVING COUNT(*) > 0
     """,
-    doc="hierarchical totals with GROUPING() disambiguation",
+    doc="hierarchical totals with GROUPING() disambiguation. Declared "
+    "semantics are Spark SQL's: ROLLUP of an empty relation is empty "
+    "(ANSI emits the grand-total row; documented deviation, oracle "
+    "mirrors the engine)",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -907,8 +916,11 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(l_linestatus) AS INT) AS g_status
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- Spark-semantics mirror: empty input -> zero rows (see agg_rollup)
+    HAVING COUNT(*) > 0
     """,
-    doc="cube over two low-cardinality dims",
+    doc="cube over two low-cardinality dims (Spark empty-input "
+    "semantics, see agg_rollup)",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
@@ -925,8 +937,11 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {dsum('o_totalprice', 'total')}
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    -- Spark-semantics mirror: empty input -> zero rows (see agg_rollup)
+    HAVING COUNT(*) > 0
     """,
-    doc="explicit grouping sets",
+    doc="explicit grouping sets (Spark empty-input semantics, see "
+    "agg_rollup)",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")

@@ -297,3 +297,32 @@ def test_zero_norm_vectors_unrankable(spark):
     out = brute_force_topk(df, q, k=10).collect()
     ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
     assert ids == {0, 1, 4}
+
+
+def test_rollup_family_empty_input_is_empty_and_oracle_mirrors(spark, tmp_path):
+    """Spark-vs-ANSI divergence pinned (r7 empty-corpus parity gate):
+    Spark's ROLLUP/CUBE/GROUPING SETS of an EMPTY relation emit zero
+    rows, while ANSI/DuckDB emit the () grand-total row (count 0).
+    The engine's declared semantics are Spark SQL's; the oracles
+    mirror them with HAVING COUNT(*) > 0, which is a no-op on any
+    non-empty corpus (every real group aggregates >= 1 row)."""
+    import duckdb
+
+    from llm_batch_processor_spark.queries import all_queries
+    from tools.payload_sweeps import build_empty
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    build_empty("/root/testdata/sf0.001", d)
+    qs = all_queries()
+    con = duckdb.connect()
+    for t in ("customer", "nation", "region", "lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    from __spark_entry__ import oracle_sql
+
+    sqls = oracle_sql()
+    for name in ("agg_rollup", "agg_cube", "agg_grouping_sets"):
+        assert qs[name].fn(spark, str(d)).count() == 0, name  # Spark semantics
+        assert len(con.execute(sqls[name]).fetchall()) == 0, name  # mirrored

@@ -9,16 +9,17 @@ invariance sweeps + pristine, each as a `tools/selfcheck.py`
 subprocess (own SparkSession — masters/confs can differ per row), and
 prints the ROBUSTNESS.md-ready matrix.
 
-Expected state (r6 baseline):
-  pristine / extreme-ts / extremekeys / nulls / hostile  267/0/5
+Expected state (r7 baseline):
+  pristine / extreme-ts / extremekeys / nulls / hostile / empty / skew  267/0/5
   dupkeys  260/7/5  (the documented keyed-entity contract class)
-  local4 / noBroadcastNoAQE / noCodegen                  267/0/5
+  local4 / noBroadcastNoAQE / noCodegen / tokyo-TZ        267/0/5
 
 Usage:
     python tools/robustness_matrix.py [--rows r1,r2,...] [--sf DIR]
         [--out MATRIX.json]
-Rows: pristine extremets extremekeys nulls hostile dupkeys
-      local4 nobcast nocodegen  (default: all, in that order)
+Rows: pristine extremets extremekeys nulls hostile dupkeys empty skew
+      local4 nobcast nocodegen tokyo  (default: all, in that order)
+      sf01 (opt-in via --rows: the full gate at sf0.1, ~20 min)
 """
 
 from __future__ import annotations
@@ -87,9 +88,11 @@ def main() -> int:
     from tools.extreme_ts_sweep import build_dataset as build_extremets
     from tools.payload_sweeps import (
         build_dupkeys,
+        build_empty,
         build_extremekeys,
         build_hostile,
         build_nulls,
+        build_skew,
     )
 
     rows = {
@@ -99,6 +102,16 @@ def main() -> int:
         "nulls": lambda: corpus_row(build_nulls, args.sf),
         "hostile": lambda: corpus_row(build_hostile, args.sf),
         "dupkeys": lambda: corpus_row(build_dupkeys, args.sf),
+        # full oracle gate on ALL-EMPTY tables (r7 upgrade from the
+        # crash-only sweep): found the Spark-vs-ANSI ROLLUP/CUBE/
+        # GROUPING SETS empty-input divergence (oracles now mirror
+        # Spark's zero-row semantics with HAVING COUNT(*) > 0)
+        "empty": lambda: corpus_row(build_empty, args.sf),
+        # pathological key skew with UNIQUE primary keys (r7 upgrade
+        # from crash-only): one dominant group everywhere + massive
+        # value ties — full parity is the bar, and it exercises every
+        # oracle's tie-break totality at once
+        "skew": lambda: corpus_row(build_skew, args.sf),
         "local4": lambda: run_selfcheck(
             args.sf, env={"SPARK_MASTER": "local[4]", "SPARK_SHUFFLE_PARTITIONS": "7"}
         ),
@@ -112,8 +125,21 @@ def main() -> int:
         "nocodegen": lambda: run_selfcheck(
             args.sf, conf=["spark.sql.codegen.factoryMode=NO_CODEGEN"]
         ),
+        # session-timezone invariance (r7): the engine normalizes all
+        # event time to TIMESTAMP_NTZ at scan (tables.load), so results
+        # must not depend on spark.sql.session.timeZone — the contract
+        # a cluster with mixed-TZ driver/executor defaults needs
+        "tokyo": lambda: run_selfcheck(
+            args.sf, conf=["spark.sql.session.timeZone=Asia/Tokyo"]
+        ),
+        # scale-up parity (r7, opt-in: ~20 min): the full oracle gate at
+        # 10x the usual compare scale — catches divergences whose
+        # trigger value never occurs at sf0.01 (found the
+        # embedding_random_projection -0.0 rounding class)
+        "sf01": lambda: run_selfcheck("/root/testdata/sf0.1"),
     }
-    picked = [r for r in args.rows.split(",") if r] or list(rows)
+    default_rows = [r for r in rows if r != "sf01"]
+    picked = [r for r in args.rows.split(",") if r] or default_rows
     unknown = [r for r in picked if r not in rows]
     if unknown:
         ap.error(f"unknown rows: {unknown}; valid: {list(rows)}")
