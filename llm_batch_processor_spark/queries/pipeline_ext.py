@@ -28,6 +28,35 @@ from . import Registry
 Q = Registry()
 
 
+def _nsq(col: str = "embedding") -> str:
+    """SQL: squared L2 norm of a vector, NULL-ELEMENT-SAFE.
+
+    DuckDB's ``list_dot_product`` raises InvalidInput on a list with a
+    NULL element, and the raise fires while the expression is being
+    evaluated — a surrounding WHERE cannot guard it. This comprehension
+    NaN-poisons the sum instead, so ``isfinite(_nsq())`` excludes the
+    row exactly like the engine's fold (where a NULL element nulls the
+    accumulator and the embeddable() filter drops the row). Found by
+    the r7 nonfinite-corpus parity gate: pandas->parquet writes NaN
+    vector dims as NULL list elements, so this is the shape real
+    ingested embeddings have."""
+    return (
+        f"list_sum([CASE WHEN x IS NULL THEN 'nan'::DOUBLE "
+        f"ELSE CAST(x AS DOUBLE)*CAST(x AS DOUBLE) END FOR x IN {col}])"
+    )
+
+
+def _emb_gate(col: str = "embedding", dim: int | None = 64) -> str:
+    """SQL twin of ``functions.vectors.embeddable(col, dim)``: non-null,
+    fixed-dim (when given), 0 < squared-norm < inf — null-element-safe
+    (see :func:`_nsq`)."""
+    parts = [f"{col} IS NOT NULL"]
+    if dim is not None:
+        parts.append(f"len({col}) = {dim}")
+    parts += [f"{_nsq(col)} > 0", f"isfinite({_nsq(col)})"]
+    return " AND ".join(parts)
+
+
 # ===========================================================================
 # dedup family
 # ===========================================================================
@@ -130,9 +159,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @Q.add(
     "dedup_embed_cosine",
-    """
+    f"""
+    -- embeddable() twin on both sides (r7 nonfinite parity): the
+    -- engine's embedding_pairs gates at kernel entry, and ungated
+    -- null-element vectors crash DuckDB's cosine outright
+    WITH emb AS (
+      SELECT * FROM embeddings WHERE {_emb_gate()}
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
     """,
     doc="semantic near-dup: embedding cosine >= 0.4 pairs",
@@ -153,18 +188,13 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @Q.add(
     "sim_topk",
-    """
+    f"""
     -- emb = the SQL twin of the engine's embeddable() entry gate
-    -- (non-null, 64-dim, 0 < norm^2 < inf) on BOTH sides — an
-    -- unembeddable query cannot rank and emits no rows (r6
-    -- NULL-corpus parity audit)
+    -- (non-null, 64-dim, 0 < norm^2 < inf, null-element-safe) on BOTH
+    -- sides — an unembeddable query cannot rank and emits no rows
+    -- (r6 NULL-corpus parity audit; r7 null-element hardening)
     WITH emb AS (
-      SELECT * FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64
-        AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                             CAST(embedding AS DOUBLE[])) > 0
-        AND isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])))
+      SELECT * FROM embeddings WHERE {_emb_gate()}
     )
     SELECT query_id, neighbor_id, rank FROM (
       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -216,18 +246,26 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @Q.add(
     "embed_normalize",
-    """
+    f"""
     SELECT vec_id, dim,
            ROUND(l2, 4) AS l2_norm,
            ROUND(s / l2, 4) AS unit_sum
     FROM (
+      -- no list_dot_product ANYWHERE: a NULL vector ELEMENT makes it
+      -- raise during evaluation, and DuckDB's optimizer may evaluate a
+      -- projection before the same SELECT's WHERE — so both the gate
+      -- and the projections use the null-element-safe comprehensions
+      -- (NaN-poisoned, excluded by the finite gate). Mirrors the
+      -- engine's embeddable() + double fold exactly (dim-agnostic
+      -- here: this query reports len(embedding) per row) (r7)
       SELECT vec_id,
              len(embedding) AS dim,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))) AS l2,
-             list_sum(CAST(embedding AS DOUBLE[])) AS s
-      FROM embeddings WHERE embedding IS NOT NULL
-    ) WHERE l2 > 0 AND isfinite(l2)
+             sqrt({_nsq()}) AS l2,
+             list_sum([CASE WHEN x IS NULL THEN 'nan'::DOUBLE
+                            ELSE CAST(x AS DOUBLE) END
+                       FOR x IN embedding]) AS s
+      FROM embeddings WHERE {_emb_gate(dim=None)}
+    )
     """,
     doc="embedding L2 normalization entirely JVM-side: the dot product is "
     "F.aggregate's double fold over the array (no Python, no shuffle — "
@@ -2205,16 +2243,31 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "embedding_stats_per_label",
     """
+    WITH rows0 AS (
+      -- NULL-element-safe norm (r7 nonfinite parity): the engine's
+      -- fold NULLs a null-dim vector's norm and the DECIMAL SUM skips
+      -- it, while DuckDB's list_sum would skip just the null dims and
+      -- produce a partial norm; the CASE NaN-poisons instead. The
+      -- isfinite guard replaces a bare TRY_CAST because DuckDB's
+      -- TRY_CAST(NaN/Inf AS DECIMAL) RAISES (measured) where Spark's
+      -- try_cast NULLs — non-finite norms contribute no mass on both.
+      SELECT label,
+             CAST(embedding[1] AS DOUBLE) AS d0,
+             sqrt(list_sum(
+               [CASE WHEN x IS NULL THEN 'nan'::DOUBLE
+                     ELSE CAST(x AS DOUBLE) * CAST(x AS DOUBLE) END
+                FOR x IN embedding])) AS nrm
+      FROM embeddings
+      WHERE len(embedding) = 64
+    )
     SELECT label,
            COUNT(*) AS n_vecs,
-           CAST(SUM(TRY_CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)))
-                AS DOUBLE) AS sum_dim0,
-           ROUND(CAST(SUM(TRY_CAST(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                                              FOR x IN embedding]))
-                              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
-             AS avg_norm
-    FROM embeddings
-    WHERE len(embedding) = 64
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(d0) THEN d0 END
+                             AS DECIMAL(18,6))) AS DOUBLE) AS sum_dim0,
+           ROUND(CAST(SUM(TRY_CAST(CASE WHEN isfinite(nrm) THEN nrm END
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_norm
+    FROM rows0
     GROUP BY label
     """,
     doc="per-label embedding profile (the class-prototype / drift check "
@@ -2249,10 +2302,14 @@ def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @Q.add(
     "dedup_semantic_pipeline",
-    """
-    WITH RECURSIVE pairs AS (
+    f"""
+    WITH RECURSIVE emb AS (
+      -- embeddable() twin, null-element-safe (r7; see dedup_embed_cosine)
+      SELECT * FROM embeddings WHERE {_emb_gate()}
+    ),
+    pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
     ),
     edges AS (
@@ -2461,10 +2518,20 @@ def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, label, CAST(n_dims AS INT) AS n_dims,
-           CAST(floor((lo - lo) / GREATEST((hi - lo) / 255, 1e-300) + 0.5) AS INT)
-             AS q_first_min,
-           CAST(floor((hi - lo) / GREATEST((hi - lo) / 255, 1e-300) + 0.5) AS INT)
-             AS q_max,
+           -- NaN-safe int mirror (r7 nonfinite parity): an Inf element
+           -- makes the range ratio inf/inf = NaN; the JVM's (long)NaN
+           -- is 0 and Spark's floor+cast follows it, while DuckDB's
+           -- CAST(NaN AS INT) raises. The ratio is NaN or small-finite
+           -- by construction (x/greatest(x/255,eps) <= 255), so NaN->0
+           -- is the only case to mirror.
+           CAST(CASE WHEN isnan((lo - lo) / GREATEST((hi - lo) / 255, 1e-300))
+                     THEN 0
+                     ELSE floor((lo - lo) / GREATEST((hi - lo) / 255, 1e-300)
+                                + 0.5) END AS INT) AS q_first_min,
+           CAST(CASE WHEN isnan((hi - lo) / GREATEST((hi - lo) / 255, 1e-300))
+                     THEN 0
+                     ELSE floor((hi - lo) / GREATEST((hi - lo) / 255, 1e-300)
+                                + 0.5) END AS INT) AS q_max,
            CAST(TRY_CAST(ROUND(TRY_CAST((hi - lo) / 255 AS DECIMAL(18,12)), 9)
                      AS DECIMAL(18,9)) AS DOUBLE) AS scale
     FROM q
@@ -4451,7 +4518,8 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   || CAST(i AS VARCHAR)), 1, 1)) - 1 < 8
                      THEN CAST(embedding[i + 1] AS DOUBLE)
                      ELSE -CAST(embedding[i + 1] AS DOUBLE) END
-                FOR i IN range(64)]) AS y
+                FOR i IN range(64)]) AS y,
+             len(list_filter(embedding, x -> x IS NULL)) AS n_null_el
       FROM embeddings, unnest(range(8)) AS j(j)
       WHERE len(embedding) = 64
     )
@@ -4459,8 +4527,13 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- + 0.0 normalizes IEEE -0.0 (a projection summing to a tiny
            -- negative that rounds to zero) to the +0.0 Spark's
            -- BigDecimal ROUND emits; found by the r7 sf0.1 parity gate
-           -- (sf0.01 never produced a negative-rounds-to-zero sum)
-           ROUND(y, 4) + 0.0 AS y
+           -- (sf0.01 never produced a negative-rounds-to-zero sum).
+           -- NULL-element mirror (r7 nonfinite parity): the engine's
+           -- fold NULLs on a NULL vector element, while DuckDB's
+           -- list_sum SKIPS nulls — a vector with any NULL dim
+           -- projects to NULL on both engines.
+           CASE WHEN n_null_el > 0 THEN NULL
+                ELSE ROUND(y, 4) + 0.0 END AS y
     FROM proj
     """,
     doc="random-projection dimensionality reduction 64-d -> 8-d "
@@ -4502,7 +4575,13 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "embedding_pq_assign",
     """
-    WITH emb64 AS (SELECT * FROM embeddings WHERE len(embedding) = 64),
+    WITH emb64 AS (SELECT * FROM embeddings WHERE len(embedding) = 64
+      -- NULL-element-aware fp-domain gate, as kmeans_step (r7)
+      AND list_aggregate(
+            [CASE WHEN x IS NULL THEN false
+                  ELSE abs(CAST(x AS DOUBLE)) <= 9.2e12 END
+             FOR x IN embedding],
+            'bool_and')),
     cb AS (
       SELECT vec_id AS cid, embedding AS ce FROM emb64 WHERE vec_id < 16
     ),
@@ -4552,12 +4631,19 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # null / wrong-dim embeddings are unassignable — dropped at entry
-    # (null- and ragged-dim-sweep contract, same as the similarity
-    # kernels; a ragged row crashes the numpy batch stack), mirrored
-    # in the oracle's len(embedding) = 64 predicate
+    # null / wrong-dim / non-finite embeddings are unassignable —
+    # dropped at entry (null-, ragged-dim- and nonfinite-sweep
+    # contract, same as kmeans_step: a ragged row crashes the numpy
+    # batch stack, and a NULL/Inf dim NaN-poisons np.argmin, which
+    # returns the FIRST NaN index and would assign every such row —
+    # or, for a corrupt CENTROID, every row in the corpus — to an
+    # arbitrary code). Mirrored in the oracle's emb64 CTE (r7).
     emb = load(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == 64
+        (F.size("embedding") == 64)
+        & F.expr(
+            "aggregate(embedding, true,"
+            " (acc, x) -> acc AND abs(CAST(x AS DOUBLE)) <= 9.2e12)"
+        )
     )
     cb_rows = (
         emb.filter(F.col("vec_id") < 16)
@@ -4613,10 +4699,15 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_silhouette",
     """
     WITH emb AS (
+      -- NULL-element-aware fp-domain gate (r7 nonfinite parity): the
+      -- engine's AND-fold NULLs on a null dim and the filter drops the
+      -- row, while DuckDB's bool_and SKIPS nulls and would keep it
       SELECT * FROM embeddings
       WHERE len(embedding) = 64
         AND list_aggregate(
-              [abs(CAST(x AS DOUBLE)) <= 9.2e12 FOR x IN embedding],
+              [CASE WHEN x IS NULL THEN false
+                    ELSE abs(CAST(x AS DOUBLE)) <= 9.2e12 END
+               FOR x IN embedding],
               'bool_and')
     ),
     fp AS (
@@ -5574,14 +5665,10 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @Q.add(
     "knn_classify",
-    """
+    f"""
     WITH emb AS (
-      SELECT * FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64
-        AND list_dot_product(CAST(embedding AS DOUBLE[]),
-                             CAST(embedding AS DOUBLE[])) > 0
-        AND isfinite(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                      CAST(embedding AS DOUBLE[])))
+      -- embeddable() twin, null-element-safe (r7; see sim_topk)
+      SELECT * FROM embeddings WHERE {_emb_gate()}
     ),
     nb AS (
       -- embeddable gate both sides, as in sim_topk (r6)
@@ -5753,8 +5840,12 @@ def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
         FROM embeddings
+        -- NULL-element-aware gate (r7; see embedding_silhouette): the
+        -- engine's AND-fold drops null-dim vectors, bool_and skips
         WHERE list_aggregate(
-                [abs(CAST(x AS DOUBLE)) <= 1e9 FOR x IN embedding],
+                [CASE WHEN x IS NULL THEN false
+                      ELSE abs(CAST(x AS DOUBLE)) <= 1e9 END
+                 FOR x IN embedding],
                 'bool_and')
       )
     ),
@@ -5920,8 +6011,11 @@ def _power_iter_sql(k: int) -> str:
     "embedding_power_iteration",
     """
     WITH emb64 AS (SELECT * FROM embeddings WHERE len(embedding) = 64
+      -- NULL-element-aware gate (r7; see embedding_silhouette)
       AND list_aggregate(
-            [abs(CAST(x AS DOUBLE)) <= 9.2e12 FOR x IN embedding],
+            [CASE WHEN x IS NULL THEN false
+                  ELSE abs(CAST(x AS DOUBLE)) <= 9.2e12 END
+             FOR x IN embedding],
             'bool_and')),
     v0 AS (SELECT [CAST(0.125 AS DOUBLE) FOR i IN range(64)] AS v),"""
     + ",".join(_power_iter_sql(k) for k in (1, 2, 3))
@@ -6440,8 +6534,11 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kmeans_step",
     """
     WITH emb64 AS (SELECT * FROM embeddings WHERE len(embedding) = 64
+      -- NULL-element-aware gate (r7; see embedding_silhouette)
       AND list_aggregate(
-            [abs(CAST(x AS DOUBLE)) <= 9.2e12 FOR x IN embedding],
+            [CASE WHEN x IS NULL THEN false
+                  ELSE abs(CAST(x AS DOUBLE)) <= 9.2e12 END
+             FOR x IN embedding],
             'bool_and')),
     cb AS (
       SELECT vec_id AS cid, embedding AS ce FROM emb64
@@ -6581,7 +6678,11 @@ def _mmr_round_sql(k: int) -> str:
              sqrt("""
     + _mmr_dot_sql("embedding", "embedding")
     + """) AS qnrm
-      FROM embeddings WHERE vec_id = 0
+      -- embeddable() twin on the query row (r7 nonfinite parity): an
+      -- unembeddable query vector ranks nothing on either engine
+      FROM embeddings WHERE vec_id = 0 AND """
+    + _emb_gate()
+    + """
     ),
     c0 AS (
       SELECT vec_id, embedding, nrm, dq / (nrm * qnrm) AS rel
@@ -6593,7 +6694,9 @@ def _mmr_round_sql(k: int) -> str:
                """
     + _mmr_dot_sql("embedding", "qe")
     + """ AS dq, qnrm
-        FROM embeddings, q WHERE vec_id <> 0
+        FROM embeddings, q WHERE vec_id <> 0 AND """
+    + _emb_gate()
+    + """
       )
       ORDER BY rel DESC, vec_id LIMIT 20
     ),
@@ -6952,8 +7055,11 @@ def extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @Q.add(
     "embedding_analogy",
-    """
-    WITH emb64 AS (SELECT * FROM embeddings WHERE len(embedding) = 64),
+    f"""
+    -- embeddable() twin on sources AND candidates, plus the composed
+    -- target (r7 nonfinite parity, the mmr_rerank contract): an
+    -- unembeddable vector cannot rank or compose
+    WITH emb64 AS (SELECT * FROM embeddings WHERE {_emb_gate()}),
     abc AS (
       SELECT
         MAX(CASE WHEN vec_id = 0 THEN embedding END) AS va,
@@ -6962,9 +7068,14 @@ def extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM emb64 WHERE vec_id < 3
     ),
     tgt AS (
-      SELECT [CAST(va[i + 1] AS DOUBLE) - CAST(vb[i + 1] AS DOUBLE)
-              + CAST(vc[i + 1] AS DOUBLE) FOR i IN range(64)] AS t
-      FROM abc
+      SELECT t FROM (
+        SELECT [CAST(va[i + 1] AS DOUBLE) - CAST(vb[i + 1] AS DOUBLE)
+                + CAST(vc[i + 1] AS DOUBLE) FOR i IN range(64)] AS t
+        FROM abc
+        WHERE va IS NOT NULL AND vb IS NOT NULL AND vc IS NOT NULL
+      )
+      WHERE list_sum([t[i + 1] * t[i + 1] FOR i IN range(64)]) > 0
+        AND isfinite(list_sum([t[i + 1] * t[i + 1] FOR i IN range(64)]))
     ),
     scored AS (
       SELECT e.vec_id,
@@ -6997,7 +7108,13 @@ def extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sweep): every fold indexes dims 0..63.",
 )
 def embedding_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").filter(F.size("embedding") == 64)
+    from ..functions.vectors import embeddable
+
+    # the kernel-wide contract (r7 nonfinite parity, as mmr_rerank): an
+    # unembeddable source or candidate vector cannot rank — a NULL/Inf
+    # dim in v0/v1/v2 would NULL- or NaN-poison every candidate's sim
+    # and rank pure tie-break noise
+    e = load(spark, sf_dir, "embeddings").filter(embeddable("embedding", 64))
 
     def dot(x, y):
         return (
@@ -7017,7 +7134,7 @@ def embedding_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)"
             " + CAST(vc[i] AS DOUBLE))"
         ).alias("t")
-    )
+    ).filter(embeddable("t", 64))  # composed target must rank too (r7)
     scored = (
         e.filter(F.col("vec_id") >= 3)
         .crossJoin(F.broadcast(tgt))

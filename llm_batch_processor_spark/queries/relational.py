@@ -6052,7 +6052,14 @@ def forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benford_audit",
     """
     WITH cents AS (
-      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      -- int64-saturation mirror (r7 nonfinite parity): Spark's
+      -- floor(DOUBLE) -> LONG uses the JVM's saturating double->long
+      -- conversion, so +Inf / >=2^63 cents become Long.MAX (leading
+      -- digit 9); DuckDB's CAST raises instead. The CASE reproduces
+      -- the saturation exactly.
+      SELECT CASE WHEN value * 100 + 0.5 >= 9223372036854775807.0
+                  THEN 9223372036854775807
+                  ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS c
       FROM events WHERE value > 0
     ),
     digits AS (

@@ -218,6 +218,37 @@ def test_nonfinite_input_contract(spark, nonfinite_dir):
         assert n >= 0, name
 
 
+def test_nonfinite_vector_kernels_gate_corrupt_vectors(spark, nonfinite_dir):
+    """r7 nonfinite PARITY pins (the crash bar above is weaker): the
+    batch vector kernels gate null-element / non-finite vectors at
+    ENTRY. Ungated, numpy's argmin returns the FIRST NaN index, so one
+    corrupt CODEBOOK centroid would assign every row in the corpus to
+    an arbitrary code — the gate is the difference between dropping
+    corrupt rows and corrupting the whole assignment. Note: pandas ->
+    parquet writes NaN vector dims as NULL list elements, so that is
+    the shape real ingested embeddings have."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    qs = all_queries()
+    # corpus: 16-cycle mutation -> vec 0 has a NULL dim, 1/2 have Inf
+    # dims, 3 is all-NULL. None may appear as a pq row or code. Vec 4
+    # (all-ZERO) is corrupt for COSINE but perfectly assignable under
+    # L2 — the pq/kmeans gate must keep it (only embeddable() kernels
+    # drop zero-norm).
+    pq = qs["embedding_pq_assign"].fn(spark, nonfinite_dir).collect()
+    bad = {0, 1, 2, 3}
+    ids = {r["vec_id"] for r in pq}
+    assert pq, "gated kernel still assigns the clean corpus"
+    assert not bad & ids and not bad & {r["code"] for r in pq}
+    assert 4 in ids  # zero vector stays assignable
+    assert all(r["d2"] is not None and r["d2"] >= 0 for r in pq)
+    # analogy: source vec 0 is corrupt -> target unembeddable -> the
+    # whole query emits nothing rather than ranking NULL-sim noise
+    assert qs["embedding_analogy"].fn(spark, nonfinite_dir).count() == 0
+    # mmr: query vec 0 is corrupt -> nothing to rank
+    assert qs["mmr_rerank"].fn(spark, nonfinite_dir).count() == 0
+
+
 @pytest.fixture(scope="module")
 def extreme_ts_dir(tmp_path_factory):
     """sf0.001 with sentinel timestamps (9999-12-31, 0001-01-01,

@@ -10,7 +10,8 @@ subprocess (own SparkSession — masters/confs can differ per row), and
 prints the ROBUSTNESS.md-ready matrix.
 
 Expected state (r7 baseline):
-  pristine / extreme-ts / extremekeys / nulls / hostile / empty / skew  267/0/5
+  pristine / extreme-ts / extremekeys / nulls / hostile /
+  empty / skew / rowperm / nonfinite  267/0/5
   dupkeys  260/7/5  (the documented keyed-entity contract class)
   local4 / noBroadcastNoAQE / noCodegen / tokyo-TZ        267/0/5
 
@@ -18,7 +19,7 @@ Usage:
     python tools/robustness_matrix.py [--rows r1,r2,...] [--sf DIR]
         [--out MATRIX.json]
 Rows: pristine extremets extremekeys nulls hostile dupkeys empty skew
-      local4 nobcast nocodegen tokyo  (default: all, in that order)
+      rowperm nonfinite local4 nobcast nocodegen tokyo  (default: all)
       sf01 (opt-in via --rows: the full gate at sf0.1, ~20 min)
 """
 
@@ -67,6 +68,31 @@ def run_selfcheck(sf_dir: str, conf: list[str] | None = None,
     }
 
 
+def build_rowperm(src: str, dst: Path) -> None:
+    """Every table rewritten in a deterministic pseudo-random ROW ORDER
+    (sorted by md5 of the primary key). Both engines read the same
+    permuted files, so full parity proves no query result leans on the
+    physical row order of the input — the property that survives
+    arbitrary scan-split boundaries on a real cluster (r7 domain)."""
+    import duckdb
+
+    keys = {
+        "documents": "doc_id", "events": "event_id",
+        "embeddings": "vec_id", "lineitem": "l_orderkey*8+l_linenumber",
+        "orders": "o_orderkey", "customer": "c_custkey",
+        "supplier": "s_suppkey", "part": "p_partkey",
+        "nation": "n_nationkey", "region": "r_regionkey",
+    }
+    con = duckdb.connect()
+    for t, k in keys.items():
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') "
+            f"ORDER BY md5(CAST({k} AS VARCHAR))) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
 def corpus_row(builder, sf_dir: str) -> dict:
     tmp = Path(tempfile.mkdtemp(prefix="robust_"))
     try:
@@ -86,6 +112,7 @@ def main() -> int:
     args = ap.parse_args()
 
     from tools.extreme_ts_sweep import build_dataset as build_extremets
+    from tools.nonfinite_sweep import build_dataset as _build_nonfinite
     from tools.payload_sweeps import (
         build_dupkeys,
         build_empty,
@@ -112,6 +139,15 @@ def main() -> int:
         # value ties — full parity is the bar, and it exercises every
         # oracle's tie-break totality at once
         "skew": lambda: corpus_row(build_skew, args.sf),
+        "rowperm": lambda: corpus_row(build_rowperm, args.sf),
+        # non-finite floats through the FULL oracle gate (r7 upgrade
+        # from crash-only): NULL vector elements (how pandas->parquet
+        # writes NaN dims), +-Inf elements, +-Inf/1e308 event values.
+        # Found 16 divergences on first run — null-element-skipping
+        # DuckDB list aggregates vs the engine's NULL-poisoning folds,
+        # DuckDB TRY_CAST(NaN AS DECIMAL) raising, int64-saturating
+        # JVM double->long casts — all mirrored; see ROBUSTNESS.md r7.
+        "nonfinite": lambda: corpus_row(_build_nonfinite, args.sf),
         "local4": lambda: run_selfcheck(
             args.sf, env={"SPARK_MASTER": "local[4]", "SPARK_SHUFFLE_PARTITIONS": "7"}
         ),
