@@ -376,10 +376,15 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "json_funcs",
     """
+    -- json_valid guard on every extraction (r7 ragged-corpus parity,
+    -- all 11 oracle sites): Spark's get_json_object returns NULL on
+    -- malformed JSON while DuckDB's json_extract_string RAISES; the
+    -- guard lands both engines on NULL for 'not json{' / '' and both
+    -- already agree on valid-but-keyless docs ('[]', '42', nested)
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-           CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS miss_null
+           (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS k_str,
+           CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT) AS k_int,
+           CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.missing') END) IS NULL AS BOOLEAN) AS miss_null
     FROM events
     """,
     doc="get_json_object / from_json-style extraction on events.props",
@@ -4052,7 +4057,7 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     touches AS (
       SELECT e.user_id, e.event_type,
-             'ch' || (CAST(json_extract_string(e.props, '$.k') AS BIGINT) % 5)
+             'ch' || (CAST((CASE WHEN json_valid(e.props) THEN json_extract_string(e.props, '$.k') END) AS BIGINT) % 5)
                AS channel
       FROM events e JOIN fp ON e.user_id = fp.user_id
       WHERE e.event_type IN ('click', 'view')
@@ -5312,7 +5317,7 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *,
              first_value(event_type) OVER (
                PARTITION BY user_id ORDER BY ord_key DESC) AS let,
-             first_value(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             first_value(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ord_key DESC) AS lk
       FROM ev
     )
@@ -5792,7 +5797,7 @@ def bootstrap_ci_det(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- unmirrored they also sort NULLS FIRST in Spark vs LAST in
       -- DuckDB) (r6 NULL-corpus parity audit)
       SELECT event_type, value,
-             COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1,
+             COALESCE(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT) + 1,
                       1) AS wt
       FROM events WHERE value IS NOT NULL
     ),
@@ -6235,7 +6240,7 @@ def period_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS (
       SELECT event_type,
              CAST(floor(value + 0.5) AS BIGINT) AS x,
-             COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+             COALESCE(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT), 0)
                AS y
       FROM events
       WHERE value IS NULL OR abs(value) <= 1e9
@@ -6719,7 +6724,7 @@ def lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN ((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 86400000000) // 86400000000
                        NOT BETWEEN 19723 AND 19752 THEN 1 ELSE 0 END
                AS r_ts_range,
-             CASE WHEN json_extract_string(props, '$.k') IS NULL
+             CASE WHEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NULL
                   THEN 1 ELSE 0 END AS r_props_k,
              CASE WHEN event_type NOT IN
                        ('click', 'view', 'purchase', 'signup', 'error')

@@ -11,7 +11,7 @@ prints the ROBUSTNESS.md-ready matrix.
 
 Expected state (r7 baseline):
   pristine / extreme-ts / extremekeys / nulls / hostile /
-  empty / skew / rowperm / nonfinite  267/0/5
+  empty / skew / rowperm / nonfinite / ragged  267/0/5
   dupkeys  260/7/5  (the documented keyed-entity contract class)
   local4 / noBroadcastNoAQE / noCodegen / tokyo-TZ        267/0/5
 
@@ -19,7 +19,7 @@ Usage:
     python tools/robustness_matrix.py [--rows r1,r2,...] [--sf DIR]
         [--out MATRIX.json]
 Rows: pristine extremets extremekeys nulls hostile dupkeys empty skew
-      rowperm nonfinite local4 nobcast nocodegen tokyo  (default: all)
+      rowperm nonfinite ragged local4 nobcast nocodegen tokyo (default)
       sf01 (opt-in via --rows: the full gate at sf0.1, ~20 min)
 """
 
@@ -113,6 +113,7 @@ def main() -> int:
 
     from tools.extreme_ts_sweep import build_dataset as build_extremets
     from tools.nonfinite_sweep import build_dataset as _build_nonfinite
+    from tools.ragged_dim_sweep import build_dataset as _build_ragged
     from tools.payload_sweeps import (
         build_dupkeys,
         build_empty,
@@ -148,6 +149,12 @@ def main() -> int:
         # DuckDB TRY_CAST(NaN AS DECIMAL) raising, int64-saturating
         # JVM double->long casts — all mirrored; see ROBUSTNESS.md r7.
         "nonfinite": lambda: corpus_row(_build_nonfinite, args.sf),
+        # ragged vector dims + malformed events.props JSON through the
+        # full gate (r7 upgrade from crash-only): found the
+        # json_extract_string-raises-on-malformed-JSON class — all 11
+        # oracle sites now json_valid-guarded (Spark's get_json_object
+        # NULLs instead)
+        "ragged": lambda: corpus_row(_build_ragged, args.sf),
         "local4": lambda: run_selfcheck(
             args.sf, env={"SPARK_MASTER": "local[4]", "SPARK_SHUFFLE_PARTITIONS": "7"}
         ),
