@@ -87,6 +87,25 @@ def main() -> int:
     warm = F.pandas_udf(lambda s: s, "long")
     run_full(spark.range(0, 10_000, 1, 32).select(warm("id").alias("x")))
 
+    # Between executions, drop the blocks the previous execution leaked:
+    # queries persist/localCheckpoint intermediates that stay referenced
+    # by the returned DataFrame, so across 272 x repeat executions the
+    # block manager accumulates hundreds of stale cached RDDs — memory +
+    # GC tax charged to whichever query runs LATER. An interleaved
+    # same-moment A/B over the full inventory measured 223.0 s stock vs
+    # 173.8 s with per-execution cleanup (-22%), with the heavy dedup/
+    # graph family inflated ~2x when run late in a stock full run.
+    # clearCache unpersists cacheManager entries; the gc.collect() lets
+    # the ContextCleaner reap localCheckpoint blocks, which clearCache
+    # does not track. Production runs one query per job, so this leak is
+    # purely a shared-session bench artifact; each execution still pays
+    # for its OWN persist fills inside the timed window.
+    import gc
+
+    def drop_leaked_blocks() -> None:
+        spark.catalog.clearCache()
+        gc.collect()
+
     per_query: dict[str, float] = {}
     for name in names:
         best = None
@@ -95,6 +114,7 @@ def main() -> int:
             run_full(qs[name].fn(spark, args.sf))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            drop_leaked_blocks()
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)

@@ -277,6 +277,171 @@ def build_extremekeys(src: str, dst: Path) -> None:
     con.close()
 
 
+def build_combined(src: str, dst: Path) -> None:
+    """EVERY compatible hazard class at once — the interaction domain.
+
+    Each single-hazard corpus proves one failure class in isolation;
+    real ingest delivers them together (a skewed re-crawl with NULL
+    payloads, snowflake ids, broken props JSON and a few Inf sensor
+    values is an ordinary Tuesday). Hazard interactions can break code
+    that every isolated sweep passes — e.g. a NULL-guard that assumes
+    uniform keys, or a non-finite gate that assumes fixed-dim vectors.
+
+    Composition (keys stay UNIQUE — the dupkeys contract class is
+    deliberately excluded so full oracle parity remains the bar; empty
+    is excluded because nothing composes with it):
+
+    - ids: the extremekeys bijective remap (int64-rail + negative) on
+      every primary/foreign key pair, conditions below use ORIGINAL ids;
+    - documents: 1/7 NULL text/n_chars, half the remainder one
+      byte-identical boilerplate page (skew clique), ~1/13 hostile
+      unicode/RTL/metachar corpus texts, lang/source skewed to a single
+      value with 1/7 NULLs;
+    - events: extreme-ts cycle (epoch rails / ns-rails / 9999) + ALL
+      rows one user/event_type (skew), 1/5 NULL value/props, remaining
+      value lane cycling +-Inf / 1e308 / NaN-as-NULL (nonfinite),
+      malformed props JSON cycle (ragged);
+    - embeddings: 1/11 NULL embedding/label, single label (skew),
+      nonfinite dim injections incl. all-NaN and zero vectors, ragged
+      lengths 0/1/32/63/65/128;
+    - orders/lineitem: skewed join keys (half of custkey/partkey/
+      suppkey on one value) + extreme o_orderdate/l_shipdate rails.
+    """
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    i64 = 9223372036854775807
+    remap = (
+        f"CASE WHEN {{c}} % 10 = 7 THEN {i64} - {{c}} "
+        f"WHEN {{c}} % 10 = 3 THEN -{{c}} ELSE {{c}} END"
+    )
+    con = duckdb.connect()
+    hostile = pd.DataFrame(
+        {"idx": range(len(HOSTILE_TEXTS)), "htext": HOSTILE_TEXTS}
+    )
+    con.register("hostile", hostile)
+    con.sql(
+        f"""COPY (SELECT {remap.format(c='doc_id')} AS doc_id,
+            CASE WHEN doc_id % 7 = 3 THEN NULL
+                 WHEN doc_id % 2 = 0
+                   THEN 'the same boilerplate page every crawler saw'
+                 WHEN doc_id % 13 = 1 THEN h.htext
+                 ELSE d.text END AS text,
+            CASE WHEN doc_id % 7 = 5 THEN NULL ELSE 'en' END AS lang,
+            CASE WHEN doc_id % 7 = 6 THEN NULL ELSE 'src0' END AS source,
+            CAST(CASE WHEN doc_id % 7 = 3 THEN NULL
+                 WHEN doc_id % 2 = 0 THEN 43
+                 WHEN doc_id % 13 = 1 THEN length(h.htext)
+                 ELSE d.n_chars END AS BIGINT) AS n_chars
+            FROM '{src}/documents.parquet' d
+            LEFT JOIN hostile h ON h.idx = d.doc_id % {len(HOSTILE_TEXTS)})
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT {remap.format(c='event_id')} AS event_id,
+            CASE event_id % 50
+              WHEN 0 THEN TIMESTAMP '9999-12-31 23:59:59'
+              WHEN 10 THEN TIMESTAMP '0001-01-01 00:00:00'
+              WHEN 20 THEN TIMESTAMP '2262-04-12 00:00:00'
+              WHEN 30 THEN TIMESTAMP '1677-09-21 00:00:00'
+              WHEN 40 THEN TIMESTAMP '1970-01-01 00:00:00'
+              ELSE ts END AS ts,
+            0 AS user_id, 'click' AS event_type,
+            CASE WHEN event_id % 5 = 2 THEN NULL ELSE value END AS value,
+            CASE WHEN event_id % 5 = 4 THEN NULL ELSE props END AS props
+            FROM '{src}/events.parquet')
+            TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT {remap.format(c='o_orderkey')} AS o_orderkey,
+            CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE o_custkey END
+              AS o_custkey,
+            o_orderstatus, o_totalprice,
+            CASE o_orderkey % 40
+              WHEN 0 THEN DATE '9999-12-31'
+              WHEN 20 THEN DATE '0001-01-01'
+              ELSE o_orderdate END AS o_orderdate,
+            o_orderpriority
+            FROM '{src}/orders.parquet')
+            TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            {remap.format(c='l_orderkey')} AS l_orderkey,
+            CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_partkey END
+              AS l_partkey,
+            CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END
+              AS l_suppkey,
+            CASE (l_orderkey * 10 + l_linenumber) % 40
+              WHEN 0 THEN DATE '9999-12-31'
+              WHEN 20 THEN DATE '0001-01-01'
+              ELSE l_shipdate END AS l_shipdate)
+            FROM '{src}/lineitem.parquet')
+            TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
+
+    # embeddings + the events value/props lanes mirror the nonfinite /
+    # ragged builders byte-for-byte (same seeds, same cycles) so the
+    # NaN-writes-as-NULL parquet semantics match those domains exactly
+    emb = pd.read_parquet(f"{src}/embeddings.parquet")
+    orig_vid = emb["vec_id"].to_numpy(copy=True)
+    rng_nf = np.random.default_rng(7)
+    rng_rg = np.random.default_rng(11)
+    from tools.ragged_dim_sweep import RAGGED_DIMS
+
+    vecs = [np.array(v, dtype=np.float32) for v in emb["embedding"]]
+    out_vecs: list = []
+    for i, vid in enumerate(orig_vid):
+        d_nf = int(rng_nf.integers(0, len(vecs[i])))  # keep rng stream aligned
+        if vid % 11 == 7:
+            out_vecs.append(None)
+            continue
+        m = i % 16
+        if m == 0:
+            vecs[i][d_nf] = np.float32("nan")
+        elif m == 1:
+            vecs[i][d_nf] = np.float32("inf")
+        elif m == 2:
+            vecs[i][d_nf] = np.float32("-inf")
+        elif m == 3:
+            vecs[i][:] = np.float32("nan")
+        elif m == 4:
+            vecs[i][:] = 0.0
+        elif m == 8 and i % 8 == 0:
+            vecs[i] = rng_rg.normal(size=RAGGED_DIMS[(i // 8) % len(RAGGED_DIMS)]).astype(
+                np.float32
+            )
+        out_vecs.append(vecs[i].tolist())
+    emb["vec_id"] = [
+        i64 - v if v % 10 == 7 else (-v if v % 10 == 3 else v) for v in orig_vid
+    ]
+    emb["embedding"] = out_vecs
+    emb["label"] = [None if v % 11 == 9 else "label_0" for v in orig_vid]
+    emb.to_parquet(str(dst / "embeddings.parquet"))
+
+    ev = pd.read_parquet(f"{dst}/events.parquet")
+    bad = [math.nan, math.inf, -math.inf, 1e308]
+    vals = ev["value"].to_numpy(dtype=np.float64, copy=True)
+    for i in range(0, len(vals), 4):
+        if not np.isnan(vals[i]):  # keep the 1/5 NULL lane NULL
+            vals[i] = bad[(i // 4) % 4]
+    ev["value"] = vals
+    from tools.ragged_dim_sweep import BAD_PROPS
+
+    props = list(ev["props"])
+    for i in range(0, len(props), 5):
+        if props[i] is not None:
+            props[i] = BAD_PROPS[(i // 5) % len(BAD_PROPS)]
+    ev["props"] = props
+    ev.to_parquet(str(dst / "events.parquet"))
+
+
 BUILDERS = {
     "nulls": build_nulls,
     "hostile": build_hostile,
@@ -284,6 +449,7 @@ BUILDERS = {
     "skew": build_skew,
     "dupkeys": build_dupkeys,
     "extremekeys": build_extremekeys,
+    "combined": build_combined,
 }
 
 

@@ -115,6 +115,7 @@ def main() -> int:
     from tools.nonfinite_sweep import build_dataset as _build_nonfinite
     from tools.ragged_dim_sweep import build_dataset as _build_ragged
     from tools.payload_sweeps import (
+        build_combined,
         build_dupkeys,
         build_empty,
         build_extremekeys,
@@ -141,6 +142,11 @@ def main() -> int:
         # oracle's tie-break totality at once
         "skew": lambda: corpus_row(build_skew, args.sf),
         "rowperm": lambda: corpus_row(build_rowperm, args.sf),
+        # ALL compatible hazards at once (r7 second wave): extreme ids,
+        # NULL payloads, hostile text, one-group skew, non-finite
+        # floats, ragged dims, malformed JSON, extreme ts — the
+        # interaction domain; keys stay unique so full parity is the bar
+        "combined": lambda: corpus_row(build_combined, args.sf),
         # non-finite floats through the FULL oracle gate (r7 upgrade
         # from crash-only): NULL vector elements (how pandas->parquet
         # writes NaN dims), +-Inf elements, +-Inf/1e308 event values.
