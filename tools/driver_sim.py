@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import gc
 import os
 import sys
 import time
@@ -58,6 +59,9 @@ def main() -> int:
     times: list[tuple[str, float]] = []
     for name, fn in qs.items():
         t1 = time.time()
+        # same cross-query leaked-block cleanup as bench.py/selfcheck.py
+        spark.catalog.clearCache()
+        gc.collect()
         try:
             fn(spark, args.sf).count()
         except Exception as exc:  # noqa: BLE001 - report, don't abort

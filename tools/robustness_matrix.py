@@ -11,7 +11,7 @@ prints the ROBUSTNESS.md-ready matrix.
 
 Expected state (r7 baseline):
   pristine / extreme-ts / extremekeys / nulls / hostile /
-  empty / skew / rowperm / nonfinite / ragged  267/0/5
+  empty / skew / rowperm / nonfinite / ragged / combined  267/0/5
   dupkeys  260/7/5  (the documented keyed-entity contract class)
   local4 / noBroadcastNoAQE / noCodegen / tokyo-TZ        267/0/5
 
@@ -19,8 +19,9 @@ Usage:
     python tools/robustness_matrix.py [--rows r1,r2,...] [--sf DIR]
         [--out MATRIX.json]
 Rows: pristine extremets extremekeys nulls hostile dupkeys empty skew
-      rowperm nonfinite ragged local4 nobcast nocodegen tokyo (default)
-      sf01 (opt-in via --rows: the full gate at sf0.1, ~20 min)
+      rowperm nonfinite ragged combined local4 nobcast nocodegen tokyo
+      (default); sf01 (opt-in via --rows: the full gate at sf0.1,
+      ~20 min)
 """
 
 from __future__ import annotations

@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import math
 import os
@@ -107,6 +108,12 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        # drop blocks the previous query leaked (persist/localCheckpoint
+        # intermediates stay referenced by the returned DataFrame): the
+        # same cross-query memory+GC tax bench.py fixed — a 272-query
+        # shared session otherwise accumulates hundreds of stale blocks
+        spark.catalog.clearCache()
+        gc.collect()
         try:
             sdf = fn(spark, args.sf)
             spdf = sdf.toPandas()

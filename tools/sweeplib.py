@@ -34,8 +34,13 @@ def run_sweep(build_dataset, only: str | None, sf: str) -> int:
     qs = all_queries()
     names = only.split(",") if only else sorted(qs)
     failures: dict[str, str] = {}
+    import gc
+
     for name in names:
         t0 = time.time()
+        # same cross-query leaked-block cleanup as bench.py/selfcheck.py
+        spark.catalog.clearCache()
+        gc.collect()
         try:
             n = materialize(qs[name].fn(spark, str(tmp)))
             print(f"ok    {name}: {n} rows in {time.time()-t0:.2f}s", flush=True)
