@@ -819,7 +819,14 @@ def ngram_jaccard_pairs_collapsed(
     sets_df = (
         sets_df.persist() if n_input <= 1_000_000 else _checkpoint(sets_df)
     )
-    n_docs = sets_df.count()
+    # n_input (the probe's exact rep count) upper-bounds sets_df's rows
+    # (the empty-gram filter only removes), and the dense kernel needs
+    # a count ONLY for block sizing — so the former ``sets_df.count()``
+    # job here bought nothing: a slightly generous block count is free,
+    # and the lazy persist is race-safe because the vocabulary probe
+    # (the very next, single-branch job) fills the cache before any
+    # multi-branch consumer scans it.
+    n_docs = max(1, int(n_input))
     id_dtype = [
         f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
     ][0]
