@@ -36,16 +36,33 @@ DEC = "DECIMAL(18,6)"
 def dsum(expr: str, alias: str) -> str:
     """Order-independent sum of a double expression: per-row exact cast to
     DECIMAL(18,6) (deterministic given identical input bits), exact
-    decimal summation, deterministic cast back to double. TRY_CAST on
-    both engines (non-finite sweep, full-materialization pass): a
-    NaN/Inf/out-of-DECIMAL value contributes no mass instead of
-    raising under ANSI — the engine-wide decimal-fold contract."""
-    return f"CAST(SUM(TRY_CAST(({expr}) AS {DEC})) AS DOUBLE) AS {alias}"
+    decimal summation, deterministic cast back to double. A NaN/Inf/
+    out-of-DECIMAL value contributes no mass instead of raising under
+    ANSI — the engine-wide decimal-fold contract. Engine side that is
+    one TRY_CAST; the oracle needs the isfinite CASE in front because
+    DuckDB's TRY_CAST(NaN/Inf AS DECIMAL) RAISES (measured; DECIMAL is
+    INT64-backed) where Spark's try_cast NULLs — found on events.value
+    by the r7 non-finite gate, and on every money column by the r7
+    extreme-money gate (the helpers were never NaN-exposed before).
+
+    The DOUBLE conversion goes through the VARCHAR hop: DuckDB's direct
+    CAST(DECIMAL AS DOUBLE) multiplies the scaled int128 by 1e-6 and
+    double-rounds above 2^53 (the r6 extreme-ts finding), which the
+    extreme-money corpus hits on every rail-magnitude sum; the hop is
+    correctly rounded, same as Spark's BigDecimal.doubleValue, and
+    identical to the direct cast below 2^53."""
+    return (
+        f"CAST(CAST(SUM(TRY_CAST((CASE WHEN isfinite({expr}) THEN ({expr}) END)"
+        f" AS {DEC})) AS VARCHAR) AS DOUBLE) AS {alias}"
+    )
 
 
 def davg(expr: str, alias: str) -> str:
     """Exact-sum / count — one double division, no accumulation order."""
-    return f"ROUND(CAST(SUM(TRY_CAST(({expr}) AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS {alias}"
+    return (
+        f"ROUND(CAST(CAST(SUM(TRY_CAST((CASE WHEN isfinite({expr}) THEN ({expr})"
+        f" END) AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*), 4) AS {alias}"
+    )
 
 
 # ===========================================================================
@@ -191,7 +208,11 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "project_expr",
     f"""
     SELECT l_orderkey, l_linenumber,
-           CAST(TRY_CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS DOUBLE) AS revenue,
+           -- isfinite CASE: DuckDB TRY_CAST(NaN/Inf AS DECIMAL) raises
+           -- where Spark try_cast NULLs (extreme-money gate, r7)
+           CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
+                              THEN l_extendedprice * (1 - l_discount) END
+                         AS {DEC}) AS DOUBLE) AS revenue,
            CASE WHEN l_quantity > 40 THEN 'bulk'
                 WHEN l_quantity > 20 THEN 'mid'
                 ELSE 'small' END AS qty_class
@@ -285,7 +306,10 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(p_size - 25) AS size_dev,
            CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
            CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
-           round(ln(p_retailprice), 4) AS price_ln,
+           -- guarded: DuckDB ln raises on <= 0 where Spark returns NULL
+           -- (extreme-money gate, r7)
+           CASE WHEN p_retailprice > 0
+                THEN round(ln(p_retailprice), 4) END AS price_ln,
            round(sqrt(CAST(p_size AS DOUBLE)), 4) AS size_sqrt,
            round(pow(CAST(p_size AS DOUBLE), 2.0), 4) AS size_sq,
            p_partkey % 7 AS key_mod
@@ -444,7 +468,9 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     f"""
     SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
-           CAST(TRY_CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}) AS DOUBLE) AS revenue
+           CAST(TRY_CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount))
+                         THEN l.l_extendedprice * (1 - l.l_discount) END
+                    AS {DEC}) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size > 20
     """,
@@ -979,7 +1005,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
            ROUND(var_samp(l_quantity), 4) AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           -- any non-finite pair NaN-poisons Spark's streaming corr
+           -- co-moments (measured), while DuckDB's corr RAISES
+           -- out-of-range; the mirror computes corr over finite pairs
+           -- and emits NaN when any non-finite pair exists
+           -- (extreme-money gate, r7)
+           CASE WHEN bool_or(NOT isfinite(l_quantity)
+                             OR NOT isfinite(l_extendedprice))
+                THEN 'nan'::DOUBLE
+                ELSE ROUND(corr(l_quantity, l_extendedprice)
+                       FILTER (WHERE isfinite(l_quantity)
+                               AND isfinite(l_extendedprice)), 4)
+           END AS corr_qp,
            ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty
     FROM lineitem
     GROUP BY l_returnflag
@@ -1002,9 +1039,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
-           CAST(COALESCE(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6)))
+           CAST(COALESCE(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)))
                 FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f,
-           CAST(COALESCE(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6)))
+           CAST(COALESCE(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)))
                 FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
     FROM lineitem
     GROUP BY l_returnflag
@@ -1100,7 +1137,28 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_udaf_geomean",
     """
     SELECT l_returnflag,
-           ROUND(EXP(AVG(LN(l_extendedprice))), 2) AS geomean_price,
+           -- lane-exact mirror of np.exp(np.mean(np.log(x))) on hostile
+           -- money (extreme-money gate, r7): log of a negative/NaN is
+           -- NaN (poisons the mean), log(0) = -Inf (exp -> 0 unless a
+           -- +Inf log cancels it to NaN), log(+Inf) = +Inf. DuckDB's LN
+           -- RAISES on <= 0, so the in-aggregate LN is made total with
+           -- a CASE (FILTER does not prevent argument evaluation) and
+           -- the lanes are reconstructed outside
+           CASE WHEN bool_or(isnan(l_extendedprice) OR l_extendedprice < 0)
+                THEN 'nan'::DOUBLE
+                WHEN bool_or(l_extendedprice = 0)
+                     AND bool_or(l_extendedprice = 'infinity'::DOUBLE)
+                THEN 'nan'::DOUBLE
+                WHEN bool_or(l_extendedprice = 0) THEN 0.0
+                WHEN bool_or(l_extendedprice = 'infinity'::DOUBLE)
+                THEN 'infinity'::DOUBLE
+                ELSE ROUND(EXP(
+                    AVG(LN(CASE WHEN l_extendedprice > 0
+                                AND isfinite(l_extendedprice)
+                                THEN l_extendedprice ELSE 1 END))
+                    FILTER (WHERE l_extendedprice > 0
+                            AND isfinite(l_extendedprice))), 2)
+           END AS geomean_price,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag
@@ -1226,7 +1284,8 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_rows",
     f"""
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(TRY_CAST(o_totalprice AS {DEC})) OVER (
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS {DEC})) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
@@ -1294,7 +1353,8 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS n_90d,
-           CAST(SUM(TRY_CAST(o_totalprice AS {DEC})) OVER (
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS {DEC})) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
     FROM orders
@@ -1495,7 +1555,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_unpivot",
     f"""
     SELECT l_returnflag, metric,
-           CAST(SUM(TRY_CAST(val AS {DEC})) AS DOUBLE) AS total
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(val) THEN val END
+                             AS {DEC})) AS DOUBLE) AS total
     FROM (
       SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
       FROM lineitem
@@ -1530,7 +1591,8 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "agg_histogram",
     """
-    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
+    SELECT CAST(CASE WHEN isfinite(o_totalprice)
+                THEN FLOOR(o_totalprice / 50000.0) END AS INT) AS bucket,
            COUNT(*) AS n_orders,
            MIN(o_totalprice) AS lo,
            MAX(o_totalprice) AS hi
@@ -1541,13 +1603,22 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count/min/max. All map-side combinable, one shuffle of O(buckets) "
     "partials per task — the distribution profile pass every curation "
     "pipeline starts with. (FLOOR of an IEEE division is bit-deterministic "
-    "across engines; no decimal cast needed for the key)",
+    "across engines; no decimal cast needed for the key.) Non-finite "
+    "values have no bucket: they land in the NULL bucket with their "
+    "count and min/max — under ANSI the unguarded FLOOR-cast chain "
+    "raised CAST_OVERFLOW on Inf (engine bug found by the r7 "
+    "extreme-money gate), and DuckDB's CAST raises on NaN.",
 )
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    finite = ~F.isnan("o_totalprice") & (
+        F.abs("o_totalprice") != F.lit(float("inf"))
+    )
     return (
         o.groupBy(
-            F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("bucket")
+            F.when(finite, F.floor(F.col("o_totalprice") / 50000.0))
+            .cast("int")
+            .alias("bucket")
         )
         .agg(
             F.count("*").alias("n_orders"),
@@ -1580,11 +1651,16 @@ _REG_CORR = (
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS {_DEC38})) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS {_DEC38})) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS {_DEC38})) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS {_DEC38})) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS {_DEC38})) AS DOUBLE) AS sxy
+             -- isfinite CASE mirrors Spark ANSI CAST(NaN/Inf AS DECIMAL)
+             -- -> NULL, where DuckDB CAST raises (extreme-money gate, r7)
+             -- VARCHAR hop: DuckDB CAST(DECIMAL AS DOUBLE) double-rounds
+             -- above 2^53 (extreme-money sums); the hop is correctly
+             -- rounded like Spark's BigDecimal.doubleValue
+             CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity * l_quantity) THEN l_quantity * l_quantity END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice * l_extendedprice) THEN l_extendedprice * l_extendedprice END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity * l_extendedprice) THEN l_quantity * l_extendedprice END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sxy
       FROM lineitem
       GROUP BY l_returnflag
     )
@@ -1621,23 +1697,42 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     """
     SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+           ROUND(quantile_cont(CASE WHEN isfinite(o_totalprice)
+                               THEN o_totalprice END, 0.25), 4) AS p25,
+           ROUND(quantile_cont(CASE WHEN isfinite(o_totalprice)
+                               THEN o_totalprice END, 0.50), 4) AS p50,
+           ROUND(quantile_cont(CASE WHEN isfinite(o_totalprice)
+                               THEN o_totalprice END, 0.75), 4) AS p75
     FROM orders
     GROUP BY o_orderpriority
     """,
     doc="exact interpolated quartiles per priority (Spark percentile() == "
     "DuckDB quantile_cont, both type-7). Exact percentile sorts per group — "
     "at 100 TB prefer the approx twin (percentile_approx / agg_approx_distinct "
-    "family) unless exactness is contractual",
+    "family) unless exactness is contractual. Quartiles are over the "
+    "FINITE mass on both engines (the dsum no-mass contract extended to "
+    "order statistics): Spark's percentile ranks NaN above +Inf while "
+    "DuckDB's quantile_cont NULLs the whole group — a quantile of "
+    "non-finite junk is meaningless either way (extreme-money gate, r7)",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.expr("ROUND(percentile(o_totalprice, 0.25), 4)").alias("p25"),
-        F.expr("ROUND(percentile(o_totalprice, 0.50), 4)").alias("p50"),
-        F.expr("ROUND(percentile(o_totalprice, 0.75), 4)").alias("p75"),
+        F.expr(
+            "ROUND(percentile(CASE WHEN NOT isnan(o_totalprice) AND"
+            " abs(o_totalprice) != double('infinity')"
+            " THEN o_totalprice END, 0.25), 4)"
+        ).alias("p25"),
+        F.expr(
+            "ROUND(percentile(CASE WHEN NOT isnan(o_totalprice) AND"
+            " abs(o_totalprice) != double('infinity')"
+            " THEN o_totalprice END, 0.50), 4)"
+        ).alias("p50"),
+        F.expr(
+            "ROUND(percentile(CASE WHEN NOT isnan(o_totalprice) AND"
+            " abs(o_totalprice) != double('infinity')"
+            " THEN o_totalprice END, 0.75), 4)"
+        ).alias("p75"),
     )
 
 
@@ -1646,7 +1741,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1
     ), b AS (
       SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
@@ -1770,7 +1865,7 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
              AS n_big,
-           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6)))
                   FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
              AS urgent_total,
            CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)
@@ -1911,7 +2006,8 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST((o_totalprice) AS {DEC})) AS DOUBLE) AS sum_price,
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS {DEC})) AS DOUBLE) AS sum_price,
            strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS min_date,
            strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS max_date
     FROM orders
@@ -2128,7 +2224,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag,
            CAST(SUM(TRY_CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
-           ROUND(CAST(SUM(TRY_CAST(l_extendedprice * l_quantity AS {DEC})) AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice * l_quantity)
+                                   THEN l_extendedprice * l_quantity END
+                                   AS {DEC})) AS DOUBLE)
                  / CAST(SUM(TRY_CAST(l_quantity AS {DEC})) AS DOUBLE), 4)
              AS wavg_price
     FROM lineitem
@@ -2162,7 +2260,8 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- total odd-test
     SELECT CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END AS pri,
            COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS {DEC})) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY pri
     """,
@@ -2278,14 +2377,20 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE) AS sy,
              -- DECIMAL(19,6) operands force DuckDB's int128 multiply
              -- (int64 DECIMAL(18) products overflow); values are exact
              -- either way, so the sums equal Spark's DECIMAL(18,6) path
-             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(19,6)) * TRY_CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(19,6)) * TRY_CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(19,6)) * TRY_CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+             -- operands pass through DECIMAL(18,6) FIRST: the (19,6)
+             -- widening exists only to force DuckDB's int128 multiply,
+             -- but widening the CAST DOMAIN too kept rail values (1e12
+             -- fits 19,6, not 18,6) that Spark's (18,6) operands drop -
+             -- divergent mass AND a HUGEINT sum overflow
+             -- (extreme-money gate, r7)
+             CAST(SUM(TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -2466,8 +2571,9 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bloom_prefilter",
     """
     SELECT s.s_suppkey, s.s_name,
-           CAST(SUM(TRY_CAST((l.l_extendedprice * (1 - l.l_discount))
-                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(TRY_CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount))
+                              THEN l.l_extendedprice * (1 - l.l_discount) END
+                         AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     WHERE s.s_acctbal > 9000
@@ -2669,9 +2775,9 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(mean7, 4) AS mean7
     FROM (
       SELECT event_id, user_id, value,
-             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) OVER w AS DOUBLE)
                / COUNT(*) OVER w AS mean7,
-             CAST(SUM(TRY_CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value * value) THEN value * value END AS DECIMAL(18,6))) OVER w AS DOUBLE)
                / COUNT(*) OVER w AS meansq7,
              COUNT(*) OVER w AS n7
       FROM events
@@ -2889,7 +2995,7 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- int64 DECIMAL(18) representations and overflows on
              -- rail-to-rail spans; int128 storage is exact, result
              -- values identical (r6)
-             TRY_CAST(CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(24,6))
+             TRY_CAST(CAST(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6)) AS DECIMAL(24,6))
                   * TRY_CAST(next_s - t_s AS DECIMAL(12,0)) AS DECIMAL(38,6))
                AS num,
              next_s - t_s AS dt
@@ -2955,7 +3061,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS rev
       FROM events GROUP BY event_type, d
     )
     SELECT event_type, strftime(d, '%Y-%m-%d') AS day, rev,
@@ -3106,7 +3212,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ranked AS (
       SELECT o_orderpriority,
-             TRY_CAST(o_totalprice AS DECIMAL(18,6)) AS x,
+             TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6)) AS x,
              ROW_NUMBER() OVER (
                PARTITION BY o_orderpriority
                ORDER BY o_totalprice, o_orderkey) AS i
@@ -3224,7 +3330,7 @@ def anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS rev
       FROM events GROUP BY event_type, d
     ),
     framed AS (
@@ -3347,7 +3453,7 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
                AS last_day,
              COUNT(*) AS freq,
-             SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+             SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     tot AS (SELECT COUNT(*) AS n FROM cust),
@@ -3430,7 +3536,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH shard AS (
       SELECT o_orderkey % 8 AS shard_id, o_orderpriority,
              COUNT(*) AS n,
-             SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+             SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS s,
              MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
       FROM orders GROUP BY shard_id, o_orderpriority
     )
@@ -3544,7 +3650,7 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                AS d,
-             CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS v
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS v
       FROM orders GROUP BY d
     ),
     marked AS (
@@ -3563,10 +3669,17 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked
     )
     SELECT d,
-           CASE WHEN known THEN ROUND(v, 4)
+           -- floor(x*1e4+0.5)/1e4, not ROUND: midpoint interpolation of
+           -- 6-decimal day sums yields SYSTEMATIC .xxxx5 ties, where
+           -- Spark's ROUND (shortest-repr BigDecimal) and DuckDB's
+           -- (binary-value) disagree by 1 ulp of the 4th decimal; the
+           -- floor form is the same IEEE ops on both engines
+           -- (extreme-money gate, r7)
+           CASE WHEN known THEN FLOOR(v * 10000 + 0.5) / 10000
                 WHEN pd IS NULL OR nd IS NULL THEN NULL
-                ELSE ROUND(pv + (nv - pv) * CAST(d - pd AS DOUBLE)
-                                / CAST(nd - pd AS DOUBLE), 4)
+                ELSE FLOOR((pv + (nv - pv) * CAST(d - pd AS DOUBLE)
+                                / CAST(nd - pd AS DOUBLE)) * 10000 + 0.5)
+                     / 10000
            END AS v_filled,
            CAST(known AS INT) AS is_observed
     FROM nb
@@ -3624,9 +3737,12 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nb.select(
         "d",
-        F.when(F.col("known"), F.round(F.col("v"), 4))
+        # floor(x*1e4+0.5)/1e4, not round(): see the oracle comment —
+        # midpoint ties are systematic here and the two engines' ROUND
+        # conventions differ at exact 5-tails
+        F.when(F.col("known"), F.floor(F.col("v") * 10000 + 0.5) / 10000)
         .when(F.col("pd").isNull() | F.col("nd").isNull(), F.lit(None))
-        .otherwise(F.round(interp, 4))
+        .otherwise(F.floor(interp * 10000 + 0.5) / 10000)
         .alias("v_filled"),
         F.col("known").cast("int").alias("is_observed"),
     )
@@ -3828,7 +3944,7 @@ def referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.cm AS cohort_m,
              (date_part('year', o.o_orderdate) * 12
               + date_part('month', o.o_orderdate)) - f.cm AS offs,
-             TRY_CAST(o.o_totalprice AS DECIMAL(18,6)) AS p,
+             TRY_CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(18,6)) AS p,
              o.o_custkey
       FROM orders o JOIN first f USING (o_custkey)
     ),
@@ -4322,7 +4438,7 @@ def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_value
     FROM b GROUP BY dow, hod
     """,
@@ -4369,7 +4485,7 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((r - 1) * 10 // n AS INT) AS bucket,
            COUNT(*) AS n_rows,
            MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
-           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE)
              AS bucket_sum
     FROM ranked CROSS JOIN tot
     GROUP BY bucket
@@ -4659,13 +4775,13 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT l_returnflag, COUNT(*) AS n,
-             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(SUM(TRY_CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity * l_quantity) THEN l_quantity * l_quantity END AS DECIMAL(38,6)))
                   AS DOUBLE) AS sxx,
-             CAST(SUM(TRY_CAST(l_extendedprice * l_extendedprice
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice * l_extendedprice) THEN l_extendedprice * l_extendedprice END
                            AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-             CAST(SUM(TRY_CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity * l_extendedprice) THEN l_quantity * l_extendedprice END AS DECIMAL(38,6)))
                   AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     ),
@@ -4819,7 +4935,7 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "concentration_8020",
     """
     WITH cust AS (
-      SELECT o_custkey, SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      SELECT o_custkey, SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS rev
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -5031,7 +5147,7 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(channel, 'unknown') AS channel,
            COUNT(*) AS n,
-           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE)
              AS total
     FROM unioned GROUP BY COALESCE(channel, 'unknown')
     """,
@@ -5174,7 +5290,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS low,
            MIN(close_v) AS close,
            COUNT(*) AS n_ticks,
-           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS volume
     FROM w
     GROUP BY day, event_type
     """,
@@ -5306,7 +5422,7 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- truncation since % keeps the dividend sign in both engines
            MIN((ns_c - ns_c % 1000000000) // 1000000000) AS first_s,
            MAX((ns_c - ns_c % 1000000000) // 1000000000) AS last_s,
-           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            MIN(let) AS last_event_type,
            MIN(lk) AS last_k
     FROM (
@@ -5726,7 +5842,7 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     reps AS (
       SELECT b,
-             CAST(SUM(m * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(m * TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE)
                / SUM(m) AS rep_mean
       FROM fan GROUP BY b
     )
@@ -6159,10 +6275,10 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (
       SELECT event_type,
              CAST(SUM(CASE WHEN period = 0
-                           THEN TRY_CAST(value AS DECIMAL(18,6)) END)
+                           THEN TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6)) END)
                   AS DOUBLE) AS v0,
              CAST(SUM(CASE WHEN period = 1
-                           THEN TRY_CAST(value AS DECIMAL(18,6)) END)
+                           THEN TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6)) END)
                   AS DOUBLE) AS v1,
              CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n0,
@@ -6172,10 +6288,10 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n0, n1, v0, v1,
            v1 - v0 AS delta,
-           (v1 - v0) - (CAST(SUM(TRY_CAST(v1 - v0 AS DECIMAL(18,6))) OVER ()
+           (v1 - v0) - (CAST(SUM(TRY_CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS DECIMAL(18,6))) OVER ()
                              AS DOUBLE)
                         / COUNT(*) OVER ()) AS delta_vs_avg,
-           CAST(SUM(TRY_CAST(v1 - v0 AS DECIMAL(18,6))) OVER () AS DOUBLE)
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS DECIMAL(18,6))) OVER () AS DOUBLE)
              AS total_bridge
     FROM seg
     """,
@@ -6349,7 +6465,7 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     conv AS (
       SELECT user_id,
-             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     credited AS (
@@ -6428,8 +6544,9 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lt AS (
       SELECT l_orderkey,
-             CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(18,6))) AS DOUBLE) AS computed
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          ) THEN l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           END AS DECIMAL(18,6))) AS DOUBLE) AS computed
       FROM lineitem GROUP BY l_orderkey
     ),
     j AS (
@@ -6449,9 +6566,9 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey
     )
     SELECT bucket, COUNT(*) AS n_orders,
-           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE)
              AS header_total,
-           CAST(SUM(TRY_CAST(COALESCE(computed, 0) AS DECIMAL(18,6)))
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(COALESCE(computed, 0)) THEN COALESCE(computed, 0) END AS DECIMAL(18,6)))
                 AS DOUBLE) AS line_total
     FROM j GROUP BY bucket
     """,
@@ -6809,7 +6926,7 @@ def rule_violation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             SUM(TRY_CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
+             SUM(TRY_CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(18,6))) AS rev_dec
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -6955,9 +7072,9 @@ def quantile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT disc_pct, COUNT(*) AS n,
-           CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*) AS avg_qty,
-           CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*) AS avg_price
     FROM tiers GROUP BY disc_pct
     """,
@@ -7042,7 +7159,7 @@ def heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH seg AS (
       SELECT c.c_mktsegment AS segment, o.o_custkey,
-             SUM(TRY_CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev_dec
+             SUM(TRY_CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(18,6))) AS rev_dec
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY c.c_mktsegment, o.o_custkey
     ),

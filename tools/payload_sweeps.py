@@ -277,6 +277,87 @@ def build_extremekeys(src: str, dst: Path) -> None:
     con.close()
 
 
+def build_extrememoney(src: str, dst: Path) -> None:
+    """Hostile values in every FINANCIAL double column — the one payload
+    family no prior domain mutated (nonfinite covered events.value and
+    embeddings only). Real ledgers deliver all of these: zero and
+    negative amounts (refunds, chargebacks, corrections), discounts
+    outside [0,1] (promo stacking bugs), DECIMAL(18,6)-rail magnitudes
+    (FX conversions of hyperinflated currencies), sub-cent dust, and
+    NaN/Inf from upstream float bugs. Stresses the engine-wide
+    dsum/davg TRY_CAST DECIMAL fold contract (ROBUSTNESS.md) on the
+    columns it was actually written for, plus every ratio/margin
+    query's division guards ((1-discount) hits exact zero, totals hit
+    exact zero) and every money-ordered ranking's tie-break totality
+    (mass ties on 0.0). Keys, dates and text stay pristine — a
+    divergence here is a money-arithmetic divergence, nothing else."""
+    import duckdb
+
+    # cycle lanes are sparse (~1/5 of rows mutated) so aggregates keep
+    # non-degenerate mass; the DECIMAL(18,6) rail is 999999999999.999999
+    # and the over-rail lane (1e13) must TRY_CAST to NULL identically
+    # in both engines
+    money = (
+        "CASE {k} % 25 "
+        "WHEN 0 THEN 0.0 "
+        "WHEN 5 THEN -98765.432101 "
+        "WHEN 10 THEN 999999999999.999999 "
+        "WHEN 15 THEN 0.000001 "
+        "WHEN 20 THEN 10000000000000.0 "
+        "ELSE {c} END"
+    )
+    nonfin = (
+        "CASE {k} % 40 "
+        "WHEN 7 THEN 'nan'::DOUBLE "
+        "WHEN 17 THEN 'infinity'::DOUBLE "
+        "WHEN 27 THEN '-infinity'::DOUBLE "
+        "ELSE {c} END"
+    )
+    con = duckdb.connect()
+    lk = "(l_orderkey * 10 + l_linenumber)"
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            CASE {lk} % 30 WHEN 0 THEN 0.0 WHEN 10 THEN -5.0
+              WHEN 20 THEN 1000000.0 ELSE l_quantity END AS l_quantity,
+            {nonfin.format(k=lk, c=money.format(k=lk, c='l_extendedprice'))}
+              AS l_extendedprice,
+            CASE {lk} % 35 WHEN 0 THEN -0.5 WHEN 7 THEN 1.5
+              WHEN 14 THEN 1.0 ELSE l_discount END AS l_discount,
+            CASE {lk} % 45 WHEN 0 THEN 9.99 WHEN 9 THEN -0.1
+              ELSE l_tax END AS l_tax)
+            FROM '{src}/lineitem.parquet')
+            TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            {nonfin.format(k='o_orderkey', c=money.format(k='o_orderkey', c='o_totalprice'))}
+              AS o_totalprice)
+            FROM '{src}/orders.parquet')
+            TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            {money.format(k='c_custkey', c='c_acctbal')} AS c_acctbal)
+            FROM '{src}/customer.parquet')
+            TO '{dst}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            {money.format(k='s_suppkey', c='s_acctbal')} AS s_acctbal)
+            FROM '{src}/supplier.parquet')
+            TO '{dst}/supplier.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            {money.format(k='p_partkey', c='p_retailprice')} AS p_retailprice)
+            FROM '{src}/part.parquet')
+            TO '{dst}/part.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in ("region", "nation", "documents", "events", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
+
+
 def build_combined(src: str, dst: Path) -> None:
     """EVERY compatible hazard class at once — the interaction domain.
 
@@ -449,6 +530,7 @@ BUILDERS = {
     "skew": build_skew,
     "dupkeys": build_dupkeys,
     "extremekeys": build_extremekeys,
+    "extrememoney": build_extrememoney,
     "combined": build_combined,
 }
 

@@ -10,8 +10,9 @@ subprocess (own SparkSession — masters/confs can differ per row), and
 prints the ROBUSTNESS.md-ready matrix.
 
 Expected state (r7 baseline):
-  pristine / extreme-ts / extremekeys / nulls / hostile /
-  empty / skew / rowperm / nonfinite / ragged / combined  267/0/5
+  pristine / extreme-ts / extremekeys / nulls / hostile / empty /
+  skew / rowperm / nonfinite / ragged / combined / extrememoney
+                                                          267/0/5
   dupkeys  260/7/5  (the documented keyed-entity contract class)
   local4 / noBroadcastNoAQE / noCodegen / tokyo-TZ        267/0/5
 
@@ -120,6 +121,7 @@ def main() -> int:
         build_dupkeys,
         build_empty,
         build_extremekeys,
+        build_extrememoney,
         build_hostile,
         build_nulls,
         build_skew,
@@ -148,6 +150,12 @@ def main() -> int:
         # floats, ragged dims, malformed JSON, extreme ts — the
         # interaction domain; keys stay unique so full parity is the bar
         "combined": lambda: corpus_row(build_combined, args.sf),
+        # hostile FINANCIAL values (r7 second wave): zero/negative
+        # amounts, discounts outside [0,1], DECIMAL(18,6)-rail and
+        # over-rail magnitudes, sub-cent dust, NaN/Inf — the dsum/davg
+        # fold contract exercised on the money columns it was written
+        # for; keys/dates/text pristine
+        "extrememoney": lambda: corpus_row(build_extrememoney, args.sf),
         # non-finite floats through the FULL oracle gate (r7 upgrade
         # from crash-only): NULL vector elements (how pandas->parquet
         # writes NaN dims), +-Inf elements, +-Inf/1e308 event values.
