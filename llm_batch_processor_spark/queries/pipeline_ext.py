@@ -2532,7 +2532,9 @@ def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN 0
                      ELSE floor((hi - lo) / GREATEST((hi - lo) / 255, 1e-300)
                                 + 0.5) END AS INT) AS q_max,
-           CAST(TRY_CAST(ROUND(TRY_CAST((hi - lo) / 255 AS DECIMAL(18,12)), 9)
+           CAST(TRY_CAST(ROUND(TRY_CAST(CASE WHEN isfinite((hi - lo) / 255)
+                                         THEN (hi - lo) / 255 END
+                                         AS DECIMAL(18,12)), 9)
                      AS DECIMAL(18,9)) AS DOUBLE) AS scale
     FROM q
     """,
@@ -5044,11 +5046,14 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS lo, MAX((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000)) AS hi FROM events
     ),
     lab AS (
+      -- WHERE NOT isnan mirrors the engine's NaN exclusion (see the
+      -- engine comment); DuckDB would otherwise rank NaN into bucket 9
       SELECT CAST(GREATEST(-1, LEAST(9, floor(value / 50))) AS INT) AS bucket,
              CASE WHEN CAST((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000) AS HUGEINT) * 2
                        >= CAST(lo AS HUGEINT) + hi THEN 1 ELSE 0
              END AS late
       FROM events, bounds
+      WHERE NOT isnan(value)
     ),
     cnt AS (
       SELECT bucket, SUM(1 - late) AS ca, SUM(late) AS cb
@@ -5099,7 +5104,13 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-range data) and widen the midpoint compare exactly as
     # split_time_leakage does (ts_ns*2 overflows at the clamp rails)
     d38 = "decimal(38,0)"
-    lab = e.crossJoin(F.broadcast(b)).select(
+    # NaN rows are EXCLUDED from both histograms and totals: the JVM's
+    # (long)NaN is 0, which silently polluted bucket 0 (a real bin)
+    # while DuckDB's NaN-ranks-highest put the same rows in bucket 9 —
+    # a NaN value carries no bin information, so it carries no PSI mass
+    # (extreme-money gate, r7). +-Inf still clamp to the -1/9 rail
+    # buckets, which IS drift signal.
+    lab = e.filter(~F.isnan("value")).crossJoin(F.broadcast(b)).select(
         F.greatest(
             F.lit(-1).cast("bigint"),
             F.least(F.lit(9).cast("bigint"), F.floor(F.col("value") / 50)),

@@ -1318,7 +1318,8 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (
                PARTITION BY user_id ORDER BY epoch_s
                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min,
-           CAST(SUM(TRY_CAST(value AS {DEC})) OVER (
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END
+                             AS {DEC})) OVER (
                PARTITION BY user_id ORDER BY epoch_s
                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_10min
     -- clamped trunc-seconds mirror the engine's ts_ns DIV 1e9
@@ -2046,7 +2047,8 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_time_multi",
     f"""
     SELECT day, hr, COUNT(*) AS n_events,
-           CAST(SUM(TRY_CAST((value) AS {DEC})) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END
+                             AS {DEC})) AS DOUBLE) AS sum_value
     FROM (
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
@@ -3279,8 +3281,8 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH fences AS (
       SELECT event_type,
-             quantile_cont(value, 0.25) AS q1,
-             quantile_cont(value, 0.75) AS q3
+             quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.25) AS q1,
+             quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.75) AS q3
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
@@ -3307,8 +3309,10 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     fences = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.25)").alias("q1"),
-        F.expr("percentile(value, 0.75)").alias("q3"),
+        # finite-mass quartiles (the agg_percentiles contract): NaN/Inf
+        # carry no rank information and the engines disagree on them
+        F.expr("percentile(CASE WHEN NOT isnan(value) AND abs(value) != double('infinity') THEN value END, 0.25)").alias("q1"),
+        F.expr("percentile(CASE WHEN NOT isnan(value) AND abs(value) != double('infinity') THEN value END, 0.75)").alias("q3"),
     )
     j = e.select("event_id", "event_type", "value").join(
         F.broadcast(fences), "event_type"
@@ -4373,7 +4377,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     med AS (
-      SELECT event_type, quantile_cont(v, 0.5) AS m
+      SELECT event_type,
+             quantile_cont(CASE WHEN isfinite(v) THEN v END, 0.5) AS m
       FROM masked GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
@@ -4401,7 +4406,8 @@ def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
     )
     med = masked.groupBy("event_type").agg(
-        F.expr("percentile(v, 0.5)").alias("m")
+        F.expr("percentile(CASE WHEN NOT isnan(v) AND"
+               " abs(v) != double('infinity') THEN v END, 0.5)").alias("m")
     )
     return (
         masked.join(F.broadcast(med), "event_type")
@@ -5637,8 +5643,8 @@ def mutual_info_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH th AS (
       SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
+             quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.05) AS lo,
+             quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.95) AS hi
       FROM events GROUP BY event_type
     )
     SELECT e.event_type, COUNT(*) AS n,
@@ -5663,8 +5669,8 @@ def mutual_info_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winsorize_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     th = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+        F.expr("percentile(CASE WHEN NOT isnan(value) AND abs(value) != double('infinity') THEN value END, 0.05)").alias("lo"),
+        F.expr("percentile(CASE WHEN NOT isnan(value) AND abs(value) != double('infinity') THEN value END, 0.95)").alias("hi"),
     )
     j = e.join(F.broadcast(th), "event_type")
     clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
@@ -6178,7 +6184,8 @@ def forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- conversion, so +Inf / >=2^63 cents become Long.MAX (leading
       -- digit 9); DuckDB's CAST raises instead. The CASE reproduces
       -- the saturation exactly.
-      SELECT CASE WHEN value * 100 + 0.5 >= 9223372036854775807.0
+      SELECT CASE WHEN isnan(value) THEN 0
+                  WHEN value * 100 + 0.5 >= 9223372036854775807.0
                   THEN 9223372036854775807
                   ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS c
       FROM events WHERE value > 0
@@ -7037,9 +7044,9 @@ def cycle_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
            COUNT(*) AS n,
-           ROUND(quantile_cont(value, 0.10), 4) AS p10,
-           ROUND(quantile_cont(value, 0.50), 4) AS p50,
-           ROUND(quantile_cont(value, 0.90), 4) AS p90
+           ROUND(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.10), 4) AS p10,
+           ROUND(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.50), 4) AS p50,
+           ROUND(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.90), 4) AS p90
     FROM events GROUP BY day
     """,
     doc="daily P10/P50/P90 monitoring bands over event values — the "
@@ -7057,9 +7064,9 @@ def quantile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(
         F.count("*").alias("n"),
-        F.expr("ROUND(percentile(value, 0.10), 4)").alias("p10"),
-        F.expr("ROUND(percentile(value, 0.50), 4)").alias("p50"),
-        F.expr("ROUND(percentile(value, 0.90), 4)").alias("p90"),
+        F.expr("ROUND(percentile(CASE WHEN NOT isnan(value) AND abs(value) != double('infinity') THEN value END, 0.10), 4)").alias("p10"),
+        F.expr("ROUND(percentile(CASE WHEN NOT isnan(value) AND abs(value) != double('infinity') THEN value END, 0.50), 4)").alias("p50"),
+        F.expr("ROUND(percentile(CASE WHEN NOT isnan(value) AND abs(value) != double('infinity') THEN value END, 0.90), 4)").alias("p90"),
     )
 
 

@@ -353,8 +353,30 @@ def build_extrememoney(src: str, dst: Path) -> None:
             FROM '{src}/part.parquet')
             TO '{dst}/part.parquet' (FORMAT PARQUET)"""
     )
+    # TRUE-NaN lanes written through duckdb (pandas-written NaN arrives
+    # as parquet NULL — the nonfinite corpus documents that shape; THIS
+    # corpus is the one place a real IEEE NaN payload reaches the
+    # oracles' value sites and the vector kernels' isfinite gates)
+    con.sql(
+        f"""COPY (SELECT event_id, ts, user_id, event_type,
+            {nonfin.format(k='event_id', c='value')} AS value, props
+            FROM '{src}/events.parquet')
+            TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT vec_id,
+            CASE WHEN vec_id % 13 = 5
+                 THEN list_transform(embedding,
+                        (x, i) -> CASE WHEN i = 4 THEN 'nan'::FLOAT
+                                       WHEN i = 9 THEN 'infinity'::FLOAT
+                                       ELSE x END)
+                 ELSE embedding END AS embedding,
+            label
+            FROM '{src}/embeddings.parquet')
+            TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
     con.close()
-    for t in ("region", "nation", "documents", "events", "embeddings"):
+    for t in ("region", "nation", "documents"):
         shutil.copy(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
 
 
