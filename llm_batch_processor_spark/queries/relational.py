@@ -862,7 +862,7 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS n_parts,
            COUNT(DISTINCT l_suppkey) AS n_supps,
-           CAST(SUM(DISTINCT TRY_CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_dist_qty
+           CAST(SUM(DISTINCT TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {DEC})) AS DOUBLE) AS sum_dist_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -2122,7 +2122,7 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_twophase",
     f"""
     SELECT l_returnflag, COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST((l_quantity) AS {DEC})) AS DOUBLE) AS sum_qty
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {DEC})) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -2225,11 +2225,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted",
     f"""
     SELECT l_returnflag,
-           CAST(SUM(TRY_CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {DEC})) AS DOUBLE) AS sum_qty,
            ROUND(CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice * l_quantity)
                                    THEN l_extendedprice * l_quantity END
                                    AS {DEC})) AS DOUBLE)
-                 / CAST(SUM(TRY_CAST(l_quantity AS {DEC})) AS DOUBLE), 4)
+                 / CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {DEC})) AS DOUBLE), 4)
              AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -2721,10 +2721,10 @@ _M_DEC = "DECIMAL(38,8)"
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(TRY_CAST(l_quantity AS {_M_DEC})) AS DOUBLE) AS s1,
-             CAST(SUM(TRY_CAST(l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s2,
-             CAST(SUM(TRY_CAST(l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s3,
-             CAST(SUM(TRY_CAST(l_quantity*l_quantity*l_quantity*l_quantity AS {_M_DEC})) AS DOUBLE) AS s4
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {_M_DEC})) AS DOUBLE) AS s1,
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity END AS {_M_DEC})) AS DOUBLE) AS s2,
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity END AS {_M_DEC})) AS DOUBLE) AS s3,
+             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity*l_quantity END AS {_M_DEC})) AS DOUBLE) AS s4
       FROM lineitem GROUP BY l_returnflag
     )
     """,
