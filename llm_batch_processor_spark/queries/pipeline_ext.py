@@ -5052,8 +5052,11 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN CAST((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775) * 1000) AS HUGEINT) * 2
                        >= CAST(lo AS HUGEINT) + hi THEN 1 ELSE 0
              END AS late
+      -- value IS NULL OR: Spark's isnan is non-nullable (NULL -> false),
+      -- so the engine KEEPS NULL-value rows (NULL bucket, counted in
+      -- totals); only true NaN is excluded
       FROM events, bounds
-      WHERE NOT isnan(value)
+      WHERE value IS NULL OR NOT isnan(value)
     ),
     cnt AS (
       SELECT bucket, SUM(1 - late) AS ca, SUM(late) AS cb
