@@ -971,7 +971,7 @@ def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) - ((((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) % 600) AS bucket_start,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -1167,7 +1167,7 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT lang,
            COUNT(DISTINCT norm) AS n_distinct_norm,
-           ROUND(CAST(SUM(TRY_CAST(CASE WHEN isfinite(length(norm)) THEN length(norm) END AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(length(norm)) THEN length(norm) END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_norm_len
     FROM (
       SELECT lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
@@ -1900,8 +1900,8 @@ def entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT lang, COUNT(*) AS n,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(n_chars) THEN n_chars END AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(n_chars * n_chars) THEN n_chars * n_chars END AS DECIMAL(18,6))) AS DOUBLE) AS s2
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(n_chars) THEN n_chars END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(n_chars * n_chars) THEN n_chars * n_chars END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS s2
       FROM documents GROUP BY lang
       HAVING COUNT(*) > 1 AND (s2 - s1 * s1 / n) > 0
     )
@@ -2262,10 +2262,8 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            COUNT(*) AS n_vecs,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(d0) THEN d0 END
-                             AS DECIMAL(18,6))) AS DOUBLE) AS sum_dim0,
-           ROUND(CAST(SUM(TRY_CAST(CASE WHEN isfinite(nrm) THEN nrm END
-                                   AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(d0) THEN d0 END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sum_dim0,
+           ROUND(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(nrm) THEN nrm END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_norm
     FROM rows0
     GROUP BY label
@@ -2532,9 +2530,8 @@ def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN 0
                      ELSE floor((hi - lo) / GREATEST((hi - lo) / 255, 1e-300)
                                 + 0.5) END AS INT) AS q_max,
-           CAST(TRY_CAST(ROUND(TRY_CAST(CASE WHEN isfinite((hi - lo) / 255)
-                                         THEN (hi - lo) / 255 END
-                                         AS DECIMAL(18,12)), 9)
+           CAST(TRY_CAST(ROUND(TRY_CAST(CAST(CASE WHEN isfinite((hi - lo) / 255)
+                                         THEN (hi - lo) / 255 END AS VARCHAR) AS DECIMAL(18,12)), 9)
                      AS DECIMAL(18,9)) AS DOUBLE) AS scale
     FROM q
     """,
@@ -6183,7 +6180,7 @@ def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS s
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS s
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,

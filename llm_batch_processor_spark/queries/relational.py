@@ -50,18 +50,27 @@ def dsum(expr: str, alias: str) -> str:
     double-rounds above 2^53 (the r6 extreme-ts finding), which the
     extreme-money corpus hits on every rail-magnitude sum; the hop is
     correctly rounded, same as Spark's BigDecimal.doubleValue, and
-    identical to the direct cast below 2^53."""
+    identical to the direct cast below 2^53.
+
+    The INPUT conversion goes through a VARCHAR hop too: Spark's
+    double->DECIMAL cast is BigDecimal(Double.toString(d)) — it rounds
+    the SHORTEST DECIMAL REPR of the double half-up at scale 6 — while
+    DuckDB's direct cast rounds the BINARY value; products landing on a
+    7th-decimal tie (1446 lineitem rows at sf0.1 extreme-money) round
+    apart. DuckDB's CAST(DOUBLE AS VARCHAR) emits the same shortest
+    repr and its VARCHAR->DECIMAL parse is half-up (measured), so the
+    hop reproduces Spark's conversion bit-for-bit."""
     return (
-        f"CAST(CAST(SUM(TRY_CAST((CASE WHEN isfinite({expr}) THEN ({expr}) END)"
-        f" AS {DEC})) AS VARCHAR) AS DOUBLE) AS {alias}"
+        f"CAST(CAST(SUM(TRY_CAST(CAST((CASE WHEN isfinite({expr}) THEN ({expr}) END)"
+        f" AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) AS {alias}"
     )
 
 
 def davg(expr: str, alias: str) -> str:
     """Exact-sum / count — one double division, no accumulation order."""
     return (
-        f"ROUND(CAST(CAST(SUM(TRY_CAST((CASE WHEN isfinite({expr}) THEN ({expr})"
-        f" END) AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*), 4) AS {alias}"
+        f"ROUND(CAST(CAST(SUM(TRY_CAST(CAST((CASE WHEN isfinite({expr}) THEN ({expr})"
+        f" END) AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*), 4) AS {alias}"
     )
 
 
@@ -210,9 +219,8 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            -- isfinite CASE: DuckDB TRY_CAST(NaN/Inf AS DECIMAL) raises
            -- where Spark try_cast NULLs (extreme-money gate, r7)
-           CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
-                              THEN l_extendedprice * (1 - l_discount) END
-                         AS {DEC}) AS DOUBLE) AS revenue,
+           CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount))
+                              THEN l_extendedprice * (1 - l_discount) END AS VARCHAR) AS {DEC}) AS DOUBLE) AS revenue,
            CASE WHEN l_quantity > 40 THEN 'bulk'
                 WHEN l_quantity > 20 THEN 'mid'
                 ELSE 'small' END AS qty_class
@@ -468,9 +476,8 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     f"""
     SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
-           CAST(TRY_CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount))
-                         THEN l.l_extendedprice * (1 - l.l_discount) END
-                    AS {DEC}) AS DOUBLE) AS revenue
+           CAST(TRY_CAST(CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount))
+                         THEN l.l_extendedprice * (1 - l.l_discount) END AS VARCHAR) AS {DEC}) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size > 20
     """,
@@ -862,7 +869,7 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS n_parts,
            COUNT(DISTINCT l_suppkey) AS n_supps,
-           CAST(SUM(DISTINCT TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {DEC})) AS DOUBLE) AS sum_dist_qty
+           CAST(SUM(DISTINCT TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_dist_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1039,9 +1046,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
-           CAST(COALESCE(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)))
+           CAST(COALESCE(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)))
                 FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f,
-           CAST(COALESCE(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)))
+           CAST(COALESCE(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)))
                 FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
     FROM lineitem
     GROUP BY l_returnflag
@@ -1284,8 +1291,8 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_rows",
     f"""
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice)
-                             THEN o_totalprice END AS {DEC})) OVER (
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS VARCHAR) AS {DEC})) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
@@ -1318,8 +1325,7 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (
                PARTITION BY user_id ORDER BY epoch_s
                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END
-                             AS {DEC})) OVER (
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS {DEC})) OVER (
                PARTITION BY user_id ORDER BY epoch_s
                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_10min
     -- clamped trunc-seconds mirror the engine's ts_ns DIV 1e9
@@ -1354,8 +1360,8 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS n_90d,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice)
-                             THEN o_totalprice END AS {DEC})) OVER (
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS VARCHAR) AS {DEC})) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
     FROM orders
@@ -1556,8 +1562,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_unpivot",
     f"""
     SELECT l_returnflag, metric,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(val) THEN val END
-                             AS {DEC})) AS DOUBLE) AS total
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(val) THEN val END AS VARCHAR) AS {DEC})) AS DOUBLE) AS total
     FROM (
       SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
       FROM lineitem
@@ -1658,10 +1663,10 @@ _REG_CORR = (
              -- above 2^53 (extreme-money sums); the hop is correctly
              -- rounded like Spark's BigDecimal.doubleValue
              CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity * l_quantity) THEN l_quantity * l_quantity END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice * l_extendedprice) THEN l_extendedprice * l_extendedprice END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS syy,
-             CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity * l_extendedprice) THEN l_quantity * l_extendedprice END AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(CAST(CASE WHEN isfinite(l_quantity * l_quantity) THEN l_quantity * l_quantity END AS VARCHAR) AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CAST(CASE WHEN isfinite(l_extendedprice * l_extendedprice) THEN l_extendedprice * l_extendedprice END AS VARCHAR) AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(CAST(CASE WHEN isfinite(l_quantity * l_extendedprice) THEN l_quantity * l_extendedprice END AS VARCHAR) AS {_DEC38})) AS VARCHAR) AS DOUBLE) AS sxy
       FROM lineitem
       GROUP BY l_returnflag
     )
@@ -1742,7 +1747,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1
     ), b AS (
       SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
@@ -1866,7 +1871,7 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
              AS n_big,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6)))
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6)))
                   FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
              AS urgent_total,
            CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)
@@ -2007,8 +2012,8 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice)
-                             THEN o_totalprice END AS {DEC})) AS DOUBLE) AS sum_price,
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_price,
            strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS min_date,
            strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS max_date
     FROM orders
@@ -2047,8 +2052,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_time_multi",
     f"""
     SELECT day, hr, COUNT(*) AS n_events,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END
-                             AS {DEC})) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_value
     FROM (
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
@@ -2122,7 +2126,7 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_twophase",
     f"""
     SELECT l_returnflag, COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {DEC})) AS DOUBLE) AS sum_qty
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -2225,11 +2229,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted",
     f"""
     SELECT l_returnflag,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {DEC})) AS DOUBLE) AS sum_qty,
-           ROUND(CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice * l_quantity)
-                                   THEN l_extendedprice * l_quantity END
-                                   AS {DEC})) AS DOUBLE)
-                 / CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {DEC})) AS DOUBLE), 4)
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_qty,
+           ROUND(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * l_quantity)
+                                   THEN l_extendedprice * l_quantity END AS VARCHAR) AS {DEC})) AS DOUBLE)
+                 / CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS DOUBLE), 4)
              AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -2262,8 +2265,8 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- total odd-test
     SELECT CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END AS pri,
            COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice)
-                             THEN o_totalprice END AS {DEC})) AS DOUBLE) AS sum_price
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY pri
     """,
@@ -2379,8 +2382,8 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
              -- DECIMAL(19,6) operands force DuckDB's int128 multiply
              -- (int64 DECIMAL(18) products overflow); values are exact
              -- either way, so the sums equal Spark's DECIMAL(18,6) path
@@ -2390,9 +2393,9 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- fits 19,6, not 18,6) that Spark's (18,6) operands drop -
              -- divergent mass AND a HUGEINT sum overflow
              -- (extreme-money gate, r7)
-             CAST(SUM(TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS syy
+             CAST(SUM(TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -2573,9 +2576,8 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bloom_prefilter",
     """
     SELECT s.s_suppkey, s.s_name,
-           CAST(CAST(SUM(TRY_CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount))
-                              THEN l.l_extendedprice * (1 - l.l_discount) END
-                         AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount))
+                              THEN l.l_extendedprice * (1 - l.l_discount) END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     WHERE s.s_acctbal > 9000
@@ -2721,10 +2723,10 @@ _M_DEC = "DECIMAL(38,8)"
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS {_M_DEC})) AS DOUBLE) AS s1,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity END AS {_M_DEC})) AS DOUBLE) AS s2,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity END AS {_M_DEC})) AS DOUBLE) AS s3,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity*l_quantity END AS {_M_DEC})) AS DOUBLE) AS s4
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {_M_DEC})) AS DOUBLE) AS s1,
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity END AS VARCHAR) AS {_M_DEC})) AS DOUBLE) AS s2,
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity END AS VARCHAR) AS {_M_DEC})) AS DOUBLE) AS s3,
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity*l_quantity END AS VARCHAR) AS {_M_DEC})) AS DOUBLE) AS s4
       FROM lineitem GROUP BY l_returnflag
     )
     """,
@@ -2777,9 +2779,9 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(mean7, 4) AS mean7
     FROM (
       SELECT event_id, user_id, value,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) OVER w AS DOUBLE)
                / COUNT(*) OVER w AS mean7,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value * value) THEN value * value END AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value * value) THEN value * value END AS VARCHAR) AS DECIMAL(18,6))) OVER w AS DOUBLE)
                / COUNT(*) OVER w AS meansq7,
              COUNT(*) OVER w AS n7
       FROM events
@@ -2997,7 +2999,7 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- int64 DECIMAL(18) representations and overflows on
              -- rail-to-rail spans; int128 storage is exact, result
              -- values identical (r6)
-             TRY_CAST(CAST(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6)) AS DECIMAL(24,6))
+             TRY_CAST(CAST(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(24,6))
                   * TRY_CAST(next_s - t_s AS DECIMAL(12,0)) AS DECIMAL(38,6))
                AS num,
              next_s - t_s AS dt
@@ -3063,7 +3065,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS rev
       FROM events GROUP BY event_type, d
     )
     SELECT event_type, strftime(d, '%Y-%m-%d') AS day, rev,
@@ -3214,7 +3216,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ranked AS (
       SELECT o_orderpriority,
-             TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6)) AS x,
+             TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6)) AS x,
              ROW_NUMBER() OVER (
                PARTITION BY o_orderpriority
                ORDER BY o_totalprice, o_orderkey) AS i
@@ -3334,7 +3336,7 @@ def anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS rev
       FROM events GROUP BY event_type, d
     ),
     framed AS (
@@ -3457,7 +3459,13 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
                AS last_day,
              COUNT(*) AS freq,
-             SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS monetary
+             -- COALESCE 0: a customer whose EVERY order is non-finite/
+             -- over-rail has no usable monetary mass; zero is the only
+             -- rankable value both engines agree on (a NULL order key
+             -- cannot totally order the engine's prefix-sum ranking,
+             -- and the engines disagree on NULL placement)
+             -- (extreme-money @ sf0.1 gate, r7)
+             COALESCE(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))), 0) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     tot AS (SELECT COUNT(*) AS n FROM cust),
@@ -3501,7 +3509,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("last_day"),
         F.count("*").alias("freq"),
-        F.expr("SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))").alias("monetary"),
+        # COALESCE 0: all-non-finite customers have no usable monetary
+        # mass; zero is the only rankable value (see oracle comment)
+        F.expr(
+            "COALESCE(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))), 0)"
+        ).alias("monetary"),
     )
     tot = cust.agg(F.count("*").alias("n"))
     ranked = cust.withColumn("one", F.lit(1))
@@ -3540,7 +3552,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH shard AS (
       SELECT o_orderkey % 8 AS shard_id, o_orderpriority,
              COUNT(*) AS n,
-             SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS s,
+             SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS s,
              MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
       FROM orders GROUP BY shard_id, o_orderpriority
     )
@@ -3654,7 +3666,7 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                AS d,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS v
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS v
       FROM orders GROUP BY d
     ),
     marked AS (
@@ -3948,7 +3960,7 @@ def referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.cm AS cohort_m,
              (date_part('year', o.o_orderdate) * 12
               + date_part('month', o.o_orderdate)) - f.cm AS offs,
-             TRY_CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(18,6)) AS p,
+             TRY_CAST(CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS VARCHAR) AS DECIMAL(18,6)) AS p,
              o.o_custkey
       FROM orders o JOIN first f USING (o_custkey)
     ),
@@ -4444,7 +4456,7 @@ def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_value
     FROM b GROUP BY dow, hod
     """,
@@ -4491,7 +4503,7 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((r - 1) * 10 // n AS INT) AS bucket,
            COUNT(*) AS n_rows,
            MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
              AS bucket_sum
     FROM ranked CROSS JOIN tot
     GROUP BY bucket
@@ -4781,13 +4793,12 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT l_returnflag, COUNT(*) AS n,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity * l_quantity) THEN l_quantity * l_quantity END AS DECIMAL(38,6)))
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity * l_quantity) THEN l_quantity * l_quantity END AS VARCHAR) AS DECIMAL(38,6)))
                   AS DOUBLE) AS sxx,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice * l_extendedprice) THEN l_extendedprice * l_extendedprice END
-                           AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity * l_extendedprice) THEN l_quantity * l_extendedprice END AS DECIMAL(38,6)))
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * l_extendedprice) THEN l_extendedprice * l_extendedprice END AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity * l_extendedprice) THEN l_quantity * l_extendedprice END AS VARCHAR) AS DECIMAL(38,6)))
                   AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     ),
@@ -4941,7 +4952,9 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "concentration_8020",
     """
     WITH cust AS (
-      SELECT o_custkey, SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS rev
+      SELECT o_custkey,
+             -- COALESCE 0: see rfm_segmentation's monetary comment
+             COALESCE(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))), 0) AS rev
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -4977,7 +4990,9 @@ def concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
-        F.expr("SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))").alias("rev")
+        F.expr(
+            "COALESCE(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))), 0)"
+        ).alias("rev")
     )
     # one prefix-sum pass yields BOTH the rank (cumsum of 1s) and the
     # running revenue: order by (-rev double, custkey)
@@ -5153,7 +5168,7 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(channel, 'unknown') AS channel,
            COUNT(*) AS n,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
              AS total
     FROM unioned GROUP BY COALESCE(channel, 'unknown')
     """,
@@ -5296,7 +5311,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS low,
            MIN(close_v) AS close,
            COUNT(*) AS n_ticks,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS volume
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS volume
     FROM w
     GROUP BY day, event_type
     """,
@@ -5428,7 +5443,7 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- truncation since % keeps the dividend sign in both engines
            MIN((ns_c - ns_c % 1000000000) // 1000000000) AS first_s,
            MAX((ns_c - ns_c % 1000000000) // 1000000000) AS last_s,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            MIN(let) AS last_event_type,
            MIN(lk) AS last_k
     FROM (
@@ -5848,7 +5863,7 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     reps AS (
       SELECT b,
-             CAST(SUM(m * TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(m * TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
                / SUM(m) AS rep_mean
       FROM fan GROUP BY b
     )
@@ -6282,10 +6297,10 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (
       SELECT event_type,
              CAST(SUM(CASE WHEN period = 0
-                           THEN TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6)) END)
+                           THEN TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6)) END)
                   AS DOUBLE) AS v0,
              CAST(SUM(CASE WHEN period = 1
-                           THEN TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6)) END)
+                           THEN TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6)) END)
                   AS DOUBLE) AS v1,
              CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n0,
@@ -6295,10 +6310,10 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n0, n1, v0, v1,
            v1 - v0 AS delta,
-           (v1 - v0) - (CAST(SUM(TRY_CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS DECIMAL(18,6))) OVER ()
+           (v1 - v0) - (CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS VARCHAR) AS DECIMAL(18,6))) OVER ()
                              AS DOUBLE)
                         / COUNT(*) OVER ()) AS delta_vs_avg,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS DECIMAL(18,6))) OVER () AS DOUBLE)
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS VARCHAR) AS DECIMAL(18,6))) OVER () AS DOUBLE)
              AS total_bridge
     FROM seg
     """,
@@ -6472,7 +6487,7 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     conv AS (
       SELECT user_id,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     credited AS (
@@ -6551,9 +6566,9 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lt AS (
       SELECT l_orderkey,
-             CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                           ) THEN l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           END AS DECIMAL(18,6))) AS DOUBLE) AS computed
+                           END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS computed
       FROM lineitem GROUP BY l_orderkey
     ),
     j AS (
@@ -6573,9 +6588,9 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey
     )
     SELECT bucket, COUNT(*) AS n_orders,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
              AS header_total,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(COALESCE(computed, 0)) THEN COALESCE(computed, 0) END AS DECIMAL(18,6)))
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(COALESCE(computed, 0)) THEN COALESCE(computed, 0) END AS VARCHAR) AS DECIMAL(18,6)))
                 AS DOUBLE) AS line_total
     FROM j GROUP BY bucket
     """,
@@ -6933,7 +6948,7 @@ def rule_violation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             SUM(TRY_CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(18,6))) AS rev_dec
+             SUM(TRY_CAST(CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS rev_dec
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -7079,9 +7094,9 @@ def quantile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT disc_pct, COUNT(*) AS n,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*) AS avg_qty,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*) AS avg_price
     FROM tiers GROUP BY disc_pct
     """,
@@ -7166,7 +7181,7 @@ def heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH seg AS (
       SELECT c.c_mktsegment AS segment, o.o_custkey,
-             SUM(TRY_CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(18,6))) AS rev_dec
+             SUM(TRY_CAST(CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS rev_dec
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY c.c_mktsegment, o.o_custkey
     ),
