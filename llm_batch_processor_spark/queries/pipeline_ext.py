@@ -1899,9 +1899,19 @@ def entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_zscore",
     """
     WITH s AS (
+      -- integer-DECIMAL moment domain (extreme-ints gate, r7): n_chars
+      -- is a BIGINT, so squaring it in int64 overflows at ~3e9 (ANSI
+      -- raise on the engine side); DECIMAL(18,0) factors give a (37,0)
+      -- product and (38,0) sum - exact at any length the cast admits,
+      -- and a length too big for DECIMAL(18,0) drops from BOTH moments
+      -- consistently. VARCHAR hop on the DOUBLE conversion (sums pass
+      -- 2^53 on hostile lengths).
       SELECT lang, COUNT(*) AS n,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(n_chars) THEN n_chars END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(n_chars * n_chars) THEN n_chars * n_chars END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS s2
+             CAST(CAST(SUM(TRY_CAST(n_chars AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) AS s1,
+             -- (19,0) widening AFTER the (18,0) domain cast: forces
+             -- DuckDB's int128 multiply without widening the domain
+             -- (the agg_corr_exact pattern)
+             CAST(CAST(SUM(TRY_CAST(TRY_CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(19,0)) * TRY_CAST(TRY_CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS s2
       FROM documents GROUP BY lang
       HAVING COUNT(*) > 1 AND (s2 - s1 * s1 / n) > 0
     )
@@ -1925,11 +1935,14 @@ def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang")
         .agg(
             F.count("*").alias("n"),
+            # integer-DECIMAL moment domain: int64 n_chars*n_chars
+            # overflows under ANSI at ~3e9 lengths (see oracle comment)
             F.expr(
-                "CAST(SUM(TRY_CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(TRY_CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)"
             ).alias("s1"),
             F.expr(
-                "CAST(SUM(TRY_CAST(n_chars * n_chars AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(TRY_CAST(n_chars AS DECIMAL(18,0))"
+                " * TRY_CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE)"
             ).alias("s2"),
         )
         .filter((F.col("n") > 1) & (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n") > 0))

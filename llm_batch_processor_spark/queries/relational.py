@@ -318,7 +318,11 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- (extreme-money gate, r7)
            CASE WHEN p_retailprice > 0
                 THEN round(ln(p_retailprice), 4) END AS price_ln,
-           round(sqrt(CAST(p_size AS DOUBLE)), 4) AS size_sqrt,
+           -- DuckDB sqrt RAISES on negatives where Spark yields NaN
+           -- (extreme-ints gate, r7)
+           CASE WHEN p_size >= 0
+                THEN round(sqrt(CAST(p_size AS DOUBLE)), 4)
+                ELSE 'nan'::DOUBLE END AS size_sqrt,
            round(pow(CAST(p_size AS DOUBLE), 2.0), 4) AS size_sq,
            p_partkey % 7 AS key_mod
     FROM part

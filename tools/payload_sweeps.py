@@ -380,6 +380,53 @@ def build_extrememoney(src: str, dst: Path) -> None:
         shutil.copy(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
 
 
+def build_extremeints(src: str, dst: Path) -> None:
+    """Hostile INTEGER payload values — the counted-quantity analog of
+    extrememoney: documents.n_chars and part.p_size get negative /
+    zero / int32-rail / near-int64-scale lanes while keys, text and
+    every other column stay pristine (a divergence here is integer
+    arithmetic, nothing else). Real pipelines mint these: a signed
+    overflow in an upstream byte counter (negative sizes), empty docs
+    (0), int32 sentinel values (2147483647 = "unknown"), and corrupt
+    64-bit lengths. Exercises: DIV-vs-floor division on NEGATIVE
+    running sums (Spark's DIV truncates toward zero, DuckDB's //
+    floors — they differ exactly on negatives), negative/huge bin
+    indexes in the binpack/shard planners, length-percentile bands,
+    and weight math in the corpus mixers. The huge lane is int64max/1e6
+    (~9.2e12) so corpus SUMs stay inside int64 — the int64-SUM-overflow
+    posture (DuckDB sums BIGINT into HUGEINT and cannot overflow;
+    Spark raises under ANSI) is a documented structural difference,
+    not a parity target."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (SELECT doc_id, text, lang, source,
+            CAST(CASE doc_id % 17
+              WHEN 2 THEN -n_chars
+              WHEN 5 THEN 0
+              WHEN 8 THEN 2147483647
+              WHEN 11 THEN 9223372036854
+              ELSE n_chars END AS BIGINT) AS n_chars
+            FROM '{src}/documents.parquet')
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT * REPLACE (
+            CAST(CASE p_partkey % 13
+              WHEN 3 THEN -p_size
+              WHEN 7 THEN 0
+              WHEN 11 THEN 2147483647
+              ELSE p_size END AS INT) AS p_size)
+            FROM '{src}/part.parquet')
+            TO '{dst}/part.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    for t in ("region", "nation", "customer", "supplier", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
+
+
 def build_combined(src: str, dst: Path) -> None:
     """EVERY compatible hazard class at once — the interaction domain.
 
@@ -553,6 +600,7 @@ BUILDERS = {
     "dupkeys": build_dupkeys,
     "extremekeys": build_extremekeys,
     "extrememoney": build_extrememoney,
+    "extremeints": build_extremeints,
     "combined": build_combined,
 }
 

@@ -120,6 +120,7 @@ def main() -> int:
         build_combined,
         build_dupkeys,
         build_empty,
+        build_extremeints,
         build_extremekeys,
         build_extrememoney,
         build_hostile,
@@ -156,6 +157,10 @@ def main() -> int:
         # fold contract exercised on the money columns it was written
         # for; keys/dates/text pristine
         "extrememoney": lambda: corpus_row(build_extrememoney, args.sf),
+        # hostile INTEGER payloads (r7 seventh wave): negative/zero/
+        # int32-rail/near-int64 counted quantities — DIV-vs-floor on
+        # negatives, hostile bin indexes, length bands
+        "extremeints": lambda: corpus_row(build_extremeints, args.sf),
         # non-finite floats through the FULL oracle gate (r7 upgrade
         # from crash-only): NULL vector elements (how pandas->parquet
         # writes NaN dims), +-Inf elements, +-Inf/1e308 event values.
@@ -195,6 +200,12 @@ def main() -> int:
         # trigger value never occurs at sf0.01 (found the
         # embedding_random_projection -0.0 rounding class)
         "sf01": lambda: run_selfcheck("/root/testdata/sf0.1"),
+        # opt-in: the extreme-money corpus built from sf0.1 — the gate
+        # that found the conversion-tie class and the all-hostile-
+        # customer rank crashes (ROBUSTNESS.md sixth wave), ~12 min
+        "moneysf01": lambda: corpus_row(
+            build_extrememoney, "/root/testdata/sf0.1"
+        ),
     }
     default_rows = [r for r in rows if r != "sf01"]
     picked = [r for r in args.rows.split(",") if r] or default_rows
