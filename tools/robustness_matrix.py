@@ -11,8 +11,8 @@ prints the ROBUSTNESS.md-ready matrix.
 
 Expected state (r7 baseline):
   pristine / extreme-ts / extremekeys / nulls / hostile / empty /
-  skew / rowperm / nonfinite / ragged / combined / extrememoney
-                                                          267/0/5
+  skew / rowperm / nonfinite / ragged / combined / extrememoney /
+  extremeints                                             267/0/5
   dupkeys  260/7/5  (the documented keyed-entity contract class)
   local4 / noBroadcastNoAQE / noCodegen / tokyo-TZ        267/0/5
 
@@ -20,9 +20,10 @@ Usage:
     python tools/robustness_matrix.py [--rows r1,r2,...] [--sf DIR]
         [--out MATRIX.json]
 Rows: pristine extremets extremekeys nulls hostile dupkeys empty skew
-      rowperm nonfinite ragged combined local4 nobcast nocodegen tokyo
-      (default); sf01 (opt-in via --rows: the full gate at sf0.1,
-      ~20 min)
+      rowperm nonfinite ragged combined extrememoney extremeints
+      local4 nobcast nocodegen tokyo (default); opt-in via --rows:
+      sf01 (the full gate at sf0.1 pristine, ~20 min) and moneysf01
+      (the extreme-money corpus built from sf0.1, ~12 min)
 """
 
 from __future__ import annotations
