@@ -805,7 +805,8 @@ def ngram_jaccard_pairs_collapsed(
         raise ValueError("min_jaccard must be > 0")
     # hashed gram sets, materialized once: the vocabulary probe and both
     # downstream strategies consume them (lazy persist below 1 M rows —
-    # the count right after fills the cache in the same job)
+    # the vocabulary probe's distinct map stage, the next single-branch
+    # job, fills the cache before any multi-branch consumer scans it)
     members, reps, n_input, collapsed = _collapse_exact(df, id_col, text_col)
     sets_df = (
         _spread(reps, n_input)

@@ -971,7 +971,7 @@ def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) - ((((least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) - (least(greatest(epoch_us(ts), -9223372036854775), 9223372036854775)) % 1000000) // 1000000) % 600) AS bucket_start,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -1167,7 +1167,7 @@ def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT lang,
            COUNT(DISTINCT norm) AS n_distinct_norm,
-           ROUND(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(length(norm)) THEN length(norm) END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(length(norm)) THEN length(norm) END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*), 4) AS avg_norm_len
     FROM (
       SELECT lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
@@ -2275,8 +2275,8 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            COUNT(*) AS n_vecs,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(d0) THEN d0 END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sum_dim0,
-           ROUND(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(nrm) THEN nrm END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(d0) THEN d0 END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_dim0,
+           ROUND(CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(nrm) THEN nrm END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*), 4) AS avg_norm
     FROM rows0
     GROUP BY label
@@ -6193,7 +6193,7 @@ def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS s
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,

@@ -319,10 +319,12 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN p_retailprice > 0
                 THEN round(ln(p_retailprice), 4) END AS price_ln,
            -- DuckDB sqrt RAISES on negatives where Spark yields NaN
-           -- (extreme-ints gate, r7)
+           -- (extreme-ints gate, r7); NULL must fall through to NULL
+           -- (Spark's sqrt(NULL) is NULL, not NaN), so negatives get an
+           -- explicit arm instead of a catch-all ELSE (ADVICE r7)
            CASE WHEN p_size >= 0
                 THEN round(sqrt(CAST(p_size AS DOUBLE)), 4)
-                ELSE 'nan'::DOUBLE END AS size_sqrt,
+                WHEN p_size < 0 THEN 'nan'::DOUBLE END AS size_sqrt,
            round(pow(CAST(p_size AS DOUBLE), 2.0), 4) AS size_sq,
            p_partkey % 7 AS key_mod
     FROM part
@@ -1050,10 +1052,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
            CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o,
-           CAST(COALESCE(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)))
-                FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f,
-           CAST(COALESCE(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)))
-                FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
+           CAST(CAST(COALESCE(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)))
+                FILTER (WHERE l_linestatus = 'F'), 0) AS VARCHAR) AS DOUBLE) AS qty_f,
+           CAST(CAST(COALESCE(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)))
+                FILTER (WHERE l_linestatus = 'O'), 0) AS VARCHAR) AS DOUBLE) AS qty_o
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1155,7 +1157,11 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- RAISES on <= 0, so the in-aggregate LN is made total with
            -- a CASE (FILTER does not prevent argument evaluation) and
            -- the lanes are reconstructed outside
-           CASE WHEN bool_or(isnan(l_extendedprice) OR l_extendedprice < 0)
+           -- a NULL lane also poisons: the engine's UDAF to_numpy turns
+           -- NULL into NaN before the log-mean, while bool_or/AVG would
+           -- silently skip it (ADVICE r7)
+           CASE WHEN bool_or(l_extendedprice IS NULL
+                             OR isnan(l_extendedprice) OR l_extendedprice < 0)
                 THEN 'nan'::DOUBLE
                 WHEN bool_or(l_extendedprice = 0)
                      AND bool_or(l_extendedprice = 'infinity'::DOUBLE)
@@ -1295,11 +1301,11 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_rows",
     f"""
     SELECT o_orderkey, o_custkey,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
                              THEN o_totalprice END AS VARCHAR) AS {DEC})) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend,
            COUNT(*) OVER (PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
@@ -1329,9 +1335,9 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (
                PARTITION BY user_id ORDER BY epoch_s
                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS {DEC})) OVER (
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS {DEC})) OVER (
                PARTITION BY user_id ORDER BY epoch_s
-               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_10min
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS val_10min
     -- clamped trunc-seconds mirror the engine's ts_ns DIV 1e9
     -- (extreme-ts parity audit, r6)
     FROM (SELECT event_id, user_id, value,
@@ -1364,10 +1370,10 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS n_90d,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
                              THEN o_totalprice END AS VARCHAR) AS {DEC})) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
-               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS spend_90d
     FROM orders
     """,
     doc="calendar-INTERVAL range frame over the order date (trailing-90-"
@@ -1566,7 +1572,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_unpivot",
     f"""
     SELECT l_returnflag, metric,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(val) THEN val END AS VARCHAR) AS {DEC})) AS DOUBLE) AS total
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(val) THEN val END AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) AS total
     FROM (
       SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
       FROM lineitem
@@ -1751,7 +1757,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1
     ), b AS (
       SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
@@ -1875,8 +1881,8 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
              AS n_big,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6)))
-                  FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6)))
+                  FILTER (WHERE o_orderpriority = '1-URGENT') AS VARCHAR) AS DOUBLE)
              AS urgent_total,
            CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 150000)
                 AS BIGINT) AS n_big_custs
@@ -2016,8 +2022,8 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
-                             THEN o_totalprice END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_price,
            strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS min_date,
            strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS max_date
     FROM orders
@@ -2056,7 +2062,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_time_multi",
     f"""
     SELECT day, hr, COUNT(*) AS n_events,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM (
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
@@ -2130,7 +2136,7 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_twophase",
     f"""
     SELECT l_returnflag, COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -2233,10 +2239,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted",
     f"""
     SELECT l_returnflag,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_qty,
-           ROUND(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * l_quantity)
-                                   THEN l_extendedprice * l_quantity END AS VARCHAR) AS {DEC})) AS DOUBLE)
-                 / CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS DOUBLE), 4)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           ROUND(CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * l_quantity)
+                                   THEN l_extendedprice * l_quantity END AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE), 4)
              AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -2269,8 +2275,8 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- total odd-test
     SELECT CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END AS pri,
            COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
-                             THEN o_totalprice END AS VARCHAR) AS {DEC})) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY pri
     """,
@@ -2386,8 +2392,8 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
              -- DECIMAL(19,6) operands force DuckDB's int128 multiply
              -- (int64 DECIMAL(18) products overflow); values are exact
              -- either way, so the sums equal Spark's DECIMAL(18,6) path
@@ -2397,9 +2403,9 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- fits 19,6, not 18,6) that Spark's (18,6) operands drop -
              -- divergent mass AND a HUGEINT sum overflow
              -- (extreme-money gate, r7)
-             CAST(SUM(TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE) AS syy
+             CAST(CAST(SUM(TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6)) * TRY_CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -2727,10 +2733,10 @@ _M_DEC = "DECIMAL(38,8)"
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {_M_DEC})) AS DOUBLE) AS s1,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity END AS VARCHAR) AS {_M_DEC})) AS DOUBLE) AS s2,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity END AS VARCHAR) AS {_M_DEC})) AS DOUBLE) AS s3,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity*l_quantity END AS VARCHAR) AS {_M_DEC})) AS DOUBLE) AS s4
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS {_M_DEC})) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity END AS VARCHAR) AS {_M_DEC})) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity END AS VARCHAR) AS {_M_DEC})) AS VARCHAR) AS DOUBLE) AS s3,
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity*l_quantity*l_quantity*l_quantity END AS VARCHAR) AS {_M_DEC})) AS VARCHAR) AS DOUBLE) AS s4
       FROM lineitem GROUP BY l_returnflag
     )
     """,
@@ -2783,9 +2789,9 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(mean7, 4) AS mean7
     FROM (
       SELECT event_id, user_id, value,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
                / COUNT(*) OVER w AS mean7,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value * value) THEN value * value END AS VARCHAR) AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value * value) THEN value * value END AS VARCHAR) AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
                / COUNT(*) OVER w AS meansq7,
              COUNT(*) OVER w AS n7
       FROM events
@@ -2848,7 +2854,7 @@ def win_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT n_regionkey,
            COUNT(*) AS n_rows,
-           CAST(SUM(TRY_CAST((n_nationkey) AS {DEC})) AS DOUBLE) AS key_sum,
+           CAST(CAST(SUM(TRY_CAST((n_nationkey) AS {DEC})) AS VARCHAR) AS DOUBLE) AS key_sum,
            MIN(n_name) AS first_name
     FROM nation
     GROUP BY n_regionkey
@@ -3069,7 +3075,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS rev
       FROM events GROUP BY event_type, d
     )
     SELECT event_type, strftime(d, '%Y-%m-%d') AS day, rev,
@@ -3340,7 +3346,7 @@ def anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS rev
       FROM events GROUP BY event_type, d
     ),
     framed AS (
@@ -3670,7 +3676,7 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                AS d,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS v
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS v
       FROM orders GROUP BY d
     ),
     marked AS (
@@ -3755,14 +3761,27 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") - F.col("pd")).cast("double")
         / (F.col("nd") - F.col("pd")).cast("double")
     )
+    # floor(x*1e4+0.5)/1e4, not round(): see the oracle comment —
+    # midpoint ties are systematic here and the two engines' ROUND
+    # conventions differ at exact 5-tails. Spark's floor(DOUBLE)
+    # returns LONG with a SATURATING cast (|x| >= ~9.2e18 pins to
+    # Long.MAX) while DuckDB's FLOOR stays DOUBLE — but any double
+    # with |x| >= 2^52 is already integer-valued, so FLOOR(x) = x
+    # there in DOUBLE semantics; branching at 2^52 (inside the safe
+    # long range) mirrors the oracle at every magnitude (ADVICE r7)
+    def _floor_tie4(c):
+        x = c * 10000 + F.lit(0.5)
+        return (
+            F.when(F.abs(x) >= F.lit(4503599627370496.0), x)
+            .otherwise(F.floor(x).cast("double"))
+            / 10000
+        )
+
     return nb.select(
         "d",
-        # floor(x*1e4+0.5)/1e4, not round(): see the oracle comment —
-        # midpoint ties are systematic here and the two engines' ROUND
-        # conventions differ at exact 5-tails
-        F.when(F.col("known"), F.floor(F.col("v") * 10000 + 0.5) / 10000)
+        F.when(F.col("known"), _floor_tie4(F.col("v")))
         .when(F.col("pd").isNull() | F.col("nd").isNull(), F.lit(None))
-        .otherwise(F.floor(interp * 10000 + 0.5) / 10000)
+        .otherwise(_floor_tie4(interp))
         .alias("v_filled"),
         F.col("known").cast("int").alias("is_observed"),
     )
@@ -4460,7 +4479,7 @@ def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*), 4) AS avg_value
     FROM b GROUP BY dow, hod
     """,
@@ -4507,7 +4526,7 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((r - 1) * 10 // n AS INT) AS bucket,
            COUNT(*) AS n_rows,
            MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              AS bucket_sum
     FROM ranked CROSS JOIN tot
     GROUP BY bucket
@@ -4797,13 +4816,11 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT l_returnflag, COUNT(*) AS n,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity * l_quantity) THEN l_quantity * l_quantity END AS VARCHAR) AS DECIMAL(38,6)))
-                  AS DOUBLE) AS sxx,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * l_extendedprice) THEN l_extendedprice * l_extendedprice END AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity * l_extendedprice) THEN l_quantity * l_extendedprice END AS VARCHAR) AS DECIMAL(38,6)))
-                  AS DOUBLE) AS sxy
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity * l_quantity) THEN l_quantity * l_quantity END AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * l_extendedprice) THEN l_extendedprice * l_extendedprice END AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity * l_extendedprice) THEN l_quantity * l_extendedprice END AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     ),
     cov AS (
@@ -5172,7 +5189,7 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(channel, 'unknown') AS channel,
            COUNT(*) AS n,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              AS total
     FROM unioned GROUP BY COALESCE(channel, 'unknown')
     """,
@@ -5315,7 +5332,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS low,
            MIN(close_v) AS close,
            COUNT(*) AS n_ticks,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS volume
     FROM w
     GROUP BY day, event_type
     """,
@@ -5447,7 +5464,7 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- truncation since % keeps the dividend sign in both engines
            MIN((ns_c - ns_c % 1000000000) // 1000000000) AS first_s,
            MAX((ns_c - ns_c % 1000000000) // 1000000000) AS last_s,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value,
            MIN(let) AS last_event_type,
            MIN(lk) AS last_k
     FROM (
@@ -5669,8 +5686,8 @@ def mutual_info_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type, COUNT(*) AS n,
            ROUND(MIN(lo), 4) AS p05,
            ROUND(MIN(hi), 4) AS p95,
-           CAST(SUM(TRY_CAST(LEAST(GREATEST(e.value, lo), hi)
-                         AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(TRY_CAST(LEAST(GREATEST(e.value, lo), hi)
+                         AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              / COUNT(*) AS winsorized_mean
     FROM events e JOIN th USING (event_type)
     GROUP BY e.event_type
@@ -6314,10 +6331,9 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n0, n1, v0, v1,
            v1 - v0 AS delta,
-           (v1 - v0) - (CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS VARCHAR) AS DECIMAL(18,6))) OVER ()
-                             AS DOUBLE)
+           (v1 - v0) - (CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS VARCHAR) AS DECIMAL(18,6))) OVER () AS VARCHAR) AS DOUBLE)
                         / COUNT(*) OVER ()) AS delta_vs_avg,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS VARCHAR) AS DECIMAL(18,6))) OVER () AS DOUBLE)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(v1 - v0) THEN v1 - v0 END AS VARCHAR) AS DECIMAL(18,6))) OVER () AS VARCHAR) AS DOUBLE)
              AS total_bridge
     FROM seg
     """,
@@ -6491,7 +6507,7 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     conv AS (
       SELECT user_id,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     credited AS (
@@ -6570,9 +6586,9 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lt AS (
       SELECT l_orderkey,
-             CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+             CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                           ) THEN l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS computed
+                           END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS computed
       FROM lineitem GROUP BY l_orderkey
     ),
     j AS (
@@ -6592,10 +6608,9 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey
     )
     SELECT bucket, COUNT(*) AS n_orders,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              AS header_total,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(COALESCE(computed, 0)) THEN COALESCE(computed, 0) END AS VARCHAR) AS DECIMAL(18,6)))
-                AS DOUBLE) AS line_total
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(COALESCE(computed, 0)) THEN COALESCE(computed, 0) END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS line_total
     FROM j GROUP BY bucket
     """,
     doc="cross-table reconciliation audit: order-header totals vs the "
@@ -7098,9 +7113,9 @@ def quantile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT disc_pct, COUNT(*) AS n,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              / COUNT(*) AS avg_qty,
-           CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              / COUNT(*) AS avg_price
     FROM tiers GROUP BY disc_pct
     """,
