@@ -2,15 +2,21 @@
 so every downstream keyed operator can assume its contract.
 
 Motivated by the r6 duplicate-key sweep (`payload_sweeps --mode
-dupkeys`, the re-crawl / retry-ingest shape): all 272 queries execute
-crash-free on colliding primary keys and 260 stay oracle-exact, but
-the keyed-ENTITY families — PQ codebooks, kNN neighbor identity, the
-near-dup pair/graph queries — are semantically underdetermined when
+dupkeys`, the re-crawl / retry-ingest shape): every query executes
+crash-free on colliding primary keys and all but the keyed-ENTITY
+families stay oracle-exact — PQ codebooks, kNN neighbor identity, the
+near-dup pair/graph queries are semantically underdetermined when
 one id names two different payloads ("pair (a, b)" has no single
 jaccard when a is two texts). No engine can answer an ill-posed
 query; the scalable posture is to validate the key contract at the
 pipeline boundary, quarantine violations, and keep the operators
-assumption-free-fast. (A synthetic per-row id would sidestep dup
+assumption-free-fast. Since r8 the keyed-entity queries are
+SELF-DEFENDING: each invokes :func:`require_unique` at entry
+(queries/pipeline_ext.py `_key_contract`), so on a duplicate-key
+corpus they fail typed with :class:`KeyContractError` instead of
+returning an underdetermined answer — pinned per-query by
+tests/test_dupkeys_contract.py and as a matrix row by
+tools/robustness_matrix.py (dupkeys -> exactly that family, typed). (A synthetic per-row id would sidestep dup
 keys but `monotonically_increasing_id` is partition-layout-dependent
 — it would break the engine's parallelism-invariance guarantee, the
 property that local[4]/7-partition runs hash-identically to

@@ -28,6 +28,28 @@ from . import Registry
 Q = Registry()
 
 
+def _key_contract(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Entry gate for the keyed-ENTITY query family (VERDICT r7 item 2):
+    PQ codebooks, kNN neighbor identity and the near-dup pair/graph
+    queries are semantically underdetermined when one id names two
+    payloads ("pair (a, b)" has no single jaccard when a is two texts),
+    so instead of diverging silently on a duplicate-key corpus they
+    fail TYPED at query entry with :class:`KeyContractError` and a
+    bounded violation sample. Cost: one key-column-only scan +
+    map-side-combined count per call — the cheapest full-data pass
+    there is, and the same precheck a 100 TB ingest runs once at the
+    pipeline boundary. The selfcheck/robustness harness records the
+    typed failure as its own outcome class (`contract`), distinct from
+    a wrong answer."""
+    from ..operators.contracts import require_unique
+
+    return require_unique(df, key_cols)
+
+
+def _doc_key_contract(df: DataFrame) -> DataFrame:
+    return _key_contract(df, ["doc_id"])
+
+
 def _nsq(col: str = "embedding") -> str:
     """SQL: squared L2 norm of a vector, NULL-ELEMENT-SAFE.
 
@@ -86,7 +108,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components, minhash_pairs_collapsed
 
-    d = load(spark, sf_dir, "documents")
+    d = _doc_key_contract(load(spark, sf_dir, "documents"))
     # collapsed form (r5 skew audit): CC runs on the exact-dedup
     # REPRESENTATIVE graph and labels expand through the id->rep map —
     # a boilerplate clique contributes one node instead of a quadratic
@@ -118,7 +140,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_pairs
 
-    d = load(spark, sf_dir, "documents")
+    d = _doc_key_contract(load(spark, sf_dir, "documents"))
     return simhash_pairs(d, max_hamming=16)
 
 
@@ -152,7 +174,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
 
-    d = load(spark, sf_dir, "documents")
+    d = _doc_key_contract(load(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -227,7 +249,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_bucket_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
     return lsh_bucket_topk(e, k=5, n_planes=6, seed=42)
 
 
@@ -240,8 +262,74 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
     return ivf_topk(e, k=5, n_cells=16, n_probe=2, seed=42, dim=64)
+
+
+@Q.add(
+    "sim_ann_lsh_exact",
+    f"""
+    -- brute-force oracle: multiprobe LSH with n_flip = n_planes probes
+    -- the WHOLE signature space, so the ANN machinery (bit-packed
+    -- signatures, hot-bucket sub-split, cogrouped GEMM rerank) must
+    -- reproduce exact cosine top-k bit-for-bit (VERDICT r7 item 3 —
+    -- the hash-graded exact configuration of the seeded sim_ann_lsh)
+    WITH emb AS (
+      SELECT * FROM embeddings WHERE {_emb_gate()}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                        v.vec_id ASC) AS rank
+      FROM emb q JOIN emb v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+    doc="sim_ann_lsh's EXACT configuration: multiprobe hyperplane LSH "
+    "with n_flip = n_planes (every bucket probed) — same ANN plan "
+    "shape as the seeded query, hash-graded against brute force",
+)
+def sim_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_query_topk
+
+    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_query_topk(e, queries, k=5, n_planes=6, n_flip=6, dim=64)
+
+
+@Q.add(
+    "sim_ann_ivf_exact",
+    f"""
+    -- all-pairs brute-force oracle: IVF with n_probe = n_cells probes
+    -- every cell, so the candidate set is the full corpus and the
+    -- sample-trained coarse quantizer cannot affect the result —
+    -- only the cogrouped in-cell rerank must be exact (VERDICT r7
+    -- item 3 — the hash-graded exact configuration of sim_ann_ivf)
+    WITH emb AS (
+      SELECT * FROM embeddings WHERE {_emb_gate()}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                        v.vec_id ASC) AS rank
+      FROM emb q JOIN emb v ON v.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+    """,
+    doc="sim_ann_ivf's EXACT configuration: IVF all-pairs top-5 at full "
+    "probe (n_probe = n_cells) — seeded kmeans cells become pure "
+    "partitioning, hash-graded against all-pairs brute force",
+)
+def sim_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
+    return ivf_topk(e, k=5, n_cells=8, n_probe=8, seed=42, dim=64)
 
 
 @Q.add(
@@ -1308,7 +1396,7 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components, ngram_jaccard_pairs_collapsed
 
-    d = load(spark, sf_dir, "documents")
+    d = _doc_key_contract(load(spark, sf_dir, "documents"))
     # collapsed form (r5 skew audit): CC runs on the exact-dedup
     # REPRESENTATIVE graph (a boilerplate clique is one node, not a
     # quadratic intra-pair set) and labels expand through the id->rep
@@ -3024,7 +3112,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs_collapsed,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = _doc_key_contract(load(spark, sf_dir, "documents"))
     rep_pairs, _members, surv, _collapsed = ngram_jaccard_pairs_collapsed(
         d, n=2, min_jaccard=0.2
     )
@@ -3415,7 +3503,7 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs_collapsed
 
-    d = load(spark, sf_dir, "documents")
+    d = _doc_key_contract(load(spark, sf_dir, "documents"))
     # collapsed iteration (r5 skew audit): members of a group of
     # identical texts have IDENTICAL neighborhoods, hence identical
     # ranks at every step — so the fixed-point runs on the rep graph
@@ -4650,7 +4738,7 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returns the FIRST NaN index and would assign every such row —
     # or, for a corrupt CENTROID, every row in the corpus — to an
     # arbitrary code). Mirrored in the oracle's emb64 CTE (r7).
-    emb = load(spark, sf_dir, "embeddings").filter(
+    emb = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"]).filter(
         (F.size("embedding") == 64)
         & F.expr(
             "aggregate(embedding, true,"
@@ -4662,10 +4750,10 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ce"))
         .collect()
     )
-    # total sort key: under duplicate vec_ids (the documented key-
-    # contract violation) id alone ties and the collect order would
-    # leak into the codebook — (id, vector) keeps even that case
-    # run-deterministic within the engine
+    # total sort key: duplicate vec_ids now fail typed at the entry
+    # gate above, but (id, vector) keeps the codebook collect
+    # run-deterministic even if a caller bypasses the gate — belt
+    # and suspenders on the one driver-side data dependency here
     cb_rows.sort(key=lambda r: (r["vec_id"], r["ce"]))
     cids = np.array([r["vec_id"] for r in cb_rows], dtype=np.int64)
     C = np.array([r["ce"] for r in cb_rows], dtype=np.float64)  # (16, 64)
@@ -5733,7 +5821,7 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import candidate_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
     train = e.filter(F.col("vec_id") >= 50)
     queries = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -6373,7 +6461,7 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _checkpoint, ngram_jaccard_pairs_collapsed
 
-    d = load(spark, sf_dir, "documents")
+    d = _doc_key_contract(load(spark, sf_dir, "documents"))
     rep_pairs, members, surv, _collapsed = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
     # eager checkpoint, not lazy persist: FIVE branches (both nbr
     # orientations + e1/e2/e3) scan edges inside one job — lazy-persist

@@ -592,3 +592,99 @@ def test_collapsed_pagerank_matches_bruteforce(
         r = {n: 150000000000 + (85 * sum(c[u] for u in nbrs[n])) // 100 for n in nbrs}
     assert got == r
     assert len({got[0], got[1], got[2]}) == 1  # identical texts, equal rank
+
+
+# ---------------------------------------------------------------------------
+# r8 exact-mode pins (VERDICT r7 item 3): the seeded near-dup ops each
+# hash-exactly reproduce a brute-force reference in a configuration
+# where their recall is total — banding/seeding can then only affect
+# COST, never the answer.
+# ---------------------------------------------------------------------------
+
+_EXACT_BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four five "
+    "six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+)
+
+
+def _exact_corpus():
+    """Planted mix: exact dups, 1/2-token edits, disjoint outliers."""
+    toks = _EXACT_BASE.split()
+    rows = [(0, _EXACT_BASE), (1, _EXACT_BASE)]  # exact dup pair
+    edit1 = toks.copy(); edit1[7] = "hostel"
+    rows.append((2, " ".join(edit1)))  # 1-token edit of 0
+    edit2 = toks.copy(); edit2[3] = "dora"; edit2[30] = "stix"
+    rows.append((3, " ".join(edit2)))  # 2-token edit of 0
+    half = toks[:20] + ["gamma%d" % i for i in range(20)]
+    rows.append((4, " ".join(half)))  # half-overlap
+    rows.append((5, " ".join("zeta%d" % i for i in range(40))))  # disjoint
+    rows.append((6, " ".join("eta%d" % i for i in range(40))))  # disjoint
+    edit1b = edit1.copy(); edit1b[25] = "owl"
+    rows.append((7, " ".join(edit1b)))  # 2-token edit chain
+    return rows
+
+
+def _py_shingles(text: str, n: int) -> frozenset:
+    t = text.split()
+    return frozenset(" ".join(t[i : i + n]) for i in range(len(t) - n + 1))
+
+
+def test_minhash_pair_set_equals_exact_jaccard_on_planted_corpus(spark):
+    """The emitted pair set (and every distance) must equal the exact
+    3-shingle Jaccard reference: precision 1.0 is structural (the band
+    join is followed by exact verification over the full shingle sets)
+    and recall 1.0 holds deterministically for this corpus under the
+    fixed seed — so banding can only have dropped pairs, and this pin
+    proves it dropped none."""
+    rows = _exact_corpus()
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard_distance"], 9)
+        for r in minhash_pairs(df, jaccard_max_distance=0.5).collect()
+    }
+    sets = {i: _py_shingles(t, 3) for i, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            d = 1 - inter / union
+            if d <= 0.5:
+                want[(a, b)] = round(d, 9)
+    assert want, "vacuous corpus: no exact near-dup pairs planted"
+    assert (0, 1) in want and want[(0, 1)] == 0.0
+    assert got == want
+
+
+def test_simhash_exact_mode_equals_bruteforce_hamming(spark):
+    """simhash_pairs at max_hamming = n_bands - 1 has GUARANTEED recall
+    (pigeonhole: h flipped bits cannot straddle all h+1 bands), so the
+    emitted pair set must equal brute-force Hamming over the engine's
+    own signatures — the hash-exact pin of dedup_simhash's exact mode."""
+    from llm_batch_processor_spark.operators.dedup import simhash_col
+
+    rows = _exact_corpus()
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()
+    }
+    want = {}
+    for a in sigs:
+        for b in sigs:
+            if a >= b:
+                continue
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 7:
+                want[(a, b)] = h
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=7, n_bands=8).collect()
+    }
+    assert want, "vacuous corpus: no pairs within hamming 7"
+    assert any(h > 0 for h in want.values()), "only trivial hamming-0 pairs"
+    assert got == want

@@ -70,6 +70,78 @@ def _dup_docs(spark):
     return spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING, source STRING")
 
 
+GATED_DOC_QUERIES = [
+    "dedup_ngram_jaccard", "dedup_clusters", "degree_distribution",
+    "graph_pagerank", "graph_triangles", "dedup_minhash", "dedup_simhash",
+]
+GATED_VEC_QUERIES = [
+    "knn_classify", "embedding_pq_assign", "sim_ann_lsh", "sim_ann_ivf",
+    "sim_ann_lsh_exact", "sim_ann_ivf_exact",
+]
+
+
+def _write_corpus(spark, tmp_path, dup_docs=False, dup_vecs=False) -> str:
+    """Tiny documents + embeddings tables; optionally with one
+    colliding primary key each (the re-crawl shape)."""
+    sf = str(tmp_path / ("dup" if dup_docs or dup_vecs else "uniq"))
+    doc_rows = [
+        (i, f"alpha beta gamma token{i} delta epsilon", "en", "s0", 30)
+        for i in range(8)
+    ]
+    if dup_docs:
+        doc_rows.append((3, "a completely different payload text", "fr", "s1", 20))
+    spark.createDataFrame(
+        doc_rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT"
+    ).coalesce(1).write.parquet(sf + "/documents.parquet")
+    vec_rows = [
+        (i, [float((i * 7 + j) % 5) + 0.25 for j in range(64)], "L%d" % (i % 2))
+        for i in range(60)
+    ]
+    if dup_vecs:
+        vec_rows.append((7, [0.5] * 64, "L1"))
+    spark.createDataFrame(
+        vec_rows, "vec_id LONG, embedding ARRAY<FLOAT>, label STRING"
+    ).coalesce(1).write.parquet(sf + "/embeddings.parquet")
+    return sf
+
+
+@pytest.mark.parametrize("qname", GATED_DOC_QUERIES)
+def test_keyed_entity_queries_fail_typed_on_dup_doc_ids(spark, tmp_path, qname):
+    """VERDICT r7 item 2: the keyed-entity family must be
+    self-defending — a duplicate doc_id raises KeyContractError at
+    query entry instead of producing an underdetermined answer."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    sf = _write_corpus(spark, tmp_path, dup_docs=True)
+    with pytest.raises(KeyContractError, match=r"doc_id.*\(3\) x2"):
+        all_queries()[qname].fn(spark, sf)
+
+
+@pytest.mark.parametrize("qname", GATED_VEC_QUERIES)
+def test_keyed_entity_queries_fail_typed_on_dup_vec_ids(spark, tmp_path, qname):
+    from llm_batch_processor_spark.queries import all_queries
+
+    sf = _write_corpus(spark, tmp_path, dup_vecs=True)
+    with pytest.raises(KeyContractError, match=r"vec_id.*\(7\) x2"):
+        all_queries()[qname].fn(spark, sf)
+
+
+def test_gated_queries_pass_through_on_unique_keys(spark, tmp_path):
+    """The gate must be invisible on contract-clean data: every gated
+    query still plans and executes (one representative per key kind
+    executed fully; the rest plan without raising)."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    sf = _write_corpus(spark, tmp_path)
+    qs = all_queries()
+    # full execution for the two cheapest representatives
+    assert qs["dedup_ngram_jaccard"].fn(spark, sf).count() >= 0
+    assert qs["knn_classify"].fn(spark, sf).count() >= 0
+    # the expensive ones only need to clear the eager entry gate
+    for qname in ("graph_pagerank", "graph_triangles", "sim_ann_ivf"):
+        qs[qname].fn(spark, sf)
+
+
 def test_enrich_is_per_record_not_join(spark, tmp_path):
     """enrich_label / sink_jsonl semantics: one output row per INPUT
     row even when ids collide (reference A10: JSONL items are

@@ -9,12 +9,15 @@ invariance sweeps + pristine, each as a `tools/selfcheck.py`
 subprocess (own SparkSession — masters/confs can differ per row), and
 prints the ROBUSTNESS.md-ready matrix.
 
-Expected state (r7 baseline):
+Expected state (r8 baseline, 274 queries):
   pristine / extreme-ts / extremekeys / nulls / hostile / empty /
   skew / rowperm / nonfinite / ragged / combined / extrememoney /
-  extremeints                                             267/0/5
-  dupkeys  260/7/5  (the documented keyed-entity contract class)
-  local4 / noBroadcastNoAQE / noCodegen / tokyo-TZ        267/0/5
+  extremeints                                             269/0/5/0
+  dupkeys  260/0/1/13 (the keyed-entity family fails TYPED at entry —
+                       KeyContractError, no free-floating divergences;
+                       agg_approx_distinct is the one remaining
+                       rows-only row there)
+  local4 / noBroadcastNoAQE / noCodegen / tokyo-TZ        269/0/5/0
 
 Usage:
     python tools/robustness_matrix.py [--rows r1,r2,...] [--sf DIR]
@@ -41,7 +44,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-TAIL = re.compile(r"(\d+) pass, (\d+) fail, (\d+) rows-only")
+TAIL = re.compile(r"(\d+) pass, (\d+) fail, (\d+) rows-only(?:, (\d+) contract)?")
 
 
 def run_selfcheck(sf_dir: str, conf: list[str] | None = None,
@@ -60,11 +63,17 @@ def run_selfcheck(sf_dir: str, conf: list[str] | None = None,
     fm = re.search(r"^failures: (.*)$", proc.stdout, re.M)
     if fm:
         fails = fm.group(1).split(",")
+    contracts = []
+    cm = re.search(r"^contracts: (.*)$", proc.stdout, re.M)
+    if cm:
+        contracts = cm.group(1).split(",")
     return {
         "pass": int(m.group(1)) if m else None,
         "fail": int(m.group(2)) if m else None,
         "rows_only": int(m.group(3)) if m else None,
+        "contract": int(m.group(4) or 0) if m else None,
         "failures": fails,
+        "contracts": contracts,
         "sec": round(time.time() - t0, 1),
         "exit": proc.returncode,
         "tail": proc.stdout[-400:] if not m else "",
@@ -220,35 +229,57 @@ def main() -> int:
         r = rows[name]()
         results[name] = r
         print(
-            f"== {name}: {r['pass']}/{r['fail']}/{r['rows_only']} "
-            f"({r['sec']}s)" + (f" failures={r['failures']}" if r["failures"] else ""),
+            f"== {name}: {r['pass']}/{r['fail']}/{r['rows_only']}"
+            + (f"/{r['contract']}c" if r.get("contract") else "")
+            + f" ({r['sec']}s)"
+            + (f" failures={r['failures']}" if r["failures"] else ""),
             flush=True,
         )
 
-    print("\n| corpus / regime | result |")
+    print("\n| corpus / regime | result (pass/fail/rows-only/contract) |")
     print("|---|---|")
     for name, r in results.items():
-        print(f"| {name} | {r['pass']} / {r['fail']} / {r['rows_only']} |")
+        print(
+            f"| {name} | {r['pass']} / {r['fail']} / {r['rows_only']}"
+            f" / {r.get('contract') or 0} |"
+        )
     if args.out:
         Path(args.out).write_text(json.dumps(results, indent=1) + "\n")
         print(f"wrote {args.out}")
-    # dupkeys is EXPECTED to fail exactly the 7-query contract class;
-    # any other nonzero fail count is a regression
+    # The keyed-entity family fails TYPED (KeyContractError at query
+    # entry, operators/contracts.py) on duplicate primary keys — on the
+    # dupkeys corpus exactly these 7 queries must land in `contracts`;
+    # a FAIL anywhere, or a typed contract outside dupkeys, or a
+    # dupkeys contract set differing from the declared class, is a
+    # regression (r8: closes the former free-floating 260/7/5 row).
     contract = {
+        # the 7 formerly-diverging oracle queries ...
         "embedding_pq_assign", "knn_classify", "dedup_ngram_jaccard",
         "dedup_clusters", "graph_triangles", "graph_pagerank",
         "degree_distribution",
+        # ... plus the 4 seeded ops of the same keyed-entity family
+        # (rows-only, so their dup-key divergence was invisible to the
+        # oracle — gated for consistency: self-defending everywhere)
+        "dedup_minhash", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf",
+        # ... and the r8 hash-graded exact configurations of the two
+        # ANN ops (same neighbor-identity semantics, same gate)
+        "sim_ann_lsh_exact", "sim_ann_ivf_exact",
     }
     bad = []
     for name, r in results.items():
         if r["fail"] is None:
             bad.append(f"{name}: selfcheck did not complete: {r['tail']!r}")
-        elif name == "dupkeys":
-            extra = set(r["failures"]) - contract
-            if extra:
-                bad.append(f"dupkeys: non-contract failures {sorted(extra)}")
-        elif r["fail"]:
+            continue
+        if r["fail"]:
             bad.append(f"{name}: {r['fail']} failures {r['failures']}")
+        if name == "dupkeys":
+            if set(r["contracts"]) != contract:
+                bad.append(
+                    "dupkeys: typed-contract set mismatch: "
+                    f"got {sorted(r['contracts'])}"
+                )
+        elif r.get("contract"):
+            bad.append(f"{name}: unexpected typed contracts {r['contracts']}")
     for b in bad:
         print("REGRESSION:", b)
     return 1 if bad else 0

@@ -97,12 +97,15 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    from llm_batch_processor_spark.operators.contracts import KeyContractError
+
     qs = E.queries()
     oracles = E.oracle_sql()
     only = {s for s in args.only.split(",") if s}
 
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_contract = 0
     failures = []
+    contracts = []
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
@@ -117,6 +120,21 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf)
             spdf = sdf.toPandas()
+        except KeyContractError as e:
+            # the keyed-entity family fails TYPED on duplicate primary
+            # keys (operators/contracts.py) — its own outcome class:
+            # neither a pass nor a wrong answer, and only expected on
+            # the dupkeys corpus (robustness_matrix enforces the set)
+            n_contract += 1
+            contracts.append(name)
+            print(f"CONTRACT  {name}: {str(e)[:120]}")
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": None,
+                "oracle_rows": None, "err": "key_contract",
+                "sec": round(time.time() - t0, 2),
+            }
+            continue
         except Exception:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
@@ -182,9 +200,14 @@ def main() -> int:
             "sec": round(time.time() - t0, 2),
         }
 
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
+        + (f", {n_contract} contract" if n_contract else "")
+    )
     if failures:
         print("failures:", ",".join(failures))
+    if contracts:
+        print("contracts:", ",".join(contracts))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
