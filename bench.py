@@ -51,6 +51,35 @@ def gemm_gflops(n: int = 2000, repeat: int = 3) -> float:
     return round(2 * n**3 / best / 1e9, 1)
 
 
+def spark_probe_sec(spark, repeat: int = 3) -> float:
+    """JVM/shuffle-side host-state probe (VERDICT r7 item 4): best-of-N
+    wall time of a FIXED tiny Spark job — a 64-partition shuffle
+    rollup of a cached 2M-row range into 997 keys, written to the noop
+    sink. The numpy GEMM microbench tracks CPU/BLAS throttle but NOT
+    JVM/shuffle throttle (r7 saw 178 s vs 161 s full runs at identical
+    GEMM), so bench artifacts carry BOTH probes: same-moment
+    comparisons divide per-query times by the probe that matches the
+    query's bottleneck. ~0.3-0.6 s per pass when healthy; bounded
+    either way (fixed input, fixed partitioning, no data deps)."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 2_000_000, 1, 64)
+            .select((F.col("id") % 997).alias("k"))
+            .groupBy("k")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=DEFAULT_SF_DIR)
@@ -123,6 +152,7 @@ def main() -> int:
     # (and a second time would catch a mid-run governor shift; one
     # sample keeps the line small — BASELINE.md records any anomaly)
     gflops = gemm_gflops()
+    probe = spark_probe_sec(spark)
 
     # The driver captures only a bounded TAIL of stdout and JSON-parses
     # it. Round 2's 130-query line overran that window ("parsed": null);
@@ -147,6 +177,7 @@ def main() -> int:
                 "sf": sf_label,
                 "n_queries": len(per_query),
                 "gemm_gflops": gflops,
+                "spark_probe_sec": probe,
             },
             f,
         )
@@ -164,6 +195,7 @@ def main() -> int:
             "sf": sf_label,
             "n_queries": len(per_query),
             "gemm_gflops": gflops,
+            "spark_probe_sec": probe,
         },
         separators=(",", ":"),
     )

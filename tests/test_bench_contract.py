@@ -52,5 +52,11 @@ def test_bench_emits_driver_contract_json():
     # item 3): the ~100x cross-reboot swings make artifacts without a
     # same-moment microbench uninterpretable
     assert isinstance(rec["gemm_gflops"], (int, float)) and rec["gemm_gflops"] > 0
+    # ... and the JVM/shuffle moment (VERDICT r7 item 4): the GEMM
+    # microbench misses JVM-side throttle, so artifacts carry both
+    assert isinstance(rec["spark_probe_sec"], (int, float))
+    assert rec["spark_probe_sec"] > 0
     full = json.loads((REPO / "BENCH_SUBSET.json").read_text())
     assert isinstance(full["gemm_gflops"], (int, float)) and full["gemm_gflops"] > 0
+    assert isinstance(full["spark_probe_sec"], (int, float))
+    assert full["spark_probe_sec"] > 0
