@@ -48,11 +48,26 @@ class _State:
         # script(body_dict, n_prior_requests_for_same_prompt) ->
         #   (status:int, payload:dict, delay_s:float)
         self.script = lambda body, n_prior: (200, _ok("stub"), 0.0)
+        # concurrency observation point (streaming backpressure tests):
+        # how many requests were in flight simultaneously, max
+        self.inflight = 0
+        self.max_inflight = 0
 
     def reset(self, script):
         with self.lock:
             self.requests.clear()
             self.script = script
+            self.inflight = 0
+            self.max_inflight = 0
+
+    def enter(self):
+        with self.lock:
+            self.inflight += 1
+            self.max_inflight = max(self.max_inflight, self.inflight)
+
+    def leave(self):
+        with self.lock:
+            self.inflight -= 1
 
     def record(self, path, headers, body) -> int:
         with self.lock:
@@ -98,9 +113,13 @@ def _make_handler(state: _State):
             n_prior = state.record(self.path, self.headers, body)
             with state.lock:
                 script = state.script
-            status, payload, delay = script(body, n_prior)
-            if delay:
-                time.sleep(delay)
+            state.enter()
+            try:
+                status, payload, delay = script(body, n_prior)
+                if delay:
+                    time.sleep(delay)
+            finally:
+                state.leave()
             data = json.dumps(payload).encode()
             try:
                 self.send_response(status)
