@@ -25,8 +25,10 @@ Usage:
 Rows: pristine extremets extremekeys nulls hostile dupkeys empty skew
       rowperm nonfinite ragged combined extrememoney extremeints
       local4 nobcast nocodegen tokyo (default); opt-in via --rows:
-      sf01 (the full gate at sf0.1 pristine, ~20 min) and moneysf01
-      (the extreme-money corpus built from sf0.1, ~12 min)
+      sf01 (the full gate at sf0.1 pristine, ~20 min), moneysf01
+      (the extreme-money corpus built from sf0.1, ~12 min), and sf1
+      (the full gate at the synthetic sf1, 100x the driver compare
+      scale — hours; r8 item 5)
 """
 
 from __future__ import annotations
@@ -103,6 +105,20 @@ def build_rowperm(src: str, dst: Path) -> None:
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.close()
+
+
+def _sf1_dir() -> str:
+    """Synthesize (once) and return the sf1 dataset dir."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", str(REPO / "tools" / "scale_probe.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    if not os.path.exists(os.path.join(m.DST, "lineitem.parquet")):
+        m.build()
+    return m.DST
 
 
 def corpus_row(builder, sf_dir: str) -> dict:
@@ -216,8 +232,14 @@ def main() -> int:
         "moneysf01": lambda: corpus_row(
             build_extrememoney, "/root/testdata/sf0.1"
         ),
+        # opt-in (r8, VERDICT r7 item 5): the full oracle gate at the
+        # synthetic sf1 (tools/scale_probe.py synthesis: 50k docs / 6M
+        # lineitem — 100x the driver's compare scale). Builds the
+        # dataset on first use; LONG (~1-3 h: the DuckDB oracle side
+        # dominates).
+        "sf1": lambda: run_selfcheck(_sf1_dir()),
     }
-    default_rows = [r for r in rows if r != "sf01"]
+    default_rows = [r for r in rows if r not in ("sf01", "sf1")]
     picked = [r for r in args.rows.split(",") if r] or default_rows
     unknown = [r for r in picked if r not in rows]
     if unknown:
