@@ -304,11 +304,16 @@ def sim_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "sim_ann_ivf_exact",
     f"""
-    -- all-pairs brute-force oracle: IVF with n_probe = n_cells probes
-    -- every cell, so the candidate set is the full corpus and the
+    -- brute-force oracle: IVF with n_probe = n_cells probes every
+    -- cell, so the candidate set is the full corpus and the
     -- sample-trained coarse quantizer cannot affect the result —
     -- only the cogrouped in-cell rerank must be exact (VERDICT r7
-    -- item 3 — the hash-graded exact configuration of sim_ann_ivf)
+    -- item 3 — the hash-graded exact configuration of sim_ann_ivf).
+    -- The graded QUERY side is bounded to 100 vectors (the neighbor
+    -- side stays the full corpus): an unbounded all-pairs oracle
+    -- sorts |corpus|^2 scored rows in DuckDB, which at the sf1 gate
+    -- (20k vectors -> 400M rows) spilled toward disk exhaustion;
+    -- the engine path under grade is identical either way.
     WITH emb AS (
       SELECT * FROM embeddings WHERE {_emb_gate()}
     )
@@ -319,17 +324,25 @@ def sim_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
                         v.vec_id ASC) AS rank
       FROM emb q JOIN emb v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id < 100
     ) WHERE rank <= 5
     """,
-    doc="sim_ann_ivf's EXACT configuration: IVF all-pairs top-5 at full "
-    "probe (n_probe = n_cells) — seeded kmeans cells become pure "
-    "partitioning, hash-graded against all-pairs brute force",
+    doc="sim_ann_ivf's EXACT configuration: IVF top-5 at full probe "
+    "(n_probe = n_cells) for 100 query vectors over the whole corpus — "
+    "seeded kmeans cells become pure partitioning, hash-graded against "
+    "brute force",
 )
 def sim_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
-    return ivf_topk(e, k=5, n_cells=8, n_probe=8, seed=42, dim=64)
+    # the all-pairs kernel computes every query's top-k; the graded
+    # slice is the 100-query subset (per-query results are independent,
+    # so the filter cannot change a surviving row — and it keeps the
+    # ORACLE side sort at |queries| x |corpus|, not |corpus|^2)
+    return ivf_topk(e, k=5, n_cells=8, n_probe=8, seed=42, dim=64).filter(
+        F.col("query_id") < 100
+    )
 
 
 @Q.add(
