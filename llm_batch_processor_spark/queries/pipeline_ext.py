@@ -1368,19 +1368,19 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       ), unnest(gs) AS DISTINCT_G(g)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION ALL
       SELECT id_b AS a, id_a AS b FROM pairs
@@ -2419,12 +2419,12 @@ def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- embeddable() twin, null-element-safe (r7; see dedup_embed_cosine)
       SELECT * FROM embeddings WHERE {_emb_gate()}
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM emb a JOIN emb b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
     ),
@@ -3082,12 +3082,12 @@ def label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       ), unnest(gs) AS DISTINCT_G(g)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
@@ -3450,24 +3450,24 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ), unnest(gs) AS DISTINCT_G(g)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM pairs
     ),
-    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
     r1 AS (
       SELECT e.dst AS node,
@@ -6433,12 +6433,12 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       ), unnest(gs) AS DISTINCT_G(g)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a, id_b FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
