@@ -5980,9 +5980,15 @@ def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
              TRY_CAST(SUM(fp * fp) AS DECIMAL(38,0)) AS ss
       FROM comp GROUP BY dim
     )
+    -- the DECIMAL(38,0)->DOUBLE conversions go through the VARCHAR
+    -- hop: the exact integer moments exceed 2^53 at sf1 (n*ss ~ 4e20,
+    -- s ~ 2e19), where DuckDB's direct hugeint->double cast is not
+    -- correctly rounded while Spark's BigDecimal.doubleValue is —
+    -- found by the r8 sf1 gate as a 1-ulp variance drift (the same
+    -- class dsum documents for DECIMAL(18,6) folds)
     SELECT dim, n,
-           CAST(s AS DOUBLE) / n / 1000000 AS mean,
-           CAST(n * ss - s * s AS DOUBLE)
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) / n / 1000000 AS mean,
+           CAST(CAST(n * ss - s * s AS VARCHAR) AS DOUBLE)
              / CAST(TRY_CAST(n AS DECIMAL(38,0)) * n AS DOUBLE)
              / 1000000000000 AS variance,
            n * ss - s * s < TRY_CAST(n AS DECIMAL(38,0)) * n * 1000000000
