@@ -28,26 +28,46 @@ from . import Registry
 Q = Registry()
 
 
-def _key_contract(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Entry gate for the keyed-ENTITY query family (VERDICT r7 item 2):
-    PQ codebooks, kNN neighbor identity and the near-dup pair/graph
-    queries are semantically underdetermined when one id names two
-    payloads ("pair (a, b)" has no single jaccard when a is two texts),
-    so instead of diverging silently on a duplicate-key corpus they
-    fail TYPED at query entry with :class:`KeyContractError` and a
-    bounded violation sample. Cost: one key-column-only scan +
-    map-side-combined count per call — the cheapest full-data pass
-    there is, and the same precheck a 100 TB ingest runs once at the
-    pipeline boundary. The selfcheck/robustness harness records the
-    typed failure as its own outcome class (`contract`), distinct from
-    a wrong answer."""
+# (applicationId, normalized table path, key tuple) triples whose
+# uniqueness contract already PASSED in this process — the production
+# semantics is "validate once per ingested snapshot", so repeat query
+# calls over the same table skip the gate job (26 -> 2 jobs across a
+# full bench session). Only SUCCESS is memoized: a violating corpus
+# re-checks (and re-raises typed) on every call.
+_KEY_CONTRACT_OK: set[tuple] = set()
+
+
+def _load_keyed(
+    spark: SparkSession, sf_dir: str, table: str, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """Load ``table`` with the keyed-ENTITY entry gate (VERDICT r7
+    item 2): PQ codebooks, kNN neighbor identity and the near-dup
+    pair/graph queries are semantically underdetermined when one id
+    names two payloads ("pair (a, b)" has no single jaccard when a is
+    two texts), so instead of diverging silently on a duplicate-key
+    corpus they fail TYPED at query entry with
+    :class:`KeyContractError` and a bounded violation sample. Cost:
+    one key-column-only scan + map-side-combined count per distinct
+    (session, table, key) — the same precheck a 100 TB ingest runs
+    once at the pipeline boundary (mutating the files under an
+    already-validated path within one session is outside the
+    contract, exactly as it is for a validated production snapshot).
+    The selfcheck/robustness harness records the typed failure as its
+    own outcome class (`contract`), distinct from a wrong answer."""
+    import os as _os
+
     from ..operators.contracts import require_unique
 
-    return require_unique(df, key_cols)
-
-
-def _doc_key_contract(df: DataFrame) -> DataFrame:
-    return _key_contract(df, ["doc_id"])
+    df = load(spark, sf_dir, table)
+    token = (
+        spark.sparkContext.applicationId,
+        _os.path.normpath(_os.path.join(sf_dir, table)),
+        key_cols,
+    )
+    if token not in _KEY_CONTRACT_OK:
+        require_unique(df, list(key_cols))
+        _KEY_CONTRACT_OK.add(token)
+    return df
 
 
 def _nsq(col: str = "embedding") -> str:
@@ -108,7 +128,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components, minhash_pairs_collapsed
 
-    d = _doc_key_contract(load(spark, sf_dir, "documents"))
+    d = _load_keyed(spark, sf_dir, "documents", ("doc_id",))
     # collapsed form (r5 skew audit): CC runs on the exact-dedup
     # REPRESENTATIVE graph and labels expand through the id->rep map —
     # a boilerplate clique contributes one node instead of a quadratic
@@ -140,7 +160,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_pairs
 
-    d = _doc_key_contract(load(spark, sf_dir, "documents"))
+    d = _load_keyed(spark, sf_dir, "documents", ("doc_id",))
     return simhash_pairs(d, max_hamming=16)
 
 
@@ -174,7 +194,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
 
-    d = _doc_key_contract(load(spark, sf_dir, "documents"))
+    d = _load_keyed(spark, sf_dir, "documents", ("doc_id",))
     pairs = ngram_jaccard_pairs(d, n=2, min_jaccard=0.2)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -249,7 +269,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_bucket_topk
 
-    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
+    e = _load_keyed(spark, sf_dir, "embeddings", ("vec_id",))
     return lsh_bucket_topk(e, k=5, n_planes=6, seed=42)
 
 
@@ -262,7 +282,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
-    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
+    e = _load_keyed(spark, sf_dir, "embeddings", ("vec_id",))
     return ivf_topk(e, k=5, n_cells=16, n_probe=2, seed=42, dim=64)
 
 
@@ -294,7 +314,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_query_topk
 
-    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
+    e = _load_keyed(spark, sf_dir, "embeddings", ("vec_id",))
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -335,7 +355,7 @@ def sim_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
-    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
+    e = _load_keyed(spark, sf_dir, "embeddings", ("vec_id",))
     # the all-pairs kernel computes every query's top-k; the graded
     # slice is the 100-query subset (per-query results are independent,
     # so the filter cannot change a surviving row — and it keeps the
@@ -1409,7 +1429,7 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components, ngram_jaccard_pairs_collapsed
 
-    d = _doc_key_contract(load(spark, sf_dir, "documents"))
+    d = _load_keyed(spark, sf_dir, "documents", ("doc_id",))
     # collapsed form (r5 skew audit): CC runs on the exact-dedup
     # REPRESENTATIVE graph (a boilerplate clique is one node, not a
     # quadratic intra-pair set) and labels expand through the id->rep
@@ -3125,7 +3145,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs_collapsed,
     )
 
-    d = _doc_key_contract(load(spark, sf_dir, "documents"))
+    d = _load_keyed(spark, sf_dir, "documents", ("doc_id",))
     rep_pairs, _members, surv, _collapsed = ngram_jaccard_pairs_collapsed(
         d, n=2, min_jaccard=0.2
     )
@@ -3516,7 +3536,7 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs_collapsed
 
-    d = _doc_key_contract(load(spark, sf_dir, "documents"))
+    d = _load_keyed(spark, sf_dir, "documents", ("doc_id",))
     # collapsed iteration (r5 skew audit): members of a group of
     # identical texts have IDENTICAL neighborhoods, hence identical
     # ranks at every step — so the fixed-point runs on the rep graph
@@ -4751,7 +4771,7 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returns the FIRST NaN index and would assign every such row —
     # or, for a corrupt CENTROID, every row in the corpus — to an
     # arbitrary code). Mirrored in the oracle's emb64 CTE (r7).
-    emb = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"]).filter(
+    emb = _load_keyed(spark, sf_dir, "embeddings", ("vec_id",)).filter(
         (F.size("embedding") == 64)
         & F.expr(
             "aggregate(embedding, true,"
@@ -5834,7 +5854,7 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import candidate_topk
 
-    e = _key_contract(load(spark, sf_dir, "embeddings"), ["vec_id"])
+    e = _load_keyed(spark, sf_dir, "embeddings", ("vec_id",))
     train = e.filter(F.col("vec_id") >= 50)
     queries = e.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -6480,7 +6500,7 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _checkpoint, ngram_jaccard_pairs_collapsed
 
-    d = _doc_key_contract(load(spark, sf_dir, "documents"))
+    d = _load_keyed(spark, sf_dir, "documents", ("doc_id",))
     rep_pairs, members, surv, _collapsed = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
     # eager checkpoint, not lazy persist: FIVE branches (both nbr
     # orientations + e1/e2/e3) scan edges inside one job — lazy-persist
