@@ -54,13 +54,14 @@ def gemm_gflops(n: int = 2000, repeat: int = 3) -> float:
 def spark_probe_sec(spark, repeat: int = 3) -> float:
     """JVM/shuffle-side host-state probe (VERDICT r7 item 4): best-of-N
     wall time of a FIXED tiny Spark job — a 64-partition shuffle
-    rollup of a cached 2M-row range into 997 keys, written to the noop
-    sink. The numpy GEMM microbench tracks CPU/BLAS throttle but NOT
-    JVM/shuffle throttle (r7 saw 178 s vs 161 s full runs at identical
-    GEMM), so bench artifacts carry BOTH probes: same-moment
+    rollup of a generated 2M-row range into 997 keys, written to the
+    noop sink. The numpy GEMM microbench tracks CPU/BLAS throttle but
+    NOT JVM/shuffle throttle (r7 saw 178 s vs 161 s full runs at
+    identical GEMM), so bench artifacts carry BOTH probes: same-moment
     comparisons divide per-query times by the probe that matches the
-    query's bottleneck. ~0.3-0.6 s per pass when healthy; bounded
-    either way (fixed input, fixed partitioning, no data deps)."""
+    query's bottleneck. Healthy band: see BASELINE.md (r8 measured
+    0.80-0.85 s per pass on the healthy host); bounded either way
+    (fixed input, fixed partitioning, no data deps)."""
     from pyspark.sql import functions as F
 
     best = None
@@ -135,22 +136,35 @@ def main() -> int:
         spark.catalog.clearCache()
         gc.collect()
 
+    # Probes run BEFORE and AFTER the query loop (VERDICT r8 item 2):
+    # the r8 driver artifact charged +18.5 s to ~10 queries that run
+    # early in the session — post-only probes could not see the
+    # early-session contention that caused it. With a pre/post pair,
+    # a run whose first-minutes host moment differs from its last
+    # self-adjudicates (pre >> post -> early contention; both high ->
+    # the whole run was throttled).
+    gflops_pre = gemm_gflops()
+    probe_pre = spark_probe_sec(spark)
+
     per_query: dict[str, float] = {}
+    per_execs: dict[str, list[float]] = {}
     for name in names:
-        best = None
+        execs = []
         for _ in range(args.repeat):
             t0 = time.time()
             run_full(qs[name].fn(spark, args.sf))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            execs.append(round(time.time() - t0, 3))
             drop_leaked_blocks()
-        per_query[name] = round(best, 3)
+        # ALL execution times are recorded (BENCH_FULL.json "execs"):
+        # a cold/contended first execution self-adjudicates when t2 is
+        # at the usual level — the r8 dedup_clusters 13.6-vs-3.7 s
+        # ambiguity needed exactly this
+        per_execs[name] = execs
+        per_query[name] = min(execs)
 
     total = round(sum(per_query.values()), 3)
     sf_label = os.path.basename(os.path.normpath(args.sf))
-    # measured AFTER the queries so it reflects the same host moment
-    # (and a second time would catch a mid-run governor shift; one
-    # sample keeps the line small — BASELINE.md records any anomaly)
+    # measured AFTER the queries so the pre/post pair brackets the loop
     gflops = gemm_gflops()
     probe = spark_probe_sec(spark)
 
@@ -174,10 +188,13 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "execs": per_execs,
                 "sf": sf_label,
                 "n_queries": len(per_query),
                 "gemm_gflops": gflops,
                 "spark_probe_sec": probe,
+                "gemm_gflops_pre": gflops_pre,
+                "spark_probe_sec_pre": probe_pre,
             },
             f,
         )
@@ -196,6 +213,8 @@ def main() -> int:
             "n_queries": len(per_query),
             "gemm_gflops": gflops,
             "spark_probe_sec": probe,
+            "gemm_gflops_pre": gflops_pre,
+            "spark_probe_sec_pre": probe_pre,
         },
         separators=(",", ":"),
     )

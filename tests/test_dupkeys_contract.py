@@ -142,6 +142,60 @@ def test_gated_queries_pass_through_on_unique_keys(spark, tmp_path):
         qs[qname].fn(spark, sf)
 
 
+def test_gate_revalidates_after_inplace_rewrite(spark, tmp_path):
+    """VERDICT r8 item 6: the key-contract memo token carries a
+    snapshot fingerprint (file count + max mtime + bytes), so
+    rewriting the table files under an ALREADY-VALIDATED path within
+    one session re-validates instead of silently reusing the stale
+    pass — the notebook re-ingest shape the r8 adjudication flagged."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    sf = _write_corpus(spark, tmp_path)  # unique keys: gate passes
+    qs = all_queries()
+    assert qs["dedup_ngram_jaccard"].fn(spark, sf).count() >= 0
+    # sanity: a second call on the untouched snapshot is memo-served
+    # (same token) and must still succeed
+    qs["dedup_ngram_jaccard"].fn(spark, sf)
+
+    # in-place re-ingest: same path, now with a colliding doc_id
+    doc_rows = [
+        (i, f"alpha beta gamma token{i} delta epsilon", "en", "s0", 30)
+        for i in range(8)
+    ] + [(3, "a completely different payload text", "fr", "s1", 20)]
+    spark.createDataFrame(
+        doc_rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT"
+    ).coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+
+    with pytest.raises(KeyContractError, match=r"doc_id.*\(3\) x2"):
+        qs["dedup_ngram_jaccard"].fn(spark, sf)
+
+
+def test_snapshot_fingerprint_moves_on_rewrite(tmp_path):
+    """Unit pin for the fingerprint itself: file rewrite with the same
+    byte count still changes the token (mtime_ns moves)."""
+    from llm_batch_processor_spark.queries.pipeline_ext import (
+        _snapshot_fingerprint,
+    )
+
+    p = tmp_path / "t.parquet"
+    p.write_bytes(b"abcd")
+    fp1 = _snapshot_fingerprint(str(p))
+    import os
+    import time
+
+    time.sleep(0.01)
+    p.write_bytes(b"efgh")  # same size, new content
+    assert _snapshot_fingerprint(str(p)) != fp1
+    # directory form: adding a part file changes the token
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"x" * 10)
+    fpd = _snapshot_fingerprint(str(d))
+    (d / "part-1").write_bytes(b"y" * 10)
+    assert _snapshot_fingerprint(str(d)) != fpd
+    assert os.path.isdir(str(d))
+
+
 def test_enrich_is_per_record_not_join(spark, tmp_path):
     """enrich_label / sink_jsonl semantics: one output row per INPUT
     row even when ids collide (reference A10: JSONL items are
