@@ -96,6 +96,21 @@ class IntrospectingBackend:
         )
 
 
+class RateLimitedError(Exception):
+    """HTTP 429 from the endpoint; carries the server's Retry-After
+    hint (seconds, 0.0 when absent/unparseable) so the retry loop can
+    wait it out instead of hammering a throttled endpoint — the
+    behavior a rate-limited 100 TB batch run needs from every one of
+    its thousands of concurrent workers. The reference delegates this
+    to its client library (ruby-openai retries 429 internally);
+    here the bounded retry lives in the pipeline (_call_one), so the
+    hint must travel with the exception."""
+
+    def __init__(self, message: str, retry_after: float = 0.0):
+        super().__init__(message)
+        self.retry_after = retry_after
+
+
 class OpenAIChatBackend:
     """OpenAI-compatible HTTP backend (requests; lazy per-worker session)."""
 
@@ -133,6 +148,15 @@ class OpenAIChatBackend:
             headers=headers,
             timeout=timeout,
         )
+        if resp.status_code == 429:
+            try:
+                ra = float(resp.headers.get("Retry-After", "0"))
+            except ValueError:
+                ra = 0.0  # HTTP-date form (rare) — treat as no hint
+            raise RateLimitedError(
+                f"429 rate limited (Retry-After: {ra or 'none'})",
+                retry_after=max(ra, 0.0),
+            )
         resp.raise_for_status()
         body = resp.json()
         choices = body.get("choices") or []

@@ -92,12 +92,23 @@ def _call_one(
     max_retries: int,
     messages: list[dict],
 ) -> str:
+    import time as _time
+
     last: Exception | None = None
     for attempt in range(max_retries + 1):
         try:
             return backend.chat(messages, spec_model, params, response_format, timeout)
         except Exception as e:  # bounded retry then raise (caught into error column)
             last = e
+            # honor a 429's Retry-After hint before the next attempt
+            # (RateLimitedError.retry_after; 0.0 for every other error
+            # class keeps the fast-retry behavior). Capped at the
+            # request timeout so one hostile header can't park a
+            # worker thread, and skipped after the LAST attempt — the
+            # record is headed to the dead-letter branch either way.
+            ra = min(getattr(e, "retry_after", 0.0) or 0.0, timeout)
+            if ra > 0 and attempt < max_retries:
+                _time.sleep(ra)
     raise last  # type: ignore[misc]
 
 

@@ -2471,6 +2471,17 @@ def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "dedup_semantic_pipeline",
     f"""
+    -- The graded DOC side is bounded to doc_id < 100 (the full 500-doc
+    -- corpus at the driver's sf0.01 grades 100 of them): per-doc labels
+    -- are independent given the pair graph, so the oracle seeds its
+    -- reachability closure FROM the slice and grades only slice docs —
+    -- a lossless per-doc restriction (the sim_ann_ivf_exact pattern,
+    -- VERDICT r8 item 3). The unbounded closure is Theta(n * |C|) rows
+    -- in DuckDB 1.0 (no USING KEY recursive CTEs) and did not finish in
+    -- 30+ min at the sf1 gate; the seeded form finishes in ~110 s
+    -- there. The ENGINE side still computes the FULL pipeline (pairs ->
+    -- CC -> labels) and only filters its OUTPUT, so the grade covers
+    -- the production plan end-to-end.
     WITH RECURSIVE emb AS (
       -- embeddable() twin, null-element-safe (r7; see dedup_embed_cosine)
       SELECT * FROM embeddings WHERE {_emb_gate()}
@@ -2485,7 +2496,11 @@ def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT id_b, id_a FROM pairs
     ),
     reach(node, r) AS (
-      SELECT a, b FROM edges
+      -- seeded from the graded slice: every edge-incident slice doc is
+      -- a seed (edges is symmetrized), and BFS from a seed covers its
+      -- whole component, so LEAST(node, MIN(r)) is the component min —
+      -- identical to the unbounded closure's label for that node
+      SELECT a, b FROM edges WHERE a < 100
       UNION
       SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
     ),
@@ -2497,18 +2512,21 @@ def embedding_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN l.cluster_id = d.doc_id THEN 'survivor'
                 ELSE 'dropped' END AS dedup_status
     FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    WHERE d.doc_id < 100
     """,
     doc="semantic dedup END-TO-END as one plan: embedding cosine pairs "
     "(operators/dedup.embedding_pairs — size-gated blocked-GEMM / "
     "LSH-candidates) -> connected components (bounded driver "
     "union-find, distributed fallback) -> min-id survivor per cluster "
-    "-> every document labeled unique / survivor / dropped by joining "
+    "-> documents labeled unique / survivor / dropped by joining "
     "labels back onto the corpus (vec_id keys doc_id). The full "
     "SemDeDup-style pipeline a training corpus actually runs, judged "
     "as one composition: cluster LABELS, survivor POLICY, and the "
-    "corpus join are all hash-checked together. Scale: pair gen is "
-    "the audited near-dup kernel, CC edges are bounded, the label "
-    "join is a broadcast (labels << corpus).",
+    "corpus join are all hash-checked together on a bounded doc slice "
+    "(per-doc independence makes the slice lossless; closes the r8 "
+    "sf1 oracle-feasibility exclusion). Scale: pair gen is the "
+    "audited near-dup kernel, CC edges are bounded, the label join "
+    "is a broadcast (labels << corpus).",
 )
 def dedup_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components, embedding_pairs
@@ -2522,13 +2540,20 @@ def dedup_semantic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = labels.select(
         F.col("id").alias("doc_id"), F.col("cluster_id").cast("bigint").alias("cid")
     )
-    return d.join(F.broadcast(lab), "doc_id", "left").select(
-        "doc_id",
-        "lang",
-        F.when(F.col("cid").isNull(), "unique")
-        .when(F.col("cid") == F.col("doc_id"), "survivor")
-        .otherwise("dropped")
-        .alias("dedup_status"),
+    return (
+        d.join(F.broadcast(lab), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("cid").isNull(), "unique")
+            .when(F.col("cid") == F.col("doc_id"), "survivor")
+            .otherwise("dropped")
+            .alias("dedup_status"),
+        )
+        # graded-slice bound, applied to the OUTPUT of the full
+        # pipeline (labels are computed over the whole graph; per-doc
+        # independence makes the filter lossless — see oracle comment)
+        .filter(F.col("doc_id") < 100)
     )
 
 

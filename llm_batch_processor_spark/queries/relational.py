@@ -3356,8 +3356,19 @@ def anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     )
     SELECT event_type, strftime(d, '%Y-%m-%d') AS day, rev,
-           floor(list_reduce(l, (acc, x) -> 0.3 * x + 0.7 * acc)
-                 * 10000 + 0.5) / 10000 AS ewma
+           -- the frame list is NULL-FILTERED before the fold: a day
+           -- whose rev is NULL (no finite mass that day) is treated as
+           -- unobserved, matching Spark's collect_list which SKIPS
+           -- NULLs while DuckDB's list() includes them — a NULL frame
+           -- element would otherwise poison the fold to NULL on this
+           -- side only (found by fuzz seed 0: the ts-sentinel lane
+           -- mod 25 residue 1 lands entirely inside the value-NULL
+           -- lane mod 5 residue 1, making one whole day NULL-rev).
+           -- EWMA over zero observed days is NULL on both engines.
+           CASE WHEN len(list_filter(l, x -> x IS NOT NULL)) = 0 THEN NULL
+                ELSE floor(list_reduce(list_filter(l, x -> x IS NOT NULL),
+                                       (acc, x) -> 0.3 * x + 0.7 * acc)
+                           * 10000 + 0.5) / 10000 END AS ewma
     FROM framed
     """,
     doc="exponentially-weighted moving average (alpha=0.3) of daily "
@@ -3399,10 +3410,15 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         # through BigDecimal(shortest-repr) HALF_UP while DuckDB rounds
         # the binary double, so values landing on a .xxxx5 boundary
         # (common here: the fold's inputs are 2-decimal money) differ by
-        # 1e-4 — floor/add/divide are IEEE-exact in both engines
+        # 1e-4 — floor/add/divide are IEEE-exact in both engines.
+        # collect_list already SKIPS NULL revs (all-NULL-value days,
+        # fuzz seed 0), so `l` holds only observed days — the size()=0
+        # guard keeps an all-unobserved frame from reaching
+        # element_at(l, 1), which raises under ANSI on an empty array
         F.expr(
-            "floor(aggregate(slice(l, 2, size(l) - 1), element_at(l, 1),"
-            " (acc, x) -> 0.3 * x + 0.7 * acc) * 10000 + 0.5) / 10000"
+            "CASE WHEN size(l) = 0 THEN NULL ELSE"
+            " floor(aggregate(slice(l, 2, size(l) - 1), element_at(l, 1),"
+            " (acc, x) -> 0.3 * x + 0.7 * acc) * 10000 + 0.5) / 10000 END"
         ).alias("ewma"),
     )
 

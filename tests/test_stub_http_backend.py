@@ -115,7 +115,11 @@ def _make_handler(state: _State):
                 script = state.script
             state.enter()
             try:
-                status, payload, delay = script(body, n_prior)
+                # scripts return (status, payload, delay) or, for the
+                # 429/Retry-After pins, (status, payload, delay, headers)
+                scripted = script(body, n_prior)
+                status, payload, delay = scripted[:3]
+                extra_headers = scripted[3] if len(scripted) > 3 else {}
                 if delay:
                     time.sleep(delay)
             finally:
@@ -125,6 +129,8 @@ def _make_handler(state: _State):
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(data)))
+                for k, v in extra_headers.items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(data)
             except (BrokenPipeError, ConnectionResetError):
@@ -336,3 +342,109 @@ def test_llm_map_timeout_routes_to_dead_letter(spark, stub):
     errs = res.errors().collect()
     assert len(errs) == 1 and errs[0]["id"] == "slow"
     assert "Timeout" in errs[0]["error"] or "timed out" in errs[0]["error"]
+
+
+# --------------------------------------------------------------------------
+# batch-path concurrency behavior (VERDICT r8 item 4): the streaming twin
+# has a backpressure pin (test_streaming.py); these pin the BATCH path's
+# ThreadPoolExecutor-per-Arrow-batch (job/pipeline.py llm_map `infer`)
+# --------------------------------------------------------------------------
+
+
+def test_llm_map_batch_requests_overlap_to_concurrency(spark, stub):
+    """With an injected per-request latency, 8 records at concurrency 4
+    in ONE partition must actually overlap: the server observes >= 2
+    (and <= conc) simultaneous requests, and the wall time lands near
+    ceil(rows/conc) * latency, far under the serial rows * latency.
+    This is the throughput contract a 100 TB batch run buys with
+    spec.concurrency — without real overlap, a 1000-executor job is
+    serialized per worker and the endpoint sits idle."""
+    state, base = stub
+    latency = 0.5
+    state.reset(lambda body, n: (200, _ok("k"), latency))
+    rows = [(f"r{i}", {"input": f"p{i}"}, []) for i in range(8)]
+    res = llm_map(
+        # coalesce(1): a single Arrow batch, so ONE executor pool of
+        # max_workers=conc serves all 8 rows — the observable unit
+        _records(spark, rows).coalesce(1),
+        _spec(base, concurrency=4),
+        OpenAIChatBackend(base),
+    )
+    t0 = time.time()
+    out = res.df.collect()
+    wall = time.time() - t0
+    assert len(out) == 8 and all(r["error"] is None for r in out)
+    assert len(state.snapshot()) == 8
+    # overlap floor: at least one moment with 2+ requests in flight;
+    # backpressure ceiling: never more than spec.concurrency
+    assert 2 <= state.max_inflight <= 4, state.max_inflight
+    # ideal wall is ceil(8/4)*0.5 = 1.0 s of latency; serial is 4.0 s.
+    # The bound leaves ~2 s for Spark scheduling but stays decisively
+    # below serial.
+    assert wall >= 2 * latency  # can't beat two waves of latency
+    assert wall < 8 * latency - 0.5, f"no overlap: wall={wall:.2f}s"
+
+
+def test_backend_raises_typed_rate_limit_with_retry_after(stub):
+    state, base = stub
+    state.reset(
+        lambda body, n: (429, {"error": "slow down"}, 0.0,
+                         {"Retry-After": "0.4"})
+    )
+    from llm_batch_processor_spark.job.backend import RateLimitedError
+
+    be = OpenAIChatBackend(base)
+    with pytest.raises(RateLimitedError) as exc:
+        be.chat([{"role": "user", "content": "x"}], "m", {}, None, 5.0)
+    assert exc.value.retry_after == pytest.approx(0.4)
+    # absent header -> 0.0 hint (fast retry), still typed
+    state.reset(lambda body, n: (429, {"error": "slow down"}, 0.0))
+    with pytest.raises(RateLimitedError) as exc2:
+        be.chat([{"role": "user", "content": "x"}], "m", {}, None, 5.0)
+    assert exc2.value.retry_after == 0.0
+
+
+def test_llm_map_429_retry_after_honored_within_budget(spark, stub):
+    """Two 429s with Retry-After: 0.4 then a 200: with max_retries=2
+    the record recovers, the server sees exactly 3 attempts, and the
+    wall time includes BOTH waits (>= 0.8 s) — the polite-backoff
+    contract a throttled endpoint imposes on every worker."""
+    state, base = stub
+    state.reset(
+        lambda body, n_prior: (429, {}, 0.0, {"Retry-After": "0.4"})
+        if n_prior < 2
+        else (200, _ok("after backoff"), 0.0)
+    )
+    t0 = time.time()
+    res = llm_map(
+        _records(spark, [("a", {"input": "throttled"}, [])]),
+        _spec(base, max_retries=2),
+        OpenAIChatBackend(base),
+    )
+    rows = res.df.collect()
+    wall = time.time() - t0
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert rows[0]["texts"]["resp"] == "after backoff"
+    assert len(state.snapshot()) == 3  # 1 + exactly the retry budget
+    assert wall >= 0.8, f"Retry-After not honored: wall={wall:.2f}s"
+
+
+def test_llm_map_429_exhausts_budget_to_dead_letter(spark, stub):
+    """A permanently-throttled endpoint dead-letters the record after
+    exactly max_retries+1 attempts with a typed error, and the final
+    attempt does NOT sleep (the record is already headed to errors())."""
+    state, base = stub
+    state.reset(lambda body, n: (429, {}, 0.0, {"Retry-After": "0.2"}))
+    t0 = time.time()
+    res = llm_map(
+        _records(spark, [("a", {"input": "always429"}, [])]),
+        _spec(base, max_retries=1),
+        OpenAIChatBackend(base),
+    )
+    errs = res.errors().collect()
+    wall = time.time() - t0
+    assert len(errs) == 1 and "RateLimitedError" in errs[0]["error"]
+    assert "429" in errs[0]["error"]
+    assert len(state.snapshot()) == 2  # 1 + max_retries
+    # one sleep between the two attempts; none after the last
+    assert wall >= 0.2

@@ -21,14 +21,15 @@ Expected state (r8 baseline, 274 queries):
 
 Usage:
     python tools/robustness_matrix.py [--rows r1,r2,...] [--sf DIR]
-        [--out MATRIX.json]
+        [--out MATRIX.json] [--seeds N] [--skip q1,q2]
 Rows: pristine extremets extremekeys nulls hostile dupkeys empty skew
       rowperm nonfinite ragged combined extrememoney extremeints
-      local4 nobcast nocodegen tokyo (default); opt-in via --rows:
-      sf01 (the full gate at sf0.1 pristine, ~20 min), moneysf01
-      (the extreme-money corpus built from sf0.1, ~12 min), and sf1
+      moneysf01 local4 nobcast nocodegen tokyo (default); opt-in via
+      --rows: sf01 (the full gate at sf0.1 pristine, ~20 min), sf1
       (the full gate at the synthetic sf1, 100x the driver compare
-      scale — hours; r8 item 5)
+      scale — 1-3 h, bounded by a 4 h subprocess timeout; zero
+      exclusions since r9), and fuzz (the seeded random-corpus
+      fuzzer, --seeds gates per round — r9, VERDICT r8 item 1)
 """
 
 from __future__ import annotations
@@ -50,16 +51,35 @@ TAIL = re.compile(r"(\d+) pass, (\d+) fail, (\d+) rows-only(?:, (\d+) contract)?
 
 
 def run_selfcheck(sf_dir: str, conf: list[str] | None = None,
-                  env: dict[str, str] | None = None) -> dict:
+                  env: dict[str, str] | None = None, skip: str = "",
+                  timeout_s: int | None = None) -> dict:
+    """One selfcheck subprocess. ``skip`` passes an oracle-feasibility
+    exclusion list through to selfcheck --skip (skipped names are
+    printed/counted there — never silently absorbed into 'pass');
+    ``timeout_s`` bounds the subprocess so a long gate (sf1) can hang
+    neither the matrix nor the disk (ADVICE r8: the sf1 row previously
+    ran unbounded)."""
     cmd = [sys.executable, str(REPO / "tools" / "selfcheck.py"), "--sf", sf_dir]
     for kv in conf or []:
         cmd += ["--conf", kv]
+    if skip:
+        cmd += ["--skip", skip]
     full_env = dict(os.environ)
     full_env.update(env or {})
     t0 = time.time()
-    proc = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=str(REPO), env=full_env
-    )
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=str(REPO), env=full_env,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired as e:
+        return {
+            "pass": None, "fail": None, "rows_only": None, "contract": None,
+            "failures": [], "contracts": [],
+            "sec": round(time.time() - t0, 1), "exit": 124,
+            "tail": f"TIMEOUT after {timeout_s}s: "
+                    + (e.stdout or b"")[-300:].decode("utf-8", "replace"),
+        }
     m = TAIL.search(proc.stdout)
     fails = []
     fm = re.search(r"^failures: (.*)$", proc.stdout, re.M)
@@ -121,6 +141,56 @@ def _sf1_dir() -> str:
     return m.DST
 
 
+def _fuzz_row(sf_dir: str, n_seeds: int) -> dict:
+    """Seeded random-corpus fuzzer row (VERDICT r8 item 1): one full
+    oracle gate per seed over a fresh axis-sampled hazard corpus.
+    Aggregate shape stays matrix-compatible: `pass` is the per-seed
+    MINIMUM (so the printed cell is the weakest seed), `fail` the
+    TOTAL across seeds, failures are seed-prefixed, and the per-seed
+    detail rides in `seeds`."""
+    from tools.fuzz_corpus import build_fuzz
+
+    per_seed = []
+    for seed in range(n_seeds):
+        tmp = Path(tempfile.mkdtemp(prefix=f"fuzz{seed}_"))
+        try:
+            plan = build_fuzz(sf_dir, tmp, seed)
+            r = run_selfcheck(str(tmp))
+            r["plan"] = plan
+            per_seed.append(r)
+            print(
+                f"  fuzz seed {seed}: {r['pass']}/{r['fail']}/{r['rows_only']}"
+                + (f" failures={r['failures']}" if r["failures"] else ""),
+                flush=True,
+            )
+        finally:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    done = [r for r in per_seed if r["fail"] is not None]
+    if not done:
+        return per_seed[0] if per_seed else {
+            "pass": None, "fail": None, "rows_only": None, "contract": None,
+            "failures": [], "contracts": [], "sec": 0.0, "exit": 1,
+            "tail": "no fuzz seeds ran",
+        }
+    return {
+        "pass": min(r["pass"] for r in done),
+        "fail": sum(r["fail"] for r in done) + 274 * (len(per_seed) - len(done)),
+        "rows_only": max(r["rows_only"] for r in done),
+        "contract": sum(r["contract"] or 0 for r in done),
+        "failures": [
+            f"seed{i}:{f}" for i, r in enumerate(per_seed)
+            for f in (r["failures"] or [])
+        ],
+        "contracts": sorted({c for r in done for c in r["contracts"]}),
+        "sec": round(sum(r["sec"] for r in per_seed), 1),
+        "exit": max(r["exit"] for r in per_seed),
+        "seeds": per_seed,
+        "tail": "",
+    }
+
+
 def corpus_row(builder, sf_dir: str) -> dict:
     tmp = Path(tempfile.mkdtemp(prefix="robust_"))
     try:
@@ -137,6 +207,16 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--rows", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--seeds", type=int, default=5,
+        help="number of fuzzer seeds for the fuzz row (default 5)",
+    )
+    ap.add_argument(
+        "--skip", default="",
+        help="oracle-feasibility exclusions passed through to the sf1 "
+        "row's selfcheck --skip (skipped queries are counted, never "
+        "silently passed)",
+    )
     args = ap.parse_args()
 
     from tools.extreme_ts_sweep import build_dataset as build_extremets
@@ -236,10 +316,24 @@ def main() -> int:
         # synthetic sf1 (tools/scale_probe.py synthesis: 50k docs / 6M
         # lineitem — 100x the driver's compare scale). Builds the
         # dataset on first use; LONG (~1-3 h: the DuckDB oracle side
-        # dominates).
-        "sf1": lambda: run_selfcheck(_sf1_dir()),
+        # dominates). r9: dedup_semantic_pipeline's oracle is now the
+        # seeded bounded-slice closure (~110 s at sf1), so the row runs
+        # with ZERO exclusions; the 4 h subprocess timeout + --skip
+        # pass-through exist so a future oracle blowup fails LOUD
+        # (exit 124 row) instead of hanging the matrix / filling the
+        # disk (ADVICE r8; see also the sf1-oracle-blowup note in
+        # ROBUSTNESS.md — monitor `du -sh .tmp` on first runs).
+        "sf1": lambda: run_selfcheck(
+            _sf1_dir(), skip=args.skip, timeout_s=4 * 3600
+        ),
+        # opt-in (r9, VERDICT r8 item 1): the seeded random-corpus
+        # fuzzer — tools/fuzz_corpus.py samples the r5-r8 hazard axes
+        # per seed and runs the full oracle gate over each of
+        # --seeds fresh corpora (~4-6 min/seed). Keys stay unique, so
+        # full parity (269/0/5) is the bar for every seed.
+        "fuzz": lambda: _fuzz_row(args.sf, args.seeds),
     }
-    default_rows = [r for r in rows if r not in ("sf01", "sf1")]
+    default_rows = [r for r in rows if r not in ("sf01", "sf1", "fuzz")]
     picked = [r for r in args.rows.split(",") if r] or default_rows
     unknown = [r for r in picked if r not in rows]
     if unknown:

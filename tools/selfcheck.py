@@ -56,6 +56,13 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
     ap.add_argument(
+        "--skip",
+        default="",
+        help="comma-separated queries to EXCLUDE (oracle-feasibility "
+        "escapes for long gates; skipped names are counted/printed so "
+        "an exclusion can never masquerade as a pass)",
+    )
+    ap.add_argument(
         "--out",
         default="",
         help="write per-query results as JSON (same row shape as the "
@@ -102,13 +109,24 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     only = {s for s in args.only.split(",") if s}
+    skip = {s for s in args.skip.split(",") if s}
 
     n_pass = n_fail = n_rows_only = n_contract = 0
+    n_skip = 0
     failures = []
     contracts = []
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            n_skip += 1
+            print(f"SKIP  {name}: excluded via --skip")
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": None,
+                "oracle_rows": None, "err": "skipped", "sec": 0.0,
+            }
             continue
         t0 = time.time()
         # drop blocks the previous query leaked (persist/localCheckpoint
@@ -203,6 +221,7 @@ def main() -> int:
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
         + (f", {n_contract} contract" if n_contract else "")
+        + (f", {n_skip} skipped" if n_skip else "")
     )
     if failures:
         print("failures:", ",".join(failures))
