@@ -48,6 +48,11 @@ SRC = "/root/testdata/sf0.1"
 DST = os.path.join(REPO, ".scale_probe", "sf1")
 REPLICAS = 10
 
+
+def dst_for(replicas: int) -> str:
+    """Dataset dir for an N-replica synthesis (10 replicas == sf1)."""
+    return os.path.join(REPO, ".scale_probe", f"sf{replicas / 10:g}")
+
 # the heavy kernels VERDICT r04 item 5 names, plus the top-k feed
 PROBES = [
     "dedup_containment",
@@ -58,12 +63,13 @@ PROBES = [
 ]
 
 
-def build() -> None:
+def build(replicas: int = REPLICAS, dst: str | None = None) -> None:
     import duckdb
 
-    os.makedirs(DST, exist_ok=True)
+    dst = dst or dst_for(replicas)
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    rep = f"(SELECT CAST(r AS BIGINT) AS k FROM range({REPLICAS}) t(r))"
+    rep = f"(SELECT CAST(r AS BIGINT) AS k FROM range({replicas}) t(r))"
 
     con.sql(
         f"""
@@ -77,7 +83,7 @@ def build() -> None:
                  END AS text,
                  lang, source, n_chars
           FROM '{SRC}/documents.parquet', {rep}
-        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
         """
     )
     con.sql(
@@ -93,7 +99,7 @@ def build() -> None:
                  END AS embedding,
                  label
           FROM '{SRC}/embeddings.parquet', {rep}
-        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
     con.sql(
@@ -102,7 +108,7 @@ def build() -> None:
           SELECT event_id + k * 1000000000 AS event_id, ts,
                  user_id + k * 10000 AS user_id, event_type, value, props
           FROM '{SRC}/events.parquet', {rep}
-        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
         """
     )
     con.sql(
@@ -112,7 +118,7 @@ def build() -> None:
                  o_custkey + k * 100000 AS o_custkey,
                  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
           FROM '{SRC}/orders.parquet', {rep}
-        ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+        ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
         """
     )
     con.sql(
@@ -122,7 +128,7 @@ def build() -> None:
                  c_name || CASE WHEN k = 0 THEN '' ELSE '~' || CAST(k AS VARCHAR) END AS c_name,
                  c_nationkey, c_acctbal, c_mktsegment
           FROM '{SRC}/customer.parquet', {rep}
-        ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+        ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
         """
     )
     con.sql(
@@ -133,12 +139,29 @@ def build() -> None:
                  l_extendedprice, l_discount, l_tax, l_returnflag,
                  l_linestatus, l_shipdate
           FROM '{SRC}/lineitem.parquet', {rep}
-        ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
     for t in ("region", "nation", "supplier", "part"):
-        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
     con.close()
+
+
+# the ladder probes (VERDICT r8 item 5): the near-dup/graph/CC family
+# plus the two output-quadratic fixtures — ENGINE-ONLY (noop sink, no
+# oracle), so another scale decade stays tractable
+LADDER_PROBES = [
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_semantic_pipeline",
+    "graph_pagerank",
+    "graph_triangles",
+    "degree_distribution",
+    "sim_topk",
+    "join_spatial_grid",   # output-quadratic within grid cells
+    "join_range_banded",   # output-quadratic within bands
+]
 
 
 def main() -> int:
@@ -146,19 +169,46 @@ def main() -> int:
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--scale", type=float, default=1.0,
+        help="target synthetic scale in sf units (1 = 10 replicas of "
+        "sf0.1; 10 = 100 replicas). Builds .scale_probe/sf<scale> on "
+        "first use.",
+    )
+    ap.add_argument(
+        "--baseline", type=float, default=0.0,
+        help="compare against this synthetic scale instead of raw "
+        "sf0.1 (e.g. --scale 10 --baseline 1 probes the 10x step "
+        "sf1 -> sf10, the r9 ladder decade)",
+    )
+    ap.add_argument(
+        "--ladder", action="store_true",
+        help="use the r9 LADDER_PROBES list (near-dup/graph/CC family "
+        "+ output-quadratic fixtures) instead of the r4 PROBES",
+    )
     args = ap.parse_args()
 
-    if args.rebuild or not os.path.exists(f"{DST}/documents.parquet"):
-        t0 = time.time()
-        build()
-        print(f"built {DST} in {time.time() - t0:.0f}s")
+    def ensure(scale: float) -> str:
+        d = dst_for(int(round(scale * 10)))
+        if args.rebuild or not os.path.exists(f"{d}/documents.parquet"):
+            t0 = time.time()
+            build(int(round(scale * 10)), d)
+            print(f"built {d} in {time.time() - t0:.0f}s", flush=True)
+        return d
+
+    big_dir = ensure(args.scale)
+    small_dir = ensure(args.baseline) if args.baseline else SRC
+    small_label = f"sf{args.baseline:g}" if args.baseline else "sf0.1"
+    big_label = f"sf{args.scale:g}"
+    factor = (args.scale / args.baseline) if args.baseline else args.scale * 10
 
     from llm_batch_processor_spark.queries import all_queries
     from llm_batch_processor_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
     qs = all_queries()
-    probes = [p for p in (args.only.split(",") if args.only else PROBES)]
+    default_probes = LADDER_PROBES if args.ladder else PROBES
+    probes = [p for p in (args.only.split(",") if args.only else default_probes)]
 
     def run(name: str, sf_dir: str) -> float:
         best = None
@@ -172,17 +222,22 @@ def main() -> int:
         # same hygiene as bench.py: without this, sf1 runs leave GBs of
         # persisted frames that inflate every later probe in the session
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
         return best
 
     # warmup
     qs["agg_group"].fn(spark, SRC).write.format("noop").mode("overwrite").save()
 
-    print(f"{'query':24s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}  (10x data)")
+    print(f"{'query':24s} {small_label:>8s} {big_label:>8s} {'ratio':>6s}"
+          f"  ({factor:g}x data)", flush=True)
     for name in probes:
-        t_small = run(name, SRC)
-        t_big = run(name, DST)
+        t_small = run(name, small_dir)
+        t_big = run(name, big_dir)
         ratio = t_big / max(t_small, 1e-9)
-        print(f"{name:24s} {t_small:8.2f} {t_big:8.2f} {ratio:5.1f}x")
+        print(f"{name:24s} {t_small:8.2f} {t_big:8.2f} {ratio:5.1f}x",
+              flush=True)
     spark.stop()
     return 0
 
