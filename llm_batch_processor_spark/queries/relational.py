@@ -1657,13 +1657,31 @@ _REG_CORR = (
 )
 
 
+def _snap6(expr: str) -> str:
+    """6-decimal snap valid as the IDENTICAL expression text in BOTH
+    engines. ROUND(x, 6) is engine-specific once |x| is large enough
+    that 6 decimals exceed double precision — Spark's BigDecimal
+    HALF_UP and DuckDB's binary-double round then land on doubles 1
+    ulp apart (fuzz seed 4: a money-lane intercept of 4.4e11 split as
+    ...10474 vs ...1048). floor(x*1e6 + 0.5)/1e6 is pure IEEE double
+    ops — bit-identical — but only while x*1e6 stays inside int64
+    (Spark's floor returns BIGINT and SATURATES NaN->0 / Inf->rail),
+    so NaN and |x| >= 9.2e12 pass through RAW: the raw double is
+    already identical (built from correctly-rounded + - * / sqrt on
+    identical inputs) and 6-decimal rounding is sub-ulp there anyway."""
+    return (
+        f"CASE WHEN isnan({expr}) OR abs({expr}) >= 9.2e12 THEN ({expr}) "
+        f"ELSE floor(({expr}) * 1000000 + 0.5) / 1000000 END"
+    )
+
+
 @Q.add(
     "agg_regression",
     f"""
     SELECT l_returnflag,
-           ROUND({_REG_SLOPE}, 6) AS slope,
-           ROUND((sy - ({_REG_SLOPE}) * sx) / n, 6) AS intercept,
-           ROUND({_REG_CORR}, 6) AS corr_xy
+           {_snap6(_REG_SLOPE)} AS slope,
+           {_snap6(f"(sy - ({_REG_SLOPE}) * sx) / n")} AS intercept,
+           {_snap6(_REG_CORR)} AS corr_xy
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1703,9 +1721,10 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sums.select(
         "l_returnflag",
-        F.expr(f"ROUND({_REG_SLOPE}, 6)").alias("slope"),
-        F.expr(f"ROUND((sy - ({_REG_SLOPE}) * sx) / n, 6)").alias("intercept"),
-        F.expr(f"ROUND({_REG_CORR}, 6)").alias("corr_xy"),
+        # _snap6, not ROUND(x, 6): see the macro docstring (fuzz seed 4)
+        F.expr(_snap6(_REG_SLOPE)).alias("slope"),
+        F.expr(_snap6(f"(sy - ({_REG_SLOPE}) * sx) / n")).alias("intercept"),
+        F.expr(_snap6(_REG_CORR)).alias("corr_xy"),
     )
 
 
@@ -1951,7 +1970,18 @@ def compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_steps",
     """
     WITH ue AS (
-      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      -- us mirrors the engine's ts_ns/1000 CLAMP (tables.load): micros
+      -- outside the int64-nanosecond rails saturate, so sentinel
+      -- timestamps (9999-12-31 "never expires", 0001-01-01 parser
+      -- defaults) tie at the rail on BOTH engines — a raw epoch_us
+      -- distinguishes two beyond-rail sentinels and flips the strict
+      -- us > t_prev sequence checks (found by fuzz seed 1, where the
+      -- denser mod-25 sentinel lane put two different clamped
+      -- timestamps on one user's funnel path)
+      SELECT user_id, event_type,
+             least(greatest(epoch_us(ts), -9223372036854775),
+                   9223372036854775) AS us
+      FROM events
     ),
     s1 AS (
       SELECT user_id, MIN(us) AS t_view FROM ue
@@ -4157,11 +4187,25 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS at_risk
       FROM grp
     )
+    -- a duration where EVERY remaining at-risk user dies makes the KM
+    -- factor exactly 0: true KM semantics is survival = 0 there and
+    -- beyond, but a bare ln(factor) raises in DuckDB and NULLs in
+    -- Spark (found by fuzz seed 3, whose ts-sentinel lanes made every
+    -- non-sentinel user 'observed' and produced an all-death group).
+    -- The zero-factor rows are counted in a parallel cumulative flag;
+    -- their ln contribution is neutralized with ln(1)=0
     SELECT dur_d, n_event, n_censored, at_risk,
-           ROUND(exp(SUM(ln(1 - CAST(n_event AS DOUBLE) / at_risk))
+           CASE WHEN SUM(CASE WHEN n_event >= at_risk THEN 1 ELSE 0 END)
                      OVER (ORDER BY dur_d
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW)), 4) AS survival
+                           AND CURRENT ROW) > 0
+                THEN 0.0
+                ELSE ROUND(exp(SUM(ln(CASE WHEN n_event >= at_risk THEN 1.0
+                                       ELSE 1 - CAST(n_event AS DOUBLE)
+                                                / at_risk END))
+                     OVER (ORDER BY dur_d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 4) END AS survival
     FROM risk
     """,
     doc="Kaplan-Meier survival estimator over user lifetimes (first-to-"
@@ -4207,13 +4251,24 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy("dur_d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    lnf = F.log(1 - F.col("n_event").cast("double") / F.col("at_risk"))
+    # zero-factor (all-deaths) durations zero the curve from there on:
+    # true KM semantics, and the only crash/NULL-free formulation in
+    # both engines (fuzz seed 3 — see the oracle comment)
+    all_die = F.col("n_event") >= F.col("at_risk")
+    lnf = F.log(
+        F.when(all_die, F.lit(1.0)).otherwise(
+            1 - F.col("n_event").cast("double") / F.col("at_risk")
+        )
+    )
+    n_zero = F.sum(all_die.cast("int")).over(w_cum)
     return risk.select(
         "dur_d",
         "n_event",
         "n_censored",
         "at_risk",
-        F.round(F.exp(F.sum(lnf).over(w_cum)), 4).alias("survival"),
+        F.when(n_zero > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(lnf).over(w_cum)), 4))
+        .alias("survival"),
     )
 
 
@@ -4495,8 +4550,13 @@ def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
            COUNT(*) AS n,
-           ROUND(CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_value
+           -- floor(x*1e4 + 0.5)/1e4, not ROUND: the exact-decimal sum
+           -- / count can land exactly on a 4th-decimal half (fuzz
+           -- seed 2 produced avg = 38.00375), where Spark's BigDecimal
+           -- HALF_UP and DuckDB's binary-double ROUND disagree by 1e-4;
+           -- floor/add/divide are IEEE-exact in both engines
+           floor(CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN isfinite(value) THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS avg_value
     FROM b GROUP BY dow, hod
     """,
     doc="day-of-week x hour-of-day seasonality profile (168 cells) of "
@@ -4521,10 +4581,18 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hod")
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.expr("CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
-                / F.count("*"),
-                4,
+            # floor-form, not F.round: HALF_UP-vs-binary-double splits
+            # on exact 4th-decimal halves (fuzz seed 2) — see oracle
+            (
+                F.floor(
+                    F.expr(
+                        "CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+                    )
+                    / F.count("*")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("avg_value"),
         )
     )
@@ -5631,7 +5699,12 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 1000000 + 0.5) AS BIGINT) AS term_fp
       FROM cells
     )
-    SELECT dow, event_type, o AS n_obs, pmi,
+    -- pmi is snapped to 1e-6 fixed point at the output boundary: ln is
+    -- not correctly-rounded IEEE, and JVM Math.log vs DuckDB libm log
+    -- disagree by 1 ulp on some count ratios (found by fuzz seed 1);
+    -- the snap is the repo-wide absorption pattern for libm wobble
+    SELECT dow, event_type, o AS n_obs,
+           floor(pmi * 1000000 + 0.5) / 1000000 AS pmi,
            CAST(SUM(term_fp) OVER () AS DOUBLE) / 1000000 AS mi_total
     FROM terms
     """,
@@ -5683,7 +5756,12 @@ def mutual_info_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "event_type",
         F.col("o").alias("n_obs"),
-        "pmi",
+        # 1e-6 fixed-point snap — ln() is not correctly-rounded IEEE
+        # and drifts 1 ulp vs DuckDB's libm on some count ratios
+        # (fuzz seed 1); same absorption as the oracle side
+        (F.floor(F.col("pmi") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "pmi"
+        ),
         (F.sum("term_fp").over(wall).cast("double") / 1000000).alias(
             "mi_total"
         ),
