@@ -67,10 +67,20 @@ def dsum(expr: str, alias: str) -> str:
 
 
 def davg(expr: str, alias: str) -> str:
-    """Exact-sum / count — one double division, no accumulation order."""
+    """Exact-sum / count — one double division, no accumulation order.
+
+    floor(x*1e4 + 0.5)/1e4, not ROUND(x, 4): the quotient of an exact
+    decimal sum by a count can land EXACTLY on a 4th-decimal half
+    (fuzz seed 2 hit 38.00375), where Spark's BigDecimal HALF_UP and
+    DuckDB's binary-double ROUND disagree by 1e-4. The floor form is
+    pure IEEE double ops — bit-identical — and safe here because the
+    argument is rail-bounded money/quantity (TRY_CAST drops over-rail
+    mass, so |avg| <= 1e12 and avg*1e4 stays far inside int64 where
+    Spark's BIGINT floor is exact; NaN/Inf cannot reach it)."""
     return (
-        f"ROUND(CAST(CAST(SUM(TRY_CAST(CAST((CASE WHEN isfinite({expr}) THEN ({expr})"
-        f" END) AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*), 4) AS {alias}"
+        f"floor(CAST(CAST(SUM(TRY_CAST(CAST((CASE WHEN isfinite({expr}) THEN ({expr})"
+        f" END) AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*)"
+        f" * 10000 + 0.5) / 10000 AS {alias}"
     )
 
 
@@ -813,7 +823,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("l_partkey").alias("n_part"),
         F.expr(f"CAST(SUM(TRY_CAST((l_quantity) AS {DEC})) AS DOUBLE)").alias("sum_qty"),
         F.expr(
-            f"ROUND(CAST(SUM(TRY_CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+            f"floor(CAST(SUM(TRY_CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000"
         ).alias("avg_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
@@ -856,13 +866,13 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(SUM(TRY_CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS {DEC})) AS DOUBLE)"
             ).alias("sum_charge"),
             F.expr(
-                f"ROUND(CAST(SUM(TRY_CAST((l_quantity) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+                f"floor(CAST(SUM(TRY_CAST((l_quantity) AS {DEC})) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000"
             ).alias("avg_qty"),
             F.expr(
-                f"ROUND(CAST(SUM(TRY_CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+                f"floor(CAST(SUM(TRY_CAST((l_extendedprice) AS {DEC})) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000"
             ).alias("avg_price"),
             F.expr(
-                f"ROUND(CAST(SUM(TRY_CAST((l_discount) AS {DEC})) AS DOUBLE) / COUNT(*), 4)"
+                f"floor(CAST(SUM(TRY_CAST((l_discount) AS {DEC})) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000"
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -3536,7 +3546,10 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((f_rank - 1) * 4 // n + 1 AS INT) AS f_q,
            CAST((m_rank - 1) * 4 // n + 1 AS INT) AS m_q,
            COUNT(*) AS n_cust,
-           ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 2) AS avg_monetary
+           -- floor-form, not ROUND: decimal-sum/count quotients can land
+           -- on exact halves where the engines' rounds split (fuzz r9)
+           floor(CAST(SUM(monetary) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100
+             AS avg_monetary
     FROM ranked CROSS JOIN tot
     GROUP BY r_q, f_q, m_q
     """,
@@ -3595,8 +3608,14 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(
-                F.expr("CAST(SUM(monetary) AS DOUBLE)") / F.count("*"), 2
+            (
+                F.floor(
+                    F.expr("CAST(SUM(monetary) AS DOUBLE)")
+                    / F.count("*")
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
             ).alias("avg_monetary"),
         )
     )
