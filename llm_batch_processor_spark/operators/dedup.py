@@ -646,8 +646,19 @@ def _dense_jaccard_pairs(
       exceeds the dense FLOP count (hub grams present in most docs —
       df^2 blowup), one matrix multiply per block pair is cheaper;
       the worst case therefore never regresses past the old kernel.
+
+    Block-count CAP (r9, found by the sf10 ladder probe): every block
+    ships to every pair task, so total shuffle = n_blocks x corpus
+    bytes — a fixed block SIZE makes n_blocks (and the shuffle) grow
+    linearly with the corpus and the block-pair count quadratically
+    (at 500k docs / block 1024: 489 blocks, ~120k tasks, ~380 GB
+    shuffle — the sf10 run filled the disk). Capping n_blocks at 24
+    bounds shuffle at 24x corpus and still yields 300 tasks; per-task
+    memory is 2/24 of the posting arrays, which fits any executor that
+    could hold the 1024-doc blocks before. block_size stays the FLOOR
+    (small corpora keep small tasks).
     """
-    n_blocks = max(1, math.ceil(n_docs / block_size))
+    n_blocks = max(1, min(math.ceil(n_docs / block_size), 24))
     packed = (
         sets_df.select(
             F.pmod(F.xxhash64("id"), F.lit(n_blocks)).alias("b"),
@@ -747,16 +758,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct token n-gram sets — adaptive strategy.
 
-    Small vocabulary (<= dense_vocab_limit distinct grams): blocked
-    dense GEMM. Each doc is a binary gram-incidence vector; pairwise
-    intersection counts are one matrix multiply per block pair
-    (|a n b| = A @ B.T), jaccard = inter/(sz_a+sz_b-inter). When the
-    vocabulary is tiny every doc pair shares grams, so ANY join-based
-    candidate scheme degenerates to ~n^2/2 shuffled rows — the GEMM
-    does the same n^2 work as a BLAS kernel with zero shuffle beyond
-    n_blocks^2 block sends. Counts are exact (0/1 sums << fp32 ulp).
+    Small vocabulary OR dense postings (avg doc-frequency > 8 — the
+    regime where every "rare" prefix gram is still a hub and ANY
+    join-based candidate scheme degenerates toward ~n^2 shuffled rows;
+    see the r9 strategy-gate comment in
+    :func:`ngram_jaccard_pairs_collapsed`): blocked sparse/dense
+    kernel. Each doc is a gram-incidence vector; pairwise intersection
+    counts come from a posting-merge or one matrix multiply per block
+    pair (|a n b| = A @ B.T), jaccard = inter/(sz_a+sz_b-inter), with
+    n_blocks capped so shuffle stays n_blocks x corpus. Counts are
+    exact (0/1 sums << fp32 ulp).
 
-    Large vocabulary: AllPairs-style prefix filtering
+    Sparse large vocabulary: AllPairs-style prefix filtering
     (Bayardo/Ma/Srikant, WWW'07 — public). Order every doc's gram set
     by GLOBAL rarity (doc-frequency asc, gram asc — a total order) and
     index only the first ``|d| - ceil(t*|d|) + 1`` grams: any pair with
@@ -832,21 +845,53 @@ def ngram_jaccard_pairs_collapsed(
         f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
     ][0]
 
-    vocab_rows = (
+    # strategy gate (r9, rewritten after the sf10 ladder probe): the
+    # old gate keyed on ABSOLUTE vocab size, but what actually kills
+    # the AllPairs prefix-filter branch is posting DENSITY — a corpus
+    # of 500k docs over 93k distinct grams (avg df 275, max 338: no
+    # rare grams at all, so every "rarest-grams" prefix is made of
+    # hubs) expands to ~1.8e9 candidate rows and filled the disk at
+    # sf10, while its vocab sailed past the 16384 limit. One tiny
+    # map-side-combined agg probes BOTH signals; the blocked kernel is
+    # chosen when the vocab fits the task closure OR when density says
+    # the join would explode (the kernel's cost is sum_g df^2 spread
+    # over bounded block pairs — immune to hub grams by construction).
+    stats = (
         sets_df.select(F.explode("gh").alias("g"))
-        .distinct()
-        .limit(dense_vocab_limit + 1)
-        .collect()
-    )
-    survivors = sets_df.select("id", "m")
-    if len(vocab_rows) <= dense_vocab_limit:
-        vocab = np.sort(np.array([r["g"] for r in vocab_rows], dtype=np.int64))
-        return (
-            _dense_jaccard_pairs(sets_df, vocab, t, id_dtype, block_size, n_docs),
-            members,
-            survivors,
-            collapsed,
+        .agg(
+            F.approx_count_distinct("g").alias("nd"),
+            F.count("*").alias("np"),
         )
+        .collect()[0]
+    )
+    nd_est, n_postings = max(1, int(stats["nd"])), int(stats["np"])
+    avg_df = n_postings / nd_est
+    # 1M hashed grams = an 8 MB int64 closure array — the ceiling for
+    # shipping the vocab with the tasks; above it, only a genuinely
+    # rare-gram corpus (where AllPairs is the right tool) is plausible
+    dense_hard_cap = 1_000_000
+    survivors = sets_df.select("id", "m")
+    if nd_est <= dense_vocab_limit * 2 or (
+        avg_df > 8.0 and nd_est <= dense_hard_cap
+    ):
+        vocab_pdf = (
+            sets_df.select(F.explode("gh").alias("g"))
+            .distinct()
+            .limit(dense_hard_cap + 1)
+            .toPandas()
+        )
+        if len(vocab_pdf) <= (
+            dense_vocab_limit if avg_df <= 8.0 else dense_hard_cap
+        ):
+            vocab = np.sort(vocab_pdf["g"].to_numpy(dtype=np.int64))
+            return (
+                _dense_jaccard_pairs(
+                    sets_df, vocab, t, id_dtype, block_size, n_docs
+                ),
+                members,
+                survivors,
+                collapsed,
+            )
     grams = sets_df.select("id", F.explode("gh").alias("g"))
     gram_df = grams.groupBy("g").agg(F.count("*").alias("gdf"))
     # persisted: three consumers (prefix postings + both verify sides)
