@@ -676,6 +676,14 @@ def _dense_jaccard_pairs(
             F.col("A.rows").alias("rows_a"),
             F.col("B.rows").alias("rows_b"),
         )
+        # ONE pair row per task: each row carries two whole blocks
+        # (tens of MB at the block-count cap), and the join's default
+        # partitioning leaves several rows per task — each concurrent
+        # Python worker then materializes a multi-row Arrow batch with
+        # ~10x unpack amplification, which global-OOM-killed the first
+        # sf10 ladder run. One row per task caps the per-worker peak
+        # at one block pair.
+        .repartition(n_blocks * (n_blocks + 1) // 2)
     )
 
     V = len(vocab)
@@ -1198,6 +1206,9 @@ def embedding_pairs(
             F.col("A.rows").alias("rows_a"),
             F.col("B.rows").alias("rows_b"),
         )
+        # one pair row per task — same Arrow-batch peak-memory bound
+        # as the jaccard kernel (see _dense_jaccard_pairs)
+        .repartition(n_blocks * (n_blocks + 1) // 2)
     )
     thresh = float(min_cosine)
     id_dtype = id_dtype_s
