@@ -696,6 +696,26 @@ def _dense_jaccard_pairs(
         col_idx = np.searchsorted(vocab, np.concatenate([np.asarray(r["gh"]) for r in rows]))
         return ids, sz, row_idx, col_idx
 
+    # per-task temp-memory bounds (r9, after the sf10 ladder OOM):
+    # bincount over row-pair keys allocates nA*nB int64 — 3.5 GB per
+    # task at the 21k-doc blocks the block-count cap produces, and 32
+    # concurrent workers global-OOM'd the host. The posting merge now
+    # runs in bounded CHUNKS with np.unique-based counting (memory =
+    # O(chunk + live distinct pairs), never O(nA*nB)); the dense GEMM
+    # fallback is additionally gated on its matrix bytes.
+    CHUNK = 4_000_000
+    FOLD_AT = 8_000_000
+    DENSE_BYTES_MAX = 256 * 2**20
+
+    def _fold(pend_k, pend_c):
+        merged = np.concatenate(pend_k)
+        mc = np.concatenate(pend_c)
+        order = np.argsort(merged, kind="stable")
+        merged, mc = merged[order], mc[order]
+        bounds = np.flatnonzero(np.diff(merged)) + 1
+        starts = np.concatenate(([0], bounds))
+        return merged[starts], np.add.reduceat(mc, starts)
+
     def inter_counts(ra, ca, nA, rb, cb, nB):
         """Exact nonzero intersection counts between two doc blocks.
 
@@ -704,7 +724,10 @@ def _dense_jaccard_pairs(
         dfa = np.bincount(ca, minlength=V).astype(np.int64)
         dfb = np.bincount(cb, minlength=V).astype(np.int64)
         expansion = int(dfa @ dfb)
-        if expansion > nA * nB:  # hub-gram blowup: dense GEMM is cheaper
+        if (
+            expansion > nA * nB
+            and (nA + nB) * V * 4 <= DENSE_BYTES_MAX
+        ):  # hub-gram blowup: dense GEMM is cheaper (and small enough)
             A = np.zeros((nA, V), dtype=np.float32)
             A[ra, ca] = 1.0
             B = np.zeros((nB, V), dtype=np.float32)
@@ -717,15 +740,39 @@ def _dense_jaccard_pairs(
         ob = np.argsort(cb, kind="stable")
         gb, rb_s = cb[ob], rb[ob]
         left = np.searchsorted(gb, ga, "left")
-        cnt = np.searchsorted(gb, ga, "right") - left
-        ra_exp = np.repeat(ra_s, cnt)
-        offs = np.cumsum(cnt) - cnt
-        idx = np.arange(int(cnt.sum())) - np.repeat(offs, cnt) + np.repeat(left, cnt)
-        rb_exp = rb_s[idx]
-        keys = ra_exp.astype(np.int64) * nB + rb_exp
-        counts = np.bincount(keys)
-        nz = np.nonzero(counts)[0]
-        return nz // nB, nz % nB, counts[nz].astype(np.float64)
+        cnt = (np.searchsorted(gb, ga, "right") - left).astype(np.int64)
+        csum = np.cumsum(cnt)
+        pend_k, pend_c, pend_n = [], [], 0
+        start = 0
+        n_post = len(ga)
+        while start < n_post:
+            base = int(csum[start - 1]) if start else 0
+            end = int(np.searchsorted(csum, base + CHUNK, "right")) + 1
+            end = min(max(end, start + 1), n_post)
+            c = cnt[start:end]
+            tot = int(c.sum())
+            if tot:
+                ra_exp = np.repeat(ra_s[start:end], c)
+                offs = np.cumsum(c) - c
+                idx = (
+                    np.arange(tot)
+                    - np.repeat(offs, c)
+                    + np.repeat(left[start:end], c)
+                )
+                keys = ra_exp.astype(np.int64) * nB + rb_s[idx]
+                uk, uc = np.unique(keys, return_counts=True)
+                pend_k.append(uk)
+                pend_c.append(uc)
+                pend_n += len(uk)
+                if pend_n > FOLD_AT:
+                    fk, fc = _fold(pend_k, pend_c)
+                    pend_k, pend_c, pend_n = [fk], [fc], len(fk)
+            start = end
+        if not pend_k:
+            empty = np.array([], dtype=np.int64)
+            return empty, empty, np.array([], dtype=np.float64)
+        keys, counts = _fold(pend_k, pend_c)
+        return keys // nB, keys % nB, counts.astype(np.float64)
 
     def score(batches):
         for pdf in batches:
