@@ -1233,7 +1233,12 @@ def embedding_pairs(
         return _verify_cosine_pairs(
             cand, df, float(min_cosine), id_col, vec_col, id_dtype_s
         )
-    n_blocks = max(1, math.ceil(n / block_size))
+    # block-count cap (r9, sf10 ladder — same rationale as the jaccard
+    # kernel): shuffle = n_blocks x corpus and tasks = n_blocks^2/2, so
+    # a fixed block SIZE turns a 200k-vector corpus into 196 blocks and
+    # ~19k tasks; the cap bounds both while the row-chunked GEMM below
+    # keeps per-task memory flat regardless of block width
+    n_blocks = max(1, min(math.ceil(n / block_size), 32))
 
     packed = (
         df.select(
@@ -1272,17 +1277,25 @@ def embedding_pairs(
                 B = np.array([r["v"] for r in rows_b], dtype=np.float64)
                 A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
                 B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
-                sims = A @ B.T
-                ii, jj = np.nonzero(sims >= thresh)
-                ia, ib = ids_a[ii], ids_b[jj]
-                keep = ia != ib
-                ia, ib = ia[keep], ib[keep]
-                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-                if ba == bb:  # self pair: each (i,j) appears twice, keep one
-                    dedup_mask = ia < ib
-                    lo, hi = lo[dedup_mask], hi[dedup_mask]
-                out_a.append(lo)
-                out_b.append(hi)
+                # GEMM in A-row CHUNKS (r9, sf10 ladder): the capped
+                # block count makes blocks thousands of vectors wide,
+                # and a full nA x nB f64 sims buffer would be hundreds
+                # of MB per task x 32 workers. Chunking bounds the live
+                # buffer at ~chunk x nB (<= ~64 MB) with identical
+                # output; BLAS throughput is unaffected at these shapes.
+                chunk = max(1, (8 << 20) // max(len(ids_b), 1))
+                for lo_i in range(0, len(ids_a), chunk):
+                    sims = A[lo_i : lo_i + chunk] @ B.T
+                    ii, jj = np.nonzero(sims >= thresh)
+                    ia, ib = ids_a[ii + lo_i], ids_b[jj]
+                    keep = ia != ib
+                    ia, ib = ia[keep], ib[keep]
+                    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                    if ba == bb:  # self pair: (i,j) appears twice, keep one
+                        dedup_mask = ia < ib
+                        lo, hi = lo[dedup_mask], hi[dedup_mask]
+                    out_a.append(lo)
+                    out_b.append(hi)
             if out_a:
                 yield pd.DataFrame(
                     {
