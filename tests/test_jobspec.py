@@ -132,6 +132,8 @@ def test_inline_erb_source_skips_file_requirement():
 class _FakeResp:
     def __init__(self, body):
         self._body = body
+        self.status_code = 200  # the backend's 429 branch reads these
+        self.headers = {}
 
     def raise_for_status(self):
         pass
