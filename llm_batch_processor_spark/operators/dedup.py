@@ -1437,14 +1437,32 @@ def _label_propagation_cc(
             F.col(id_col).alias("u"), F.col(id_col).alias("cluster_id")
         )
     )
+    # Size-gated BROADCAST of the label side (r9, sf10 ladder): both
+    # join inputs are checkpoint cuts, which erase Catalyst's size
+    # stats — the planner then sort-merge-joins, re-shuffling and
+    # re-sorting the FULL edge frame every round (268M rows x ~6
+    # rounds at sf10's 134M-pair graph). Labels are one row per NODE
+    # (not per edge), so up to a bounded node count the broadcast
+    # turns each round into one map-side scan of edges + a
+    # map-side-combined min aggregation — no edge shuffle, ever.
+    # Beyond the gate (a graph with >20M labeled nodes) the SMJ
+    # fallback stands: at that size the labels no longer fit a
+    # broadcast and edge shuffles are the honest cost.
+    n_nodes = labels.count()
+    bcast = (lambda df: F.broadcast(df)) if n_nodes <= 20_000_000 else (
+        lambda df: df
+    )
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels.withColumnRenamed("u", "v2"), edges.v == F.col("v2"))
+            edges.join(
+                bcast(labels.withColumnRenamed("u", "v2")),
+                edges.v == F.col("v2"),
+            )
             .groupBy("u")
             .agg(F.min("cluster_id").alias("nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min, "u", "left")
+            labels.join(bcast(neighbor_min), "u", "left")
             .select(
                 "u",
                 F.least(
