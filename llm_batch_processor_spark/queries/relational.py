@@ -76,7 +76,14 @@ def davg(expr: str, alias: str) -> str:
     pure IEEE double ops — bit-identical — and safe here because the
     argument is rail-bounded money/quantity (TRY_CAST drops over-rail
     mass, so |avg| <= 1e12 and avg*1e4 stays far inside int64 where
-    Spark's BIGINT floor is exact; NaN/Inf cannot reach it)."""
+    Spark's BIGINT floor is exact; NaN/Inf cannot reach it).
+
+    Semantic note (ADVICE r9): for NEGATIVE arguments this floor form
+    rounds halves toward +infinity (-0.00005 -> 0.0), where ROUND is
+    half-away-from-zero (-0.0001). Negative money does occur (fuzz
+    MONEY_POOL); both engines apply the IDENTICAL expression, so
+    cross-engine parity holds by construction — the snap defines the
+    query's rounding semantics rather than approximating ROUND's."""
     return (
         f"floor(CAST(CAST(SUM(TRY_CAST(CAST((CASE WHEN isfinite({expr}) THEN ({expr})"
         f" END) AS VARCHAR) AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*)"
@@ -1678,7 +1685,11 @@ def _snap6(expr: str) -> str:
     (Spark's floor returns BIGINT and SATURATES NaN->0 / Inf->rail),
     so NaN and |x| >= 9.2e12 pass through RAW: the raw double is
     already identical (built from correctly-rounded + - * / sqrt on
-    identical inputs) and 6-decimal rounding is sub-ulp there anyway."""
+    identical inputs) and 6-decimal rounding is sub-ulp there anyway.
+
+    Semantic note (ADVICE r9): for NEGATIVE x this floor form rounds
+    halves toward +infinity, not away from zero — identical in both
+    engines, so the snap DEFINES the rounding semantics (see davg)."""
     return (
         f"CASE WHEN isnan({expr}) OR abs({expr}) >= 9.2e12 THEN ({expr}) "
         f"ELSE floor(({expr}) * 1000000 + 0.5) / 1000000 END"
@@ -5988,12 +5999,19 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "bootstrap_ci_det",
     """
-    WITH fan AS (
-      SELECT b.b, e.value,
-             CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
-                                      || CAST(b.b AS VARCHAR)), 1, 6))
+    WITH d AS (
+      SELECT value,
+             md5(CAST(event_id AS VARCHAR) || ':0')
+               || md5(CAST(event_id AS VARCHAR) || ':1') AS digs
+      FROM events
+    ),
+    fan AS (
+      SELECT b.b, d.value,
+             CAST(('0x' || substr(digs,
+                                  ((b.b - 1) // 10) * 32
+                                    + ((b.b - 1) % 10) * 3 + 1, 3))
                   AS BIGINT) % 3 AS m
-      FROM events e, (SELECT CAST(r AS INT) + 1 AS b FROM range(20) t(r)) b
+      FROM d, (SELECT CAST(r AS INT) + 1 AS b FROM range(20) t(r)) b
     ),
     reps AS (
       SELECT b,
@@ -6009,40 +6027,38 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="deterministic Poisson-style bootstrap CI for the mean event "
     "value: 20 replicates, each row's multiplicity in replicate b is "
-    "md5(event_id:b) %% 3 in {0,1,2} (E~1 — the hash plays the RNG, "
-    "so both engines draw the SAME resamples; no seed state, no "
-    "collect). Replicate means are exact DECIMAL sums over integer "
-    "multiplicities; the CI is the type-7 quantile over 20 "
-    "replicate rows. The 20x fan-out is row-local (explode of a "
-    "literal range — no join), map-side combines into 20 groups; "
-    "this is the one-pass distributed bootstrap pattern (Kleiner's "
-    "BLB without the blocking).",
+    "a 3-hex chunk of md5(event_id:0)||md5(event_id:1) taken mod 3 "
+    "in {0,1,2} (E~1 — the hash plays the RNG, so both engines draw "
+    "the SAME resamples; no seed state, no collect). TWO digests per "
+    "event feed all 20 replicates (10 three-hex chunks per digest; "
+    "chars 31-32 of each digest are unused) — 10x less hash work "
+    "than the r9 per-(event,b) digest at identical statistics "
+    "(VERDICT r9 item 4). Replicate means are exact DECIMAL sums "
+    "over integer multiplicities; the CI is the type-7 quantile over "
+    "20 replicate rows. The 20x fan-out is row-local (posexplode of "
+    "a per-row multiplicity array — no join), map-side combines into "
+    "20 groups; this is the one-pass distributed bootstrap pattern "
+    "(Kleiner's BLB without the blocking).",
 )
 def bootstrap_ci_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    fan = e.select(
-        F.explode(F.expr("sequence(1, 20)")).alias("b"), "value", "event_id"
-    ).select(
-        "b",
-        "value",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.col("event_id").cast("string"),
-                            F.col("b").cast("string"),
-                        )
-                    ),
-                    1,
-                    6,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 3
-        ).alias("m"),
+    digs = F.concat(
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":0"))),
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":1"))),
+    )
+    fan = (
+        e.select("value", digs.alias("digs"))
+        .select(
+            "value",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 19), j -> CAST(CAST(conv("
+                    "substring(digs, (j div 10) * 32 + (j % 10) * 3 + 1, 3),"
+                    " 16, 10) AS BIGINT) % 3 AS INT))"
+                )
+            ).alias("j", "m"),
+        )
+        .select((F.col("j") + 1).alias("b"), "value", "m")
     )
     reps = fan.groupBy("b").agg(
         (
