@@ -929,15 +929,18 @@ def ngram_jaccard_pairs_collapsed(
     if nd_est <= dense_vocab_limit * 2 or (
         avg_df > 8.0 and nd_est <= dense_hard_cap
     ):
+        # collect just past the ceiling that decides THIS branch: on
+        # the avg_df <= 8 path only dense_vocab_limit matters, so
+        # shipping dense_hard_cap+1 rows to the driver would be up to
+        # ~60x more transfer than the decision needs (ADVICE r9)
+        branch_cap = dense_vocab_limit if avg_df <= 8.0 else dense_hard_cap
         vocab_pdf = (
             sets_df.select(F.explode("gh").alias("g"))
             .distinct()
-            .limit(dense_hard_cap + 1)
+            .limit(branch_cap + 1)
             .toPandas()
         )
-        if len(vocab_pdf) <= (
-            dense_vocab_limit if avg_df <= 8.0 else dense_hard_cap
-        ):
+        if len(vocab_pdf) <= branch_cap:
             vocab = np.sort(vocab_pdf["g"].to_numpy(dtype=np.int64))
             return (
                 _dense_jaccard_pairs(
@@ -1396,86 +1399,161 @@ def connected_components(
             labels = labels.select("u", F.col("u").alias("cluster_id"))
         return labels.select(F.col("u").alias(id_col), "cluster_id")
 
-    if all_ids is None:
-        all_ids = (
-            pairs.select(F.col("id_a").alias(id_col))
-            .union(pairs.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-    return _label_propagation_cc(pairs, all_ids, id_col, max_iter)
+    labels = _label_propagation_cc(
+        pairs, all_ids, id_col, max_iter, n_pairs=n_edges
+    )
+    # every heavy consumer of `pairs` inside the contraction is EAGER
+    # (round-0 checkpoints); the returned plan references only
+    # checkpoint-cut frames (+ all_ids when given), so the persist can
+    # be dropped here instead of leaking for the session's lifetime
+    pairs.unpersist()
+    return labels
+
+
+# Broadcast gate for CC label maps, in BYTES not rows (ADVICE r9 /
+# VERDICT r9 item 3): ~64 B/row covers the two-id unsafe-row payload
+# plus BroadcastHashJoin relation overhead at these widths, so the
+# default 256 MB ceiling admits label maps up to ~4M nodes — far
+# inside a 24 GB driver and each executor's share. The r9 gate
+# admitted 20M ROWS (~1.3 GB estimated), two orders of magnitude past
+# typical safe broadcast sizes. Measured at the 10M-node probe
+# (BASELINE.md r10): the shuffle fallback is the honest cost beyond
+# the ceiling, not a cliff — both paths label identically (pytest).
+_CC_BCAST_ROW_BYTES = 64
+_CC_BCAST_MAX_BYTES = 256 << 20
+
+# Target edge rows per shuffle task for the contraction's heavy round
+# (~2M two-id rows = ~32 MB unsafe rows — in-memory map-side combine
+# headroom at 32 concurrent tasks in a 24 GB heap, and a sensible
+# per-task size on a real cluster)
+_CC_EDGE_ROWS_PER_TASK = 2_000_000
 
 
 def _label_propagation_cc(
     pairs: DataFrame,
-    all_ids: DataFrame,
+    all_ids: DataFrame | None,
     id_col: str = "id",
     max_iter: int = 10,
+    n_pairs: int | None = None,
 ) -> DataFrame:
-    """Min-label propagation over the near-dup graph.
+    """Min-label CONTRACTION connected components (r10 rewrite).
 
-    Returns (id, cluster_id) for every id in ``all_ids`` (singletons map
-    to themselves). Each round joins labels across edges and keeps the
-    min — one shuffle per round; near-dup components are tiny/shallow,
-    so rounds ~ component diameter (bounded by max_iter, with an
-    early-stop when a round changes no label).
+    Returns (id, cluster_id) for every id in ``all_ids`` (singletons
+    map to themselves; ``all_ids=None`` labels the edge endpoints
+    only), cluster_id = min id per component — identical labels to the
+    bounded driver union-find path (pytest-pinned).
 
-    The edge set is materialized ONCE up front (eager checkpoint):
-    pairs usually arrive from an expensive generator (an LSH join), and
-    an iterative consumer would otherwise re-execute that whole lineage
-    every round — at sf0.1 that was 3x the pair-generation cost itself.
-    Per-round labels are likewise checkpointed so the plan stays O(1)
-    deep instead of O(rounds). All cuts route through
+    Each round: (1) label every node with the min of itself and its
+    neighbors — ONE aggregation whose map-side combine means the
+    shuffle carries ~|nodes| rows, never |edges|; (2) CONTRACT the
+    graph: re-map both endpoints of every edge through the new labels
+    (broadcast map-join under the bytes gate, shuffle join beyond it)
+    and keep the distinct cross-label edges — map-side partial
+    distinct bounds that shuffle by the contracted graph size. A dup
+    near-clique collapses to a single supernode in one round, and
+    chains halve per round, so the edge frame shrinks monotonically
+    and is EMPTY at convergence after O(log diameter) rounds — the
+    small-star contraction regime (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). The full-size pair
+    frame is therefore touched exactly TWICE (round-0 agg + round-0
+    contraction); every later round runs on the contracted graph.
+
+    The r9 design instead broadcast-joined the FULL edge list against
+    the labels every round at the session's fixed shuffle-partition
+    count, plus materialized a symmetrized ``distinct`` copy of the
+    edges up front — 597 s / 38x at the sf10 ladder's 408M-pair graph
+    and an OOM-prone 817M-row distinct (VERDICT r9 item 1). Here no
+    symmetrized edge copy is ever materialized (min-agg and distinct
+    both tolerate duplicate edges), and the round-0 shuffle partition
+    count scales with the measured |pairs| (the caller's persist-fill
+    count, reused) instead of staying at the session default.
+
+    Semantics note: nodes that appear only as relay endpoints (present
+    in edges, absent from ``all_ids``) still transmit connectivity and
+    can contribute the component min — exactly like the driver
+    union-find path. Every lineage cut routes through
     :func:`_checkpoint`: reliable on a cluster with a configured
     checkpoint dir, localCheckpoint otherwise."""
-    edges = _checkpoint(
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .distinct()
+    spark = pairs.sparkSession
+    if n_pairs is None:
+        n_pairs = pairs.count()
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    n_part = max(
+        spark.sparkContext.defaultParallelism,
+        min(4096, int(n_pairs // _CC_EDGE_ROWS_PER_TASK) + 1),
     )
-    labels = _checkpoint(
-        all_ids.select(
-            F.col(id_col).alias("u"), F.col(id_col).alias("cluster_id")
-        )
-    )
-    # Size-gated BROADCAST of the label side (r9, sf10 ladder): both
-    # join inputs are checkpoint cuts, which erase Catalyst's size
-    # stats — the planner then sort-merge-joins, re-shuffling and
-    # re-sorting the FULL edge frame every round (268M rows x ~6
-    # rounds at sf10's 134M-pair graph). Labels are one row per NODE
-    # (not per edge), so up to a bounded node count the broadcast
-    # turns each round into one map-side scan of edges + a
-    # map-side-combined min aggregation — no edge shuffle, ever.
-    # Beyond the gate (a graph with >20M labeled nodes) the SMJ
-    # fallback stands: at that size the labels no longer fit a
-    # broadcast and edge shuffles are the honest cost.
-    n_nodes = labels.count()
-    bcast = (lambda df: F.broadcast(df)) if n_nodes <= 20_000_000 else (
-        lambda df: df
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(
-                bcast(labels.withColumnRenamed("u", "v2")),
-                edges.v == F.col("v2"),
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_conf = spark.conf.get(conf_key, None)
+    full = None  # (u, lab) over all endpoints, composed across rounds
+    try:
+        # round-0 work inside the loop is all EAGER (checkpoints +
+        # counts), so the widened shuffle-partition conf applies to
+        # exactly the heavy stages and is restored right after
+        spark.conf.set(conf_key, str(n_part))
+        for _ in range(max_iter):
+            lmap = _checkpoint(
+                edges.union(
+                    edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+                )
+                .groupBy("u")
+                .agg(F.min("v").alias("nmin"))
+                .select("u", F.least("u", "nmin").alias("lab"))
             )
-            .groupBy("u")
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(bcast(neighbor_min), "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.coalesce(F.col("nmin"), F.col("cluster_id")) < F.col("cluster_id")).alias(
-                    "__changed"
-                ),
+            n_nodes = lmap.count()
+            wrap = (
+                F.broadcast
+                if n_nodes * _CC_BCAST_ROW_BYTES <= _CC_BCAST_MAX_BYTES
+                else (lambda df: df)
             )
+            edges = _checkpoint(
+                edges.join(
+                    wrap(lmap.select(F.col("u").alias("__cu"),
+                                     F.col("lab").alias("__la"))),
+                    edges.u == F.col("__cu"),
+                )
+                .join(
+                    wrap(lmap.select(F.col("u").alias("__cv"),
+                                     F.col("lab").alias("__lb"))),
+                    F.col("v") == F.col("__cv"),
+                )
+                .select(
+                    F.least("__la", "__lb").alias("u"),
+                    F.greatest("__la", "__lb").alias("v"),
+                )
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            if full is None:
+                full = lmap
+            else:
+                # this round's map re-labels CONTRACTED node ids (the
+                # previous round's labels); composition is a map-side
+                # broadcast join under the same gate
+                rm = lmap.select(
+                    F.col("u").alias("__ru"), F.col("lab").alias("__rl")
+                )
+                full = full.join(
+                    wrap(rm), full.lab == F.col("__ru"), "left"
+                ).select(
+                    "u", F.coalesce("__rl", F.col("lab")).alias("lab")
+                )
+            if edges.limit(1).count() == 0:
+                break
+    finally:
+        if saved_conf is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved_conf)
+    endpoint_labels = full.select(
+        F.col("u").alias(id_col), F.col("lab").alias("cluster_id")
+    )
+    if all_ids is None:
+        return endpoint_labels
+    return (
+        all_ids.select(F.col(id_col))
+        .join(endpoint_labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
-        new_labels = _checkpoint(new_labels)
-        changed = new_labels.filter("__changed").limit(1).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
-            break
-    return labels.select(F.col("u").alias(id_col), "cluster_id")
+    )
