@@ -116,6 +116,11 @@ _NESTED_LOOP_ALLOWED = {
     # same brute_force_topk kernel as sim_topk (bounded query set
     # broadcast); the majority vote downstream is equi-join + window
     "knn_classify",
+    # exact side of the recall metric = brute_force_topk over the
+    # 100-query bounded set (broadcast); the approximate side is the
+    # audited bucket/cell equi-join kernel
+    "sim_ann_lsh_recall",
+    "sim_ann_ivf_recall",
     # 1-row broadcast of the 64-element iterate vector onto the
     # embedding scan, once per power-iteration round — scalar attaches
     # (the pagerank-shaped driver-bounded fixed point)
