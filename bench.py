@@ -168,6 +168,17 @@ def main() -> int:
     gflops = gemm_gflops()
     probe = spark_probe_sec(spark)
 
+    # Contended-start flag (VERDICT r9 item 8): when the PRE probe is
+    # >2x worse than the POST probe on either instrument (GEMM is
+    # higher-is-better, the Spark probe lower-is-better), the first
+    # minutes of the loop ran on a contended host and early-session
+    # query times are inflated — the artifact says so itself instead
+    # of leaving the adjudication to whoever diffs two runs.
+    contended_start = bool(
+        (gflops_pre > 0 and gflops / gflops_pre > 2.0)
+        or (probe > 0 and probe_pre / probe > 2.0)
+    )
+
     # The driver captures only a bounded TAIL of stdout and JSON-parses
     # it. Round 2's 130-query line overran that window ("parsed": null);
     # round 3's ~2800-char cap still failed at 272 queries — the r04
@@ -195,6 +206,7 @@ def main() -> int:
                 "spark_probe_sec": probe,
                 "gemm_gflops_pre": gflops_pre,
                 "spark_probe_sec_pre": probe_pre,
+                "contended_start": contended_start,
             },
             f,
         )
@@ -215,6 +227,7 @@ def main() -> int:
             "spark_probe_sec": probe,
             "gemm_gflops_pre": gflops_pre,
             "spark_probe_sec_pre": probe_pre,
+            "contended_start": contended_start,
         },
         separators=(",", ":"),
     )

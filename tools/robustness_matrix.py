@@ -50,6 +50,15 @@ sys.path.insert(0, str(REPO))
 TAIL = re.compile(r"(\d+) pass, (\d+) fail, (\d+) rows-only(?:, (\d+) contract)?")
 
 
+def _registry_size() -> int:
+    """Live per-seed query count (registry import is lazy: the matrix
+    subprocesses don't need a Spark session in THIS process unless a
+    seed actually crashes)."""
+    from llm_batch_processor_spark.queries import all_queries
+
+    return len(all_queries())
+
+
 def run_selfcheck(sf_dir: str, conf: list[str] | None = None,
                   env: dict[str, str] | None = None, skip: str = "",
                   timeout_s: int | None = None) -> dict:
@@ -176,7 +185,11 @@ def _fuzz_row(sf_dir: str, n_seeds: int) -> dict:
         }
     return {
         "pass": min(r["pass"] for r in done),
-        "fail": sum(r["fail"] for r in done) + 274 * (len(per_seed) - len(done)),
+        # charge a crashed/unparsed seed with the FULL registry size,
+        # derived live so the constant can't drift as queries are
+        # added/removed (ADVICE r9)
+        "fail": sum(r["fail"] for r in done)
+        + _registry_size() * (len(per_seed) - len(done)),
         "rows_only": max(r["rows_only"] for r in done),
         "contract": sum(r["contract"] or 0 for r in done),
         "failures": [
