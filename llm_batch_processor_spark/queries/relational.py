@@ -4131,15 +4131,22 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN variant = 1 THEN n END) AS n1,
              MAX(CASE WHEN variant = 1 THEN c END) AS c1
       FROM v
+    ),
+    s AS (
+      SELECT n0, c0, n1, c1,
+             CAST(c0 AS DOUBLE) / n0 AS rp0,
+             CAST(c1 AS DOUBLE) / n1 AS rp1,
+             sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1)) AS se
+      FROM w
     )
     SELECT n0, c0, n1, c1,
-           ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
-           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
-           ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
-                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                        * (1.0 / n0 + 1.0 / n1)), 4) AS z
-    FROM w
+           ROUND(rp0, 6) AS p0,
+           ROUND(rp1, 6) AS p1,
+           CASE WHEN se = 0 THEN NULL ELSE ROUND((rp1 - rp0) / se, 4)
+           END AS z
+    FROM s
     """,
     doc="two-proportion A/B z-test (pooled standard error) on a "
     "user-level conversion metric: users split by id parity, "
@@ -4147,9 +4154,15 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the experimentation readout. Every input to the float "
     "expression is an integer count, the expression tree is spelled "
     "identically in both engines, and the result is ROUND(4) — "
-    "deterministic. Shapes: one map-side-combined rollup to the "
-    "user grain (the only data-sized shuffle), a 2-row variant agg, "
-    "a 1-row pivot; the z-score math touches 4 integers.",
+    "deterministic. A degenerate split (every user converts, or "
+    "none — fuzz seeds 8/9's user/type skew) makes the pooled "
+    "p-hat 0 or 1 and SE_pooled exactly 0.0: Spark's ANSI division "
+    "raises DIVIDE_BY_ZERO where DuckDB's IEEE double division "
+    "yields NaN, so BOTH engines guard se = 0 to a NULL z (the "
+    "z-test is undefined there). Shapes: one map-side-combined "
+    "rollup to the user grain (the only data-sized shuffle), a "
+    "2-row variant agg, a 1-row pivot; the z-score math touches 4 "
+    "integers.",
 )
 def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -4173,6 +4186,7 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0, c0 = F.col("n0"), F.col("c0")
     n1, c1 = F.col("n1"), F.col("c1")
     pp = (c0 + c1).cast("double") / (n0 + n1)
+    se = F.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
     return w.select(
         "n0",
         "c0",
@@ -4180,10 +4194,13 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1",
         F.round(c0.cast("double") / n0, 6).alias("p0"),
         F.round(c1.cast("double") / n1, 6).alias("p1"),
-        F.round(
-            (c1.cast("double") / n1 - c0.cast("double") / n0)
-            / F.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)),
-            4,
+        # se = 0 (degenerate split: pooled p-hat 0 or 1) -> NULL z in
+        # BOTH engines; CASE short-circuits so ANSI never divides by 0
+        F.when(
+            se != 0,
+            F.round(
+                (c1.cast("double") / n1 - c0.cast("double") / n0) / se, 4
+            ),
         ).alias("z"),
     )
 

@@ -150,7 +150,7 @@ def _sf1_dir() -> str:
     return m.DST
 
 
-def _fuzz_row(sf_dir: str, n_seeds: int) -> dict:
+def _fuzz_row(sf_dir: str, n_seeds: int, seed_base: int = 0) -> dict:
     """Seeded random-corpus fuzzer row (VERDICT r8 item 1): one full
     oracle gate per seed over a fresh axis-sampled hazard corpus.
     Aggregate shape stays matrix-compatible: `pass` is the per-seed
@@ -160,7 +160,7 @@ def _fuzz_row(sf_dir: str, n_seeds: int) -> dict:
     from tools.fuzz_corpus import build_fuzz
 
     per_seed = []
-    for seed in range(n_seeds):
+    for seed in range(seed_base, seed_base + n_seeds):
         tmp = Path(tempfile.mkdtemp(prefix=f"fuzz{seed}_"))
         try:
             plan = build_fuzz(sf_dir, tmp, seed)
@@ -193,7 +193,7 @@ def _fuzz_row(sf_dir: str, n_seeds: int) -> dict:
         "rows_only": max(r["rows_only"] for r in done),
         "contract": sum(r["contract"] or 0 for r in done),
         "failures": [
-            f"seed{i}:{f}" for i, r in enumerate(per_seed)
+            f"seed{seed_base + i}:{f}" for i, r in enumerate(per_seed)
             for f in (r["failures"] or [])
         ],
         "contracts": sorted({c for r in done for c in r["contracts"]}),
@@ -223,6 +223,12 @@ def main() -> int:
     ap.add_argument(
         "--seeds", type=int, default=5,
         help="number of fuzzer seeds for the fuzz row (default 5)",
+    )
+    ap.add_argument(
+        "--seed-base", type=int, default=0,
+        help="first fuzzer seed for the fuzz row (r10: fresh seeds "
+        "continue the cumulative set, e.g. --seeds 5 --seed-base 5 "
+        "runs seeds 5-9)",
     )
     ap.add_argument(
         "--skip", default="",
@@ -344,7 +350,7 @@ def main() -> int:
         # per seed and runs the full oracle gate over each of
         # --seeds fresh corpora (~4-6 min/seed). Keys stay unique, so
         # full parity (269/0/5) is the bar for every seed.
-        "fuzz": lambda: _fuzz_row(args.sf, args.seeds),
+        "fuzz": lambda: _fuzz_row(args.sf, args.seeds, args.seed_base),
     }
     default_rows = [r for r in rows if r not in ("sf01", "sf1", "fuzz")]
     picked = [r for r in args.rows.split(",") if r] or default_rows
