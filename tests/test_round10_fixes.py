@@ -80,3 +80,44 @@ def test_ab_test_oracle_agrees_on_degenerate_split(spark, tmp_path):
     assert z is None or (isinstance(z, float) and math.isnan(z))
     assert float(pdf["p0"].iloc[0]) == 1.0
     assert float(pdf["p1"].iloc[0]) == 1.0
+
+
+def test_cc_bcast_gate_shut_labels_identical(spark):
+    """VERDICT r9 item 3: both sides of the label-map broadcast gate
+    (broadcast map-join vs shuffle join in the contraction) must label
+    identically. Force the SHUFFLE path by shutting the bytes gate and
+    pin equality with the default (broadcast) path on a graph with
+    chains + a clique (contraction worst cases)."""
+    import random
+
+    from llm_batch_processor_spark.operators import dedup
+
+    rng = random.Random(10)
+    edges = [(i, i + 1) for i in range(0, 30, 3)]  # short chains
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a)]
+    edges += sorted({(rng.randrange(200), rng.randrange(200)) for _ in range(40)})
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+
+    def labels(gate):
+        saved = dedup._CC_BCAST_MAX_BYTES
+        dedup._CC_BCAST_MAX_BYTES = gate
+        try:
+            return {
+                (r["id"], r["cluster_id"])
+                for r in dedup.connected_components(
+                    pairs, None, driver_edge_limit=0
+                ).collect()
+            }
+        finally:
+            dedup._CC_BCAST_MAX_BYTES = saved
+
+    bcast = labels(1 << 60)
+    shuffled = labels(0)
+    assert bcast == shuffled
+    # and both agree with the driver union-find path
+    exact = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs, None).collect()
+    }
+    assert bcast == exact
