@@ -1032,34 +1032,117 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @Q.add(
     "agg_stats",
     """
+    -- var/sd via EXACT decimal moments (r10, fuzz seed 10 at sf0.1):
+    -- one-pass streaming var_samp accumulates in a partition-order-
+    -- dependent merge tree, and at rail-value magnitudes (var ~ 5e10)
+    -- the two engines' raw doubles land 5-16 ulps apart — ROUND(,4)
+    -- then sits right at the noise floor. Sum(x) and sum(x^2) as
+    -- DECIMAL are order-independent EXACT integers in both engines;
+    -- the textbook (n*s2 - s1^2)/(n(n-1)) is then ONE identical
+    -- float expression evaluated on identical operands. The VARCHAR
+    -- hop mirrors Spark's double->decimal cast (shortest-repr parse,
+    -- the agg_pivot idiom); non-finite inputs NaN the result like
+    -- the corr mirror below (Spark var_samp NaN-poisons too).
+    WITH g AS (
+      SELECT l_returnflag,
+             COUNT(*) FILTER (WHERE isfinite(l_quantity)) AS n,
+             SUM(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity)
+                                    THEN l_quantity END AS VARCHAR)
+                          AS DECIMAL(18,6))) AS s1,
+             -- factors widened to DECIMAL(19,6): DuckDB multiplies at
+             -- the INPUT width (1e12 * 1e12 overflows DECIMAL(18)'s
+             -- int64 units) while (19,6)x(19,6) -> DECIMAL(38,12) in
+             -- exact hugeint — Spark widens automatically
+             SUM(CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity)
+                                    THEN l_quantity END AS VARCHAR)
+                          AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                 * CAST(TRY_CAST(CAST(CASE WHEN isfinite(l_quantity)
+                                      THEN l_quantity END AS VARCHAR)
+                            AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS s2,
+             bool_or(l_quantity IS NOT NULL
+                     AND NOT isfinite(l_quantity)) AS anynf,
+             -- any non-finite pair NaN-poisons Spark's streaming corr
+             -- co-moments (measured), while DuckDB's corr RAISES
+             -- out-of-range; the mirror computes corr over finite
+             -- pairs and emits NaN when any non-finite pair exists
+             -- (extreme-money gate, r7)
+             CASE WHEN bool_or(NOT isfinite(l_quantity)
+                               OR NOT isfinite(l_extendedprice))
+                  THEN 'nan'::DOUBLE
+                  ELSE ROUND(corr(l_quantity, l_extendedprice)
+                         FILTER (WHERE isfinite(l_quantity)
+                                 AND isfinite(l_extendedprice)), 4)
+             END AS corr_qp,
+             ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
-           ROUND(var_samp(l_quantity), 4) AS var_qty,
-           -- any non-finite pair NaN-poisons Spark's streaming corr
-           -- co-moments (measured), while DuckDB's corr RAISES
-           -- out-of-range; the mirror computes corr over finite pairs
-           -- and emits NaN when any non-finite pair exists
-           -- (extreme-money gate, r7)
-           CASE WHEN bool_or(NOT isfinite(l_quantity)
-                             OR NOT isfinite(l_extendedprice))
-                THEN 'nan'::DOUBLE
-                ELSE ROUND(corr(l_quantity, l_extendedprice)
-                       FILTER (WHERE isfinite(l_quantity)
-                               AND isfinite(l_extendedprice)), 4)
-           END AS corr_qp,
-           ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty
-    FROM lineitem
-    GROUP BY l_returnflag
+           CASE WHEN anynf THEN 'nan'::DOUBLE
+                WHEN n < 2 THEN NULL
+                ELSE ROUND(sqrt(greatest(
+                       (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)),
+                       0.0)), 4)
+           END AS sd_qty,
+           CASE WHEN anynf THEN 'nan'::DOUBLE
+                WHEN n < 2 THEN NULL
+                ELSE ROUND(greatest(
+                       (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)),
+                       0.0), 4)
+           END AS var_qty,
+           corr_qp, med_qty
+    FROM g
     """,
-    doc="stddev/variance/corr/exact interpolated median",
+    doc="stddev/variance/corr/exact interpolated median. var/sd are "
+    "derived from EXACT decimal moments (sum, sum-of-squares) so the "
+    "result is partition-order independent and bit-identical across "
+    "engines even at rail magnitudes (var ~ 5e10) where streaming "
+    "co-moment merges differ by ulps (fuzz seed 10 @ sf0.1, r10); "
+    "non-finite quantities NaN the pair like the corr mirror. On a "
+    "cluster the decimal sums are map-side combined exactly like the "
+    "float ones — exactness costs no extra shuffle.",
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    qty = F.col("l_quantity")
+    finite = qty.isNotNull() & ~F.isnan(qty) & ~qty.isin(
+        float("inf"), float("-inf")
+    )
+    q = F.when(finite, qty).cast("decimal(18,6)")
+    g = l.groupBy("l_returnflag").agg(
+        F.sum(finite.cast("long")).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.max((qty.isNotNull() & ~finite).cast("int")).alias("anynf"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+    )
+    n = F.col("n").cast("double")
+    # textbook form on EXACT moments: deterministic and identical in
+    # both engines (same operands, same IEEE expression tree); the
+    # greatest(0) clamps the tiny negative cancellation residue so
+    # DuckDB's raising sqrt and Spark's NaN sqrt never see it
+    var = F.greatest(
+        (n * F.col("s2").cast("double")
+         - F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / (n * (n - F.lit(1.0))),
+        F.lit(0.0),
+    )
+    nan = F.lit(float("nan"))
+    return g.select(
+        "l_returnflag",
+        F.when(F.col("anynf") == 1, nan)
+        .when(F.col("n") >= 2, F.round(F.sqrt(var), 4))
+        .alias("sd_qty"),
+        F.when(F.col("anynf") == 1, nan)
+        .when(F.col("n") >= 2, F.round(var, 4))
+        .alias("var_qty"),
+        "corr_qp",
+        "med_qty",
     )
 
 

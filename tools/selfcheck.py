@@ -51,6 +51,61 @@ def canon_df(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+# Above this row count the exact compare switches from sorted
+# canon-row LISTS (Python tuples: ~10 GB and minutes of sort at 67M
+# rows) to an order-insensitive multiset DIGEST over the SAME
+# canonical cell strings — still an exact value comparison (any
+# differing multiset of rows diverges in the 128-bit sum/xor pair
+# with overwhelming probability), but memory-flat and linear. Needed
+# since the r10 at-scale fuzz seed: key skew can make a correct
+# join output genuinely quadratic (67.7M rows at fuzz-sf0.1), and
+# grading must scale with the output it grades.
+LARGE_COMPARE_ROWS = 2_000_000
+
+
+def canon_digest(df: pd.DataFrame) -> tuple[int, int, int]:
+    """(n_rows, sum64, xor64) over hashed canon rows — order-insensitive.
+
+    Both frames are digested by the SAME code in the SAME process, so
+    only within-process determinism is needed. Plain numeric dtypes
+    hash raw (vectorized — no 67M-row string materialization); any
+    dtype whose repr needs canonicalizing (object, decimal, lists)
+    goes through the exact canon_cell strings of the small path. A
+    dtype MISMATCH between the two sides (int64 vs float64 '3' vs
+    '3.0') diverges here exactly as it does in the sorted-list path."""
+    import numpy as np
+
+    if len(df) == 0:
+        return 0, 0, 0
+    cols = sorted(df.columns)
+    mixed = None
+    for c in cols:
+        s = df[c]
+        if str(s.dtype) in ("int64", "int32", "float64", "float32", "bool"):
+            col_h = pd.util.hash_pandas_object(s, index=False).to_numpy(
+                dtype="uint64"
+            )
+        else:
+            canon = s.map(
+                lambda v: canon_cell(v if not pd.isna(v) else None)
+                if not isinstance(v, (list, tuple))
+                else str(v)
+            )
+            col_h = pd.util.hash_pandas_object(
+                canon, index=False
+            ).to_numpy(dtype="uint64")
+        with np.errstate(over="ignore"):
+            mixed = (
+                col_h
+                if mixed is None
+                else mixed * np.uint64(0x9E3779B97F4A7C15) ^ col_h
+            )
+    with np.errstate(over="ignore"):
+        h_sum = int(np.cumsum(mixed, dtype=np.uint64)[-1])
+    h_xor = int(np.bitwise_xor.reduce(mixed))
+    return len(df), h_sum, h_xor
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -87,6 +142,13 @@ def main() -> int:
         if "=" not in kv:
             ap.error(f"--conf expects K=V, got {kv!r}")
     extra = dict(kv.split("=", 1) for kv in args.conf)
+    # A correct-but-skewed quadratic output can put >1g of Arrow
+    # result in ONE task (r10 at-scale fuzz: 75k orders on one
+    # custkey -> a 2.1 GiB task result at the default 1g cap). The
+    # collect is harness-side grading, never engine semantics — give
+    # it headroom. Must be a BUILD-time conf (TaskSetManager reads it
+    # from SparkConf, not the runtime SQL conf).
+    extra = {"spark.driver.maxResultSize": "8g", **extra}
     spark = get_spark(app_name="selfcheck", extra_conf=extra or None)
     # session-conf hardening force-resets the AQE/Arrow family; an
     # invariance sweep's explicit --conf must win over the defaults
@@ -195,7 +257,14 @@ def main() -> int:
         if len(spdf) != len(odf):
             ok = False
             msgs.append(f"row count: spark={len(spdf)} oracle={len(odf)}")
-        if ok:
+        if ok and len(spdf) > LARGE_COMPARE_ROWS:
+            da, db = canon_digest(spdf), canon_digest(odf)
+            if da != db:
+                ok = False
+                msgs.append(
+                    f"values differ (multiset digest): spark={da} oracle={db}"
+                )
+        elif ok:
             a, b = canon_df(spdf), canon_df(odf)
             if a != b:
                 ok = False
