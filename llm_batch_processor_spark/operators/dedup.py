@@ -900,48 +900,46 @@ def ngram_jaccard_pairs_collapsed(
         f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
     ][0]
 
-    # strategy gate (r9, rewritten after the sf10 ladder probe): the
-    # old gate keyed on ABSOLUTE vocab size, but what actually kills
-    # the AllPairs prefix-filter branch is posting DENSITY — a corpus
-    # of 500k docs over 93k distinct grams (avg df 275, max 338: no
-    # rare grams at all, so every "rarest-grams" prefix is made of
-    # hubs) expands to ~1.8e9 candidate rows and filled the disk at
-    # sf10, while its vocab sailed past the 16384 limit. One tiny
-    # map-side-combined agg probes BOTH signals; the blocked kernel is
-    # chosen when the vocab fits the task closure OR when density says
-    # the join would explode (the kernel's cost is sum_g df^2 spread
-    # over bounded block pairs — immune to hub grams by construction).
-    stats = (
-        sets_df.select(F.explode("gh").alias("g"))
-        .agg(
-            F.approx_count_distinct("g").alias("nd"),
-            F.count("*").alias("np"),
-        )
-        .collect()[0]
-    )
-    nd_est, n_postings = max(1, int(stats["nd"])), int(stats["np"])
-    avg_df = n_postings / nd_est
+    # strategy gate (r9, rewritten after the sf10 ladder probe; r10:
+    # probe and vocabulary collapsed into ONE job): the old gate keyed
+    # on ABSOLUTE vocab size, but what actually kills the AllPairs
+    # prefix-filter branch is posting DENSITY — a corpus of 500k docs
+    # over 93k distinct grams (avg df 275, max 338: no rare grams at
+    # all, so every "rarest-grams" prefix is made of hubs) expands to
+    # ~1.8e9 candidate rows and filled the disk at sf10, while its
+    # vocab sailed past the 16384 limit. The per-gram count frame
+    # gives the gate BOTH signals exactly (nd = row count, np = sum)
+    # AND, on the dense branch, the vocabulary itself — so the former
+    # approx_count_distinct stats job + separate distinct-collect job
+    # (two full passes over the exploded postings) are now a single
+    # map-side-combined aggregation (guide §1.2: remove passes first).
+    # Driver transfer stays bounded by limit(dense_hard_cap + 1) rows
+    # (<= ~16 MB of (gram, count) pairs) even on a rare-gram corpus
+    # whose vocab is far larger; that bound is the same order as the
+    # old vocab collect's worst case, paid once per kernel call.
     # 1M hashed grams = an 8 MB int64 closure array — the ceiling for
     # shipping the vocab with the tasks; above it, only a genuinely
     # rare-gram corpus (where AllPairs is the right tool) is plausible
     dense_hard_cap = 1_000_000
+    gram_counts = (
+        sets_df.select(F.explode("gh").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(dense_hard_cap + 1)
+        .toPandas()
+    )
+    nd_exact = len(gram_counts)
     survivors = sets_df.select("id", "m")
-    if nd_est <= dense_vocab_limit * 2 or (
-        avg_df > 8.0 and nd_est <= dense_hard_cap
-    ):
-        # collect just past the ceiling that decides THIS branch: on
-        # the avg_df <= 8 path only dense_vocab_limit matters, so
-        # shipping dense_hard_cap+1 rows to the driver would be up to
-        # ~60x more transfer than the decision needs (ADVICE r9)
-        branch_cap = dense_vocab_limit if avg_df <= 8.0 else dense_hard_cap
-        vocab_pdf = (
-            sets_df.select(F.explode("gh").alias("g"))
-            .distinct()
-            .limit(branch_cap + 1)
-            .toPandas()
-        )
-        if len(vocab_pdf) <= branch_cap:
-            vocab = np.sort(vocab_pdf["g"].to_numpy(dtype=np.int64))
+    if nd_exact <= dense_hard_cap:
+        n_postings = int(gram_counts["c"].sum())
+        avg_df = n_postings / max(1, nd_exact)
+        # the r9 gate admitted nd_est <= 2x dense_vocab_limit to absorb
+        # approx_count_distinct error, then re-checked the collected
+        # vocab against the true limit; with the count exact the slack
+        # is unnecessary — dense iff the vocab truly fits the closure
+        # or density says the posting join would explode
+        if nd_exact <= dense_vocab_limit or avg_df > 8.0:
+            vocab = np.sort(gram_counts["g"].to_numpy(dtype=np.int64))
             return (
                 _dense_jaccard_pairs(
                     sets_df, vocab, t, id_dtype, block_size, n_docs
