@@ -294,6 +294,36 @@ def shingle_hashes(text_col, n: int = 3):
     return F.pandas_udf(mix_fn, "array<long>")(tok_hashes)
 
 
+def shingle_hashes_sql(text_col, n: int = 3):
+    """array<long>: DISTINCT hashed token n-grams, entirely JVM-side.
+
+    Same contract as :func:`shingle_hashes` — distinct token sequences
+    map to distinct 64-bit hashes w.h.p. — but the n-gram mix is
+    ``xxhash64`` over the n token hashes instead of the numpy FNV
+    polynomial, so the whole gram-set construction is native SQL: no
+    ArrowEvalPython stage, no Python workers, no Arrow round-trip of
+    the token-hash arrays (guide §4.1: built-ins over pandas_udf).
+    The FNV form needs wrap-around u64 arithmetic, which ANSI mode
+    (this session's default, matching the DuckDB oracle) rejects.
+
+    ONLY for consumers whose OUTPUT is hash-value-independent: the
+    exact Jaccard kernel compares gram SETS, so any injective-w.h.p.
+    hash yields identical pairs (collision odds ~ |grams|^2 / 2^64,
+    the bound both mixes already accept). The minhash/simhash kernels
+    keep :func:`shingle_hashes`: their banded candidate generation —
+    and therefore their emitted pair set — depends on the hash VALUES,
+    which are pinned by tests and by rows-only driver grades."""
+    toks = F.split(text_col, " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if n == 1:
+        return F.array_distinct(hashes)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(hashes, j + 1, m) for j in range(n)])
+    return F.array_distinct(
+        F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (ml.feature composition)
 # ---------------------------------------------------------------------------
@@ -876,12 +906,16 @@ def ngram_jaccard_pairs_collapsed(
     # the vocabulary probe's distinct map stage, the next single-branch
     # job, fills the cache before any multi-branch consumer scans it)
     members, reps, n_input, collapsed = _collapse_exact(df, id_col, text_col)
+    # native gram hashing (r10): the exact kernel's output depends only
+    # on gram-set equality, so the SQL xxhash64 mix replaces the pandas
+    # FNV mix — the kernel's one ArrowEvalPython stage is gone and the
+    # probe/scan jobs below run pure codegen (guide §4.1)
     sets_df = (
         _spread(reps, n_input)
         .select(
             "id",
             "m",
-            shingle_hashes(F.col("__txt"), n).alias("gh"),
+            shingle_hashes_sql(F.col("__txt"), n).alias("gh"),
         )
         .filter(F.size("gh") > 0)
     )
@@ -1037,26 +1071,48 @@ def collapsed_degree_nodes(
     This is the closed form of exploding ``_expand_pairs`` output and
     counting endpoints — identical values, but the intra-clique m^2/2
     pair set is never materialized (the 100 TB boilerplate hazard)."""
-    # EAGER checkpoint, not lazy persist: the symmetric union's two
-    # branches scan rp inside ONE job, and a lazy persist fills only as
-    # partitions are first touched — concurrent branch tasks race past
-    # the cache and replay the full pair-generation kernel (measured:
-    # degree_distribution 120 s vs the kernel's own 25 s single-pass at
-    # sf1). The pair set is output-bounded, so materializing it once —
-    # and truncating the kernel lineage with it — is the cheap side.
-    rp = _checkpoint(rep_pairs.select("id_a", "id_b"))
-    adj = (
-        rp.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
-        .unionByName(
-            rp.select(F.col("id_b").alias("g"), F.col("id_a").alias("h"))
-        )
-        .join(
-            survivors.select(F.col("id").alias("h"), F.col("m").alias("m_h")),
-            "h",
-        )
-    )
+    surv_m = survivors.select(F.col("id").alias("h"), F.col("m").alias("m_h"))
     if persist_adj:
-        adj = adj.persist()
+        # multi-consumer callers (graph_pagerank re-scans adj once per
+        # fixed-point round, several branches of ONE job): EAGER
+        # checkpoint, not lazy persist — concurrent branch tasks race
+        # past an unfilled cache and replay the full pair-generation
+        # kernel (measured: degree_distribution 120 s vs the kernel's
+        # own 25 s single-pass at sf1). The pair set is output-bounded,
+        # so materializing it once — and truncating the kernel lineage
+        # with it — is the cheap side.
+        rp = _checkpoint(rep_pairs.select("id_a", "id_b"))
+        adj = (
+            rp.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
+            .unionByName(
+                rp.select(F.col("id_b").alias("g"), F.col("id_a").alias("h"))
+            )
+            .join(surv_m, "h")
+            .persist()
+        )
+    else:
+        # single-consumer path (degree_distribution reads adj exactly
+        # once, inside nodes' lineage): symmetrize with explode — both
+        # edge orientations come out of ONE scan of the pair kernel, so
+        # there is no two-branch race to guard and the eager checkpoint
+        # job (+ its block write/read) disappears; the kernel runs once,
+        # inside the consumer's own job (r10, guide §1.2/§2.1)
+        adj = (
+            rep_pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("id_a").alias("g"), F.col("id_b").alias("h")
+                        ),
+                        F.struct(
+                            F.col("id_b").alias("g"), F.col("id_a").alias("h")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.g", "e.h")
+            .join(surv_m, "h")
+        )
     ext = adj.groupBy("g").agg(F.sum("m_h").alias("ext_deg"))
     nodes = (
         survivors.select(F.col("id").alias("g"), "m")

@@ -21,6 +21,14 @@ Every row is shuffled once; the only serialized step is the
 is roughly range-uniform (true for dense ids); for skewed keys pass a
 higher ``n_bins`` — correctness never depends on bin balance, only
 parallelism does.
+
+:func:`global_cumsum_multi` (r10) runs k running totals over the SAME
+order in ONE bin pass — one Exchange, one window computing k sums, one
+bounded offsets broadcast — instead of k chained single-value passes
+(guide §2.4: remove shuffles outright). Callers that already hold the
+order column's min/max (e.g. from their own stats probe, or because
+they chain several cumsums over one frame) pass ``bounds=(lo, hi)``
+and skip the probe job entirely.
 """
 
 from __future__ import annotations
@@ -36,6 +44,7 @@ def global_cumsum(
     out_col: str = "cum",
     n_bins: int = 32,
     tiebreak_col: str | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = running sum of ``value_col`` over the global
     ``order_col`` order (inclusive of the current row).
@@ -45,25 +54,66 @@ def global_cumsum(
     running sum is not well-defined in either engine. NULL order keys
     raise ``ValueError`` (they don't total-order; silently dropping
     them — the old behavior of the bin join — is worse).
+
+    ``bounds=(lo, hi)``: the order column's min/max, when the caller
+    already computed them — skips the probe job. The caller then also
+    vouches that ``order_col`` has no NULLs (the probe's NULL check is
+    skipped with it); every current caller's order key is an aggregate
+    output that is non-NULL by construction.
     """
-    # sum's result type (e.g. bigint for ints, the widened decimal for
-    # decimals) — both return paths must agree on it
-    sum_type = df.select(F.sum(value_col)).schema[0].dataType
-    bounds = df.agg(
-        F.min(order_col).alias("lo"),
-        F.max(order_col).alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-        F.count(order_col).alias("n_ordered"),
-    ).collect()[0]
-    if bounds["n"] > bounds["n_ordered"]:
-        raise ValueError(
-            f"global_cumsum: {bounds['n'] - bounds['n_ordered']} rows "
-            f"have NULL {order_col!r}; a NULL order key cannot totally "
-            "order the rows — filter or coalesce them first"
-        )
-    if bounds["lo"] is None:  # empty input
-        return df.withColumn(out_col, F.lit(None).cast(sum_type))
-    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    return global_cumsum_multi(
+        df,
+        order_col,
+        {out_col: value_col},
+        n_bins=n_bins,
+        tiebreak_col=tiebreak_col,
+        bounds=bounds,
+    )
+
+
+def global_cumsum_multi(
+    df: DataFrame,
+    order_col: str,
+    values: dict[str, str],
+    n_bins: int = 32,
+    tiebreak_col: str | None = None,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """k running totals over one global order in a single bin pass.
+
+    ``values`` maps output column -> value column. All k sums ride the
+    same local window and the same ``n_bins``-row offsets broadcast, so
+    the data is shuffled once no matter how many running totals the
+    caller needs. Contract (non-NULL total order, ``bounds`` semantics)
+    as in :func:`global_cumsum`.
+    """
+    # each sum's result type (e.g. bigint for ints, the widened decimal
+    # for decimals) — both return paths must agree on it
+    sum_types = {
+        out: df.select(F.sum(vc)).schema[0].dataType
+        for out, vc in values.items()
+    }
+    if bounds is None:
+        probe = df.agg(
+            F.min(order_col).alias("lo"),
+            F.max(order_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(order_col).alias("n_ordered"),
+        ).collect()[0]
+        if probe["n"] > probe["n_ordered"]:
+            raise ValueError(
+                f"global_cumsum: {probe['n'] - probe['n_ordered']} rows "
+                f"have NULL {order_col!r}; a NULL order key cannot totally "
+                "order the rows — filter or coalesce them first"
+            )
+        if probe["lo"] is None:  # empty input
+            out = df
+            for out_col, t in sum_types.items():
+                out = out.withColumn(out_col, F.lit(None).cast(t))
+            return out
+        lo, hi = float(probe["lo"]), float(probe["hi"])
+    else:
+        lo, hi = float(bounds[0]), float(bounds[1])
     width = max((hi - lo + 1.0) / n_bins, 1e-300)
     binned = df.withColumn(
         "__bin",
@@ -80,20 +130,39 @@ def global_cumsum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = binned.withColumn("__local", F.sum(value_col).over(w_local))
+    local = binned.select(
+        "*",
+        *[
+            F.sum(vc).over(w_local).alias(f"__l_{out}")
+            for out, vc in values.items()
+        ],
+    )
     # bounded: one row per bin; the running offset for bin b is the sum
     # of all earlier bins' totals. Derives from `binned` (pre-window),
     # so the partial agg combines map-side before its Exchange.
-    totals = binned.groupBy("__bin").agg(F.sum(value_col).alias("__tot"))
+    totals = binned.groupBy("__bin").agg(
+        *[F.sum(vc).alias(f"__t_{out}") for out, vc in values.items()]
+    )
     w_off = (
         Window.orderBy("__bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = totals.select(
-        "__bin", (F.sum("__tot").over(w_off) - F.col("__tot")).alias("__off")
+        "__bin",
+        *[
+            (F.sum(f"__t_{out}").over(w_off) - F.col(f"__t_{out}")).alias(
+                f"__o_{out}"
+            )
+            for out in values
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "__bin")
-        .withColumn(out_col, F.col("__local") + F.col("__off"))
-        .drop("__bin", "__local", "__off")
+    out = local.join(F.broadcast(offsets), "__bin")
+    for out_col in values:
+        out = out.withColumn(
+            out_col, F.col(f"__l_{out_col}") + F.col(f"__o_{out_col}")
+        )
+    return out.drop(
+        "__bin",
+        *[f"__l_{o}" for o in values],
+        *[f"__o_{o}" for o in values],
     )

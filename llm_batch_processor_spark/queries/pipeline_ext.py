@@ -1704,11 +1704,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # id, so min-over-component is unchanged; sizes count members
     # after expansion.
     rep_pairs, members, surv, _collapsed = ngram_jaccard_pairs_collapsed(d, n=2, min_jaccard=0.2)
-    pairs = rep_pairs.select("id_a", "id_b").persist()
     # all_ids=None: only edge endpoints can land in a size>=2 cluster,
     # and on the bounded path the labels come straight off the collected
-    # edge list — no distinct/join jobs
-    cc = connected_components(pairs, None)
+    # edge list — no distinct/join jobs. connected_components persists
+    # and eagerly counts the edge frame itself, so a second persist
+    # here only added a duplicate cache entry that nothing ever reused
+    # (r10: removed; the kernel still executes exactly once, into CC's
+    # own cache fill).
+    cc = connected_components(rep_pairs.select("id_a", "id_b"), None)
     # a survivor group of >= 2 identical docs is a cluster even when its
     # rep has no rep-graph edge (all its edges were intra-group)
     isolated = (
@@ -3842,32 +3845,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same helper); persist_adj because the fixed point below
     # re-scans adj once per iteration — the one caller that earns the
     # cache entry (ADVICE r05)
-    from ..operators.dedup import _checkpoint, collapsed_degree_nodes
+    from ..operators.dedup import collapsed_degree_nodes
 
     adj, nodes = collapsed_degree_nodes(rep_pairs, surv, persist_adj=True)
-    # persist + EAGER fill: the first contrib job reads nodes through
-    # two branches of one job (directly, and via ranks = the select
-    # below) — a lazy persist races and replays the ext aggregation
-    # per branch (ADVICE r05; same defect class as the sig kernels)
+    # persist + EAGER fill: the rounds below read nodes through several
+    # branches of the one final job — a lazy persist races and replays
+    # the ext aggregation per branch (ADVICE r05; same defect class as
+    # the sig kernels)
     nodes = nodes.persist()
     nodes.count()
+    # own-mass as weighted SELF-EDGES (r10): each node's (m-1)*c
+    # intra-group mass is exactly an adjacency row (g, g, m_h=m-1), so
+    # the fixed point becomes ONE join + agg per round over the
+    # augmented adjacency instead of the old own UNION cross shape.
+    # contrib is then consumed by a single branch per round, which
+    # removes the per-round eager checkpoint (its job + block write)
+    # the two-branch scan used to require, and the rank lineage stays
+    # LINEAR in rounds (each frame referenced once). Every node in
+    # `nodes` carries its self-edge (m >= 1, weight m-1 >= 0), so the
+    # grouping domain — and the integer sums — are unchanged. contrib
+    # also drops `m` from its columns: narrower exchange (guide §2.3).
+    adj2 = adj.select("g", "h", "m_h").unionByName(
+        nodes.select(
+            "g", F.col("g").alias("h"), (F.col("m") - 1).alias("m_h")
+        )
+    )
     ranks = nodes.select("g", F.lit(1000000000000).cast("bigint").alias("r"))
     for _ in range(3):
-        # contrib feeds BOTH mass branches: checkpoint it each round or
-        # the rank lineage doubles per iteration (2^rounds replay) —
-        # same pattern as _label_propagation_cc's per-round labels
-        # (reliable-checkpoint-aware via the shared helper)
-        contrib = _checkpoint(
-            nodes.join(ranks, "g").select(
-                "g", "m", F.expr("r DIV deg").alias("c")
-            )
+        contrib = nodes.join(ranks, "g").select(
+            F.col("g").alias("h"), F.expr("r DIV deg").alias("c")
         )
-        own = contrib.select("g", ((F.col("m") - 1) * F.col("c")).alias("mass"))
-        cross = adj.join(
-            contrib.select(F.col("g").alias("h"), F.col("c")), "h"
-        ).select("g", (F.col("m_h") * F.col("c")).alias("mass"))
         ranks = (
-            own.unionByName(cross)
+            adj2.join(contrib, "h")
+            .select("g", (F.col("m_h") * F.col("c")).alias("mass"))
             .groupBy("g")
             .agg(
                 (
@@ -5415,7 +5425,7 @@ def pretokenize_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline runs between ingestion snapshots.",
 )
 def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import global_cumsum
+    from ..operators.prefix import global_cumsum_multi
 
     # null values carry no sample mass and cannot totally order the
     # CDF grid (global_cumsum rejects NULL order keys by design) —
@@ -5432,8 +5442,12 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("c2"),
     )
-    c = global_cumsum(g, order_col="value", value_col="c1", out_col="cum1")
-    c = global_cumsum(c, order_col="value", value_col="c2", out_col="cum2")
+    # r10: both sample CDFs in ONE bin pass (global_cumsum_multi) —
+    # one Exchange + one window instead of two chained passes whose
+    # second probe re-ran the first pass's bin/window lineage
+    c = global_cumsum_multi(
+        g, order_col="value", values={"cum1": "c1", "cum2": "c2"}
+    )
     tot = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     d = (
         c.crossJoin(F.broadcast(tot))

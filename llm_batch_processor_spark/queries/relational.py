@@ -3678,21 +3678,36 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COALESCE(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))), 0)"
         ).alias("monetary"),
     )
-    tot = cust.agg(F.count("*").alias("n"))
+    # ONE stats probe for all three rank dimensions (r10, guide §1.2):
+    # the three chained global_cumsum calls each ran their own eager
+    # min/max probe, and probes 2 and 3 re-executed every earlier
+    # cumsum's bin/window lineage just to read bounds that are
+    # invariant under adding rank columns — the measured 44-job /
+    # 104-stage plan. cust is persisted so the probe job fills the
+    # cache and the orders rollup runs exactly once; the cumsums then
+    # receive their bounds and stay fully lazy until the final action.
+    cust = cust.withColumn("m_d", F.col("monetary").cast("double")).persist()
+    probe = cust.agg(
+        F.min("last_day").alias("r_lo"), F.max("last_day").alias("r_hi"),
+        F.min("freq").alias("f_lo"), F.max("freq").alias("f_hi"),
+        F.min("m_d").alias("m_lo"), F.max("m_d").alias("m_hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = int(probe["n"])
     ranked = cust.withColumn("one", F.lit(1))
-    for dim, out in (("last_day", "r_rank"), ("freq", "f_rank")):
+    for dim, out, lo, hi in (
+        ("last_day", "r_rank", probe["r_lo"], probe["r_hi"]),
+        ("freq", "f_rank", probe["f_lo"], probe["f_hi"]),
+        ("m_d", "m_rank", probe["m_lo"], probe["m_hi"]),
+    ):
         ranked = global_cumsum(
             ranked, order_col=dim, value_col="one", out_col=out,
             tiebreak_col="o_custkey",
+            bounds=(lo, hi) if lo is not None else None,
         )
-    ranked = ranked.withColumn("m_d", F.col("monetary").cast("double"))
-    ranked = global_cumsum(
-        ranked, order_col="m_d", value_col="one", out_col="m_rank",
-        tiebreak_col="o_custkey",
-    )
-    q = lambda c: ((F.col(c) - 1) * 4 / F.col("n")).cast("int") + 1
+    # n rides the probe instead of a crossJoin(broadcast(tot)) branch
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked.withColumn("n", F.lit(n))
         .select(
             F.expr("CAST((r_rank - 1) * 4 DIV n + 1 AS INT)").alias("r_q"),
             F.expr("CAST((f_rank - 1) * 4 DIV n + 1 AS INT)").alias("f_q"),
@@ -5221,7 +5236,7 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min/max fold.",
 )
 def concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import global_cumsum
+    from ..operators.prefix import global_cumsum_multi
 
     o = load(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -5230,16 +5245,15 @@ def concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev")
     )
     # one prefix-sum pass yields BOTH the rank (cumsum of 1s) and the
-    # running revenue: order by (-rev double, custkey)
+    # running revenue: order by (-rev double, custkey). r10: literally
+    # one pass now — global_cumsum_multi computes both running totals
+    # in a single bin Exchange + window instead of two chained passes
+    # (the second of which re-ran the first's probe and bin lineage).
     cust = cust.withColumn("negrev", -F.col("rev").cast("double")).withColumn(
         "one", F.lit(1)
     )
-    ranked = global_cumsum(
-        cust, order_col="negrev", value_col="one", out_col="r",
-        tiebreak_col="o_custkey",
-    )
-    ranked = global_cumsum(
-        ranked, order_col="negrev", value_col="rev", out_col="cum",
+    ranked = global_cumsum_multi(
+        cust, order_col="negrev", values={"r": "one", "cum": "rev"},
         tiebreak_col="o_custkey",
     )
     tot = cust.agg(
@@ -6146,10 +6160,19 @@ def bootstrap_ci_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":0"))),
         F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":1"))),
     )
+    # r10 (guide §2.3/§4): the DECIMAL cast of `value` is hoisted ABOVE
+    # the 20x posexplode — one TRY_CAST per event instead of twenty,
+    # and the fan rows carry the 8-byte decimal instead of the raw
+    # string. SUM(m * v) over the pre-cast column is bit-identical to
+    # SUM(m * TRY_CAST(value ...)): same cast, same values, same
+    # decimal sum type.
     fan = (
-        e.select("value", digs.alias("digs"))
+        e.select(
+            F.expr("TRY_CAST(value AS DECIMAL(18,6))").alias("v"),
+            digs.alias("digs"),
+        )
         .select(
-            "value",
+            "v",
             F.posexplode(
                 F.expr(
                     "transform(sequence(0, 19), j -> CAST(CAST(conv("
@@ -6158,15 +6181,10 @@ def bootstrap_ci_det(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("j", "m"),
         )
-        .select((F.col("j") + 1).alias("b"), "value", "m")
+        .select((F.col("j") + 1).alias("b"), "v", "m")
     )
     reps = fan.groupBy("b").agg(
-        (
-            F.expr(
-                "CAST(SUM(m * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
-            )
-            / F.sum("m")
-        ).alias("rep_mean")
+        (F.expr("CAST(SUM(m * v) AS DOUBLE)") / F.sum("m")).alias("rep_mean")
     )
     return reps.agg(
         F.count("*").alias("n_boot"),
