@@ -909,10 +909,13 @@ def ngram_jaccard_pairs_collapsed(
     # native gram hashing (r10): the exact kernel's output depends only
     # on gram-set equality, so the SQL xxhash64 mix replaces the pandas
     # FNV mix — the kernel's one ArrowEvalPython stage is gone and the
-    # probe/scan jobs below run pure codegen (guide §4.1)
+    # probe/scan jobs below run pure codegen (guide §4.1). With no
+    # Python workers left to amortize, the _spread repartition the
+    # pandas mix needed is dropped too: one less Exchange (+ its AQE
+    # job) per kernel consumer, and the shingle projection now fuses
+    # into the scan stage.
     sets_df = (
-        _spread(reps, n_input)
-        .select(
+        reps.select(
             "id",
             "m",
             shingle_hashes_sql(F.col("__txt"), n).alias("gh"),
