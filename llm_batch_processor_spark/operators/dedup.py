@@ -905,33 +905,77 @@ def ngram_jaccard_pairs_collapsed(
     # downstream strategies consume them (lazy persist below 1 M rows —
     # the vocabulary probe's distinct map stage, the next single-branch
     # job, fills the cache before any multi-branch consumer scans it)
-    members, reps, n_input, collapsed = _collapse_exact(df, id_col, text_col)
-    # native gram hashing (r10): the exact kernel's output depends only
-    # on gram-set equality, so the SQL xxhash64 mix replaces the pandas
-    # FNV mix — the kernel's one ArrowEvalPython stage is gone and the
-    # probe/scan jobs below run pure codegen (guide §4.1). With no
-    # Python workers left to amortize, the _spread repartition the
-    # pandas mix needed is dropped too: one less Exchange (+ its AQE
-    # job) per kernel consumer, and the shingle projection now fuses
-    # into the scan stage.
-    sets_df = (
-        reps.select(
-            "id",
-            "m",
-            shingle_hashes_sql(F.col("__txt"), n).alias("gh"),
+    # set-identity collapse (r10; guide §1.2: remove passes). The old
+    # _collapse_exact grouped by md5(text) — a dedicated full pass over
+    # the raw text BEFORE the shingle pass, i.e. two corpus scans per
+    # kernel call. But THIS kernel's output depends only on gram SETS:
+    # docs with identical sets pair at jaccard exactly 1.0 whether or
+    # not they are byte-identical (k/(k+k-k) = 1.0 — the same constant
+    # the intra expansion emits), so collapsing on a set-identity
+    # digest computed FROM the shingles themselves is output-identical
+    # — reps stay the group-min id, survivors still exclude empty sets
+    # (set-identical empty docs group together but can never pair,
+    # exactly as the byte groups behaved) — and the raw text is
+    # scanned ONCE. The digest is xxhash64 over the SORTED distinct
+    # gram hashes (order-independent by construction; collisions the
+    # same |docs|^2/2^64 class the gram hashes already accept; NULL gh
+    # folds to one group as md5's NULL group did). The gram sets are
+    # computed by the native transform + xxhash64 mix (no pandas FNV:
+    # the ArrowEvalPython stage is gone, ANSI forbids wrap-around long
+    # math, and gram-set equality is hash-choice-invariant);
+    # minhash/simhash keep _collapse_exact + the pandas mix because
+    # their banded candidate sets depend on byte/hash values.
+    base0 = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes_sql(F.col(text_col), n).alias("gh"),
+    ).persist()
+    set_key = F.xxhash64(F.array_sort("gh"))
+    stats = (
+        base0.groupBy(set_key.alias("__h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_c"),
+            # double: C(m,2) of a trillion-row clique overflows int64
+            F.sum(F.col("c").cast("double") * (F.col("c") - 1) / 2).alias(
+                "extra_pairs"
+            ),
         )
-        .filter(F.size("gh") > 0)
+        .first()
     )
-    sets_df = (
-        sets_df.persist() if n_input <= 1_000_000 else _checkpoint(sets_df)
-    )
-    # n_input (the probe's exact rep count) upper-bounds sets_df's rows
-    # (the empty-gram filter only removes), and the dense kernel needs
-    # a count ONLY for block sizing — so the former ``sets_df.count()``
-    # job here bought nothing: a slightly generous block count is free,
-    # and the lazy persist is race-safe because the vocabulary probe
-    # (the very next, single-branch job) fills the cache before any
-    # multi-branch consumer scans it.
+    n_groups = stats["n_groups"] or 0
+    n_rows = stats["n_rows"] or 0
+    material = (stats["max_c"] or 0) >= 2 and (
+        stats["extra_pairs"] or 0.0
+    ) > COLLAPSE_EXTRA_PAIRS_FACTOR * n_rows
+    if not material:
+        members = base0.select("id", F.col("id").alias("rep"))
+        sets_src = base0.withColumn("m", F.lit(1))
+        n_input, collapsed = n_rows, False
+    else:
+        w = Window.partitionBy(set_key)
+        base = (
+            base0.withColumn("rep", F.min("id").over(w))
+            .withColumn("m", F.count(F.lit(1)).over(w))
+            .persist()
+        )
+        # eager fill: members is consumed from two branches of one job
+        # downstream (both sides of the expansion join) — a lazy
+        # persist races and each branch would replay the window (the
+        # r5 multi-branch-persist defect class)
+        base.count()
+        base0.unpersist()
+        members = base.select("id", "rep")
+        sets_src = base.filter(F.col("id") == F.col("rep")).select(
+            "id", "gh", "m"
+        )
+        n_input, collapsed = n_groups, True
+    # no separate sets_df persist: on either path this is a projection
+    # of the frame the probe just cached, so the probe job IS the fill
+    # and every later consumer (gram probe, kernel, survivors) reads
+    # cached gram sets — the raw text is never rescanned
+    sets_df = sets_src.select("id", "m", "gh").filter(F.size("gh") > 0)
     n_docs = max(1, int(n_input))
     id_dtype = [
         f.dataType.simpleString() for f in df.schema.fields if f.name == id_col
