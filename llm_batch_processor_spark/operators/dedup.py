@@ -653,7 +653,10 @@ def _dense_jaccard_pairs(
     """Exact all-pairs Jaccard via blocked sparse/dense kernel
     (small-vocab path).
 
-    ``sets_df``: (id, gh: array<long>) distinct hashed gram sets.
+    ``sets_df``: (id, m, gh: array<long>) distinct hashed gram sets
+    with the collapse-group multiplicity ``m``; each emitted pair
+    carries ``(m_a, m_b)`` so graph consumers never re-join the
+    survivors frame to recover multiplicities (r10, guide §2.4).
     ``vocab``: the SORTED distinct gram hashes (tiny by definition of
     this path — it was collected to the driver and ships with the task
     closures; no dimension-table join, no posting explode/shuffle).
@@ -692,7 +695,7 @@ def _dense_jaccard_pairs(
     packed = (
         sets_df.select(
             F.pmod(F.xxhash64("id"), F.lit(n_blocks)).alias("b"),
-            F.struct("id", "gh").alias("r"),
+            F.struct("id", "m", "gh").alias("r"),
         )
         .groupBy("b")
         .agg(F.collect_list("r").alias("rows"))
@@ -720,11 +723,12 @@ def _dense_jaccard_pairs(
 
     def unpack(rows):
         ids = np.array([r["id"] for r in rows])
+        ms = np.array([r["m"] for r in rows], dtype=np.int64)
         lens = [len(r["gh"]) for r in rows]
         sz = np.array(lens, dtype=np.float64)
         row_idx = np.repeat(np.arange(len(rows)), lens)
         col_idx = np.searchsorted(vocab, np.concatenate([np.asarray(r["gh"]) for r in rows]))
-        return ids, sz, row_idx, col_idx
+        return ids, ms, sz, row_idx, col_idx
 
     # per-task temp-memory bounds (r9, after the sf10 ladder OOM):
     # bincount over row-pair keys allocates nA*nB int64 — 3.5 GB per
@@ -806,29 +810,42 @@ def _dense_jaccard_pairs(
 
     def score(batches):
         for pdf in batches:
-            out = {"id_a": [], "id_b": [], "jaccard": []}
+            out = {"id_a": [], "id_b": [], "jaccard": [], "m_a": [], "m_b": []}
             for ba, bb, rows_a, rows_b in zip(
                 pdf["ba"], pdf["bb"], pdf["rows_a"], pdf["rows_b"]
             ):
-                ids_a, sz_a, ra, ca = unpack(rows_a)
-                ids_b, sz_b, rb, cb = unpack(rows_b)
+                ids_a, ms_a, sz_a, ra, ca = unpack(rows_a)
+                ids_b, ms_b, sz_b, rb, cb = unpack(rows_b)
                 ii, jj, inter = inter_counts(ra, ca, len(ids_a), rb, cb, len(ids_b))
                 jacc = inter / (sz_a[ii] + sz_b[jj] - inter)
                 sel = jacc >= t
                 ia, ib, jv = ids_a[ii[sel]], ids_b[jj[sel]], jacc[sel]
+                ma, mb = ms_a[ii[sel]], ms_b[jj[sel]]
                 keep = (ia < ib) if ba == bb else (ia != ib)
                 ia, ib, jv = ia[keep], ib[keep], jv[keep]
+                ma, mb = ma[keep], mb[keep]
+                # multiplicities follow their ids through the canonical
+                # lo/hi re-orientation (m_a belongs to id_a = min side)
+                swap = ia > ib
                 lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                m_lo = np.where(swap, mb, ma)
+                m_hi = np.where(swap, ma, mb)
                 out["id_a"].append(lo)
                 out["id_b"].append(hi)
                 out["jaccard"].append(jv)
+                out["m_a"].append(m_lo)
+                out["m_b"].append(m_hi)
             if out["id_a"]:
                 yield pd.DataFrame(
                     {k: np.concatenate(v) for k, v in out.items()}
                 )
 
     return block_pairs.mapInPandas(
-        score, schema=f"id_a {id_dtype}, id_b {id_dtype}, jaccard double"
+        score,
+        schema=(
+            f"id_a {id_dtype}, id_b {id_dtype}, jaccard double,"
+            " m_a bigint, m_b bigint"
+        ),
     )
 
 
@@ -870,8 +887,14 @@ def ngram_jaccard_pairs(
     rep_pairs, members, survivors, collapsed = ngram_jaccard_pairs_collapsed(
         df, id_col, text_col, n, min_jaccard, dense_vocab_limit, block_size
     )
+    # the multiplicity columns are a graph-consumer contract; the flat
+    # pair surface keeps (id_a, id_b, jaccard) exactly as before
     return _expand_pairs(
-        rep_pairs, members, {"jaccard": F.lit(1.0)}, survivors, collapsed
+        rep_pairs.select("id_a", "id_b", "jaccard"),
+        members,
+        {"jaccard": F.lit(1.0)},
+        survivors,
+        collapsed,
     )
 
 
@@ -887,7 +910,11 @@ def ngram_jaccard_pairs_collapsed(
     """Collapsed form of :func:`ngram_jaccard_pairs` for graph consumers.
 
     Returns ``(rep_pairs, members, survivors, collapsed)``: exact
-    Jaccard pairs among exact-dedup REPRESENTATIVES, the id -> rep
+    Jaccard pairs among exact-dedup REPRESENTATIVES — each pair row is
+    ``(id_a, id_b, jaccard, m_a, m_b)`` with both endpoints' collapse
+    multiplicities carried along (r10: graph consumers read them off
+    the pair instead of re-joining the survivors frame per edge,
+    guide §2.4) — the id -> rep
     mapping (identity projection — no shuffle — when the duplicate
     probe found no byte-identical group), the ``(id, m)`` frame of
     reps with a non-empty gram set (identical sub-shingle-length texts
@@ -1029,16 +1056,19 @@ def ngram_jaccard_pairs_collapsed(
                 survivors,
                 collapsed,
             )
-    grams = sets_df.select("id", F.explode("gh").alias("g"))
-    gram_df = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+    grams = sets_df.select("id", "m", F.explode("gh").alias("g"))
+    gram_df = grams.select("g").groupBy("g").agg(F.count("*").alias("gdf"))
     # persisted: three consumers (prefix postings + both verify sides)
-    # would each replay the doc-frequency join + per-doc sort otherwise
+    # would each replay the doc-frequency join + per-doc sort otherwise.
+    # m is constant per id (the collapse-group multiplicity) — min()
+    # just carries it through the aggregation
     per_doc = (
         grams.join(gram_df, "g")
         .groupBy("id")
         .agg(
             F.sort_array(F.collect_list(F.struct("gdf", "g"))).alias("ordered"),
             F.count("*").alias("sz"),
+            F.min("m").alias("m"),
         )
         .withColumn("gset", F.transform("ordered", lambda x: x["g"]))
         .withColumn(
@@ -1070,10 +1100,16 @@ def ngram_jaccard_pairs_collapsed(
         .distinct()
     )
     sets_a = per_doc.select(
-        F.col("id").alias("id_a"), F.col("gset").alias("gs_a"), F.col("sz").alias("sz_a")
+        F.col("id").alias("id_a"),
+        F.col("gset").alias("gs_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("m").cast("bigint").alias("m_a"),
     )
     sets_b = per_doc.select(
-        F.col("id").alias("id_b"), F.col("gset").alias("gs_b"), F.col("sz").alias("sz_b")
+        F.col("id").alias("id_b"),
+        F.col("gset").alias("gs_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("m").cast("bigint").alias("m_b"),
     )
     rep_pairs = (
         cand.join(sets_a, "id_a")
@@ -1084,7 +1120,7 @@ def ngram_jaccard_pairs_collapsed(
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard", "m_a", "m_b")
     )
     return rep_pairs, members, survivors, collapsed
 
@@ -1117,8 +1153,20 @@ def collapsed_degree_nodes(
 
     This is the closed form of exploding ``_expand_pairs`` output and
     counting endpoints — identical values, but the intra-clique m^2/2
-    pair set is never materialized (the 100 TB boilerplate hazard)."""
-    surv_m = survivors.select(F.col("id").alias("h"), F.col("m").alias("m_h"))
+    pair set is never materialized (the 100 TB boilerplate hazard).
+
+    When ``rep_pairs`` carries the kernel's ``(m_a, m_b)`` multiplicity
+    columns (ngram_jaccard_pairs_collapsed does since r10), the
+    neighbor multiplicity is read straight off each edge and the
+    per-edge join against the survivors frame disappears (guide §2.4:
+    two ops keyed the same way share the exchange — here the join
+    vanishes outright). Identical values either way: rep-pair endpoints
+    are always survivors and ``m_a``/``m_b`` ARE those survivors' m."""
+    carried = {"m_a", "m_b"}.issubset(set(rep_pairs.columns))
+    if not carried:
+        surv_m = survivors.select(
+            F.col("id").alias("h"), F.col("m").alias("m_h")
+        )
     if persist_adj:
         # multi-consumer callers (graph_pagerank re-scans adj once per
         # fixed-point round, several branches of ONE job): EAGER
@@ -1128,15 +1176,33 @@ def collapsed_degree_nodes(
         # own 25 s single-pass at sf1). The pair set is output-bounded,
         # so materializing it once — and truncating the kernel lineage
         # with it — is the cheap side.
-        rp = _checkpoint(rep_pairs.select("id_a", "id_b"))
-        adj = (
-            rp.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
-            .unionByName(
-                rp.select(F.col("id_b").alias("g"), F.col("id_a").alias("h"))
+        if carried:
+            rp = _checkpoint(rep_pairs.select("id_a", "id_b", "m_a", "m_b"))
+            adj = (
+                rp.select(
+                    F.col("id_a").alias("g"),
+                    F.col("id_b").alias("h"),
+                    F.col("m_b").alias("m_h"),
+                )
+                .unionByName(
+                    rp.select(
+                        F.col("id_b").alias("g"),
+                        F.col("id_a").alias("h"),
+                        F.col("m_a").alias("m_h"),
+                    )
+                )
+                .persist()
             )
-            .join(surv_m, "h")
-            .persist()
-        )
+        else:
+            rp = _checkpoint(rep_pairs.select("id_a", "id_b"))
+            adj = (
+                rp.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
+                .unionByName(
+                    rp.select(F.col("id_b").alias("g"), F.col("id_a").alias("h"))
+                )
+                .join(surv_m, "h")
+                .persist()
+            )
     else:
         # single-consumer path (degree_distribution reads adj exactly
         # once, inside nodes' lineage): symmetrize with explode — both
@@ -1144,22 +1210,34 @@ def collapsed_degree_nodes(
         # there is no two-branch race to guard and the eager checkpoint
         # job (+ its block write/read) disappears; the kernel runs once,
         # inside the consumer's own job (r10, guide §1.2/§2.1)
-        adj = (
-            rep_pairs.select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.col("id_a").alias("g"), F.col("id_b").alias("h")
+        adj = rep_pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("g"),
+                        F.col("id_b").alias("h"),
+                        *(
+                            [F.col("m_b").alias("m_h")]
+                            if carried
+                            else []
                         ),
-                        F.struct(
-                            F.col("id_b").alias("g"), F.col("id_a").alias("h")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("g"),
+                        F.col("id_a").alias("h"),
+                        *(
+                            [F.col("m_a").alias("m_h")]
+                            if carried
+                            else []
                         ),
-                    )
-                ).alias("e")
-            )
-            .select("e.g", "e.h")
-            .join(surv_m, "h")
+                    ),
+                )
+            ).alias("e")
         )
+        if carried:
+            adj = adj.select("e.g", "e.h", "e.m_h")
+        else:
+            adj = adj.select("e.g", "e.h").join(surv_m, "h")
     ext = adj.groupBy("g").agg(F.sum("m_h").alias("ext_deg"))
     nodes = (
         survivors.select(F.col("id").alias("g"), "m")

@@ -195,8 +195,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     centroids: "np.ndarray | None" = None,
+    query_pred=None,
 ) -> DataFrame:
     """All-pairs approximate top-k via an IVF (inverted-file) index.
+
+    ``query_pred`` (r10, guide §1.2 "don't compute things you throw
+    away"): an optional Column over the internal ``id`` alias (e.g.
+    ``F.col("id") < 100``) restricting which vectors act as QUERIES.
+    The member/assignment side — and the recall of the kept queries —
+    is unaffected: per-query top-k is independent, so this is exactly
+    equivalent to post-filtering the result on query_id, except the
+    probed-cell cogroup never ships or scores the dropped queries.
 
     1. Train a coarse quantizer: seeded KMeans on a sample (here: the
        column itself; at 100 TB train on ~1M sampled rows — centroids
@@ -239,7 +248,8 @@ def ivf_topk(
     if centroids is not None:
         centroids = np.asarray(centroids, dtype=np.float64)
         return _ivf_probe_topk(
-            feats, centroids, k, n_probe, _id_dtype(vectors, id_col)
+            feats, centroids, k, n_probe, _id_dtype(vectors, id_col),
+            query_pred=query_pred,
         )
     max_train = 65536
     n_vecs = feats.count()
@@ -270,7 +280,10 @@ def ivf_topk(
             if len(members):
                 centroids[c] = members.mean(axis=0)
 
-    return _ivf_probe_topk(feats, centroids, k, n_probe, _id_dtype(vectors, id_col))
+    return _ivf_probe_topk(
+        feats, centroids, k, n_probe, _id_dtype(vectors, id_col),
+        query_pred=query_pred,
+    )
 
 
 def _ivf_probe_topk(
@@ -279,6 +292,7 @@ def _ivf_probe_topk(
     k: int,
     n_probe: int,
     id_dtype: str,
+    query_pred=None,
 ) -> DataFrame:
     """Assignment + probe + exact rerank for a GIVEN codebook (the
     shared tail of :func:`ivf_topk`; see its docstring)."""
@@ -306,7 +320,8 @@ def _ivf_probe_topk(
         F.col("id").alias("neighbor_id"),
         F.col("arr").alias("__v"),
     )
-    queries = sig.select(
+    q_src = sig if query_pred is None else sig.filter(query_pred)
+    queries = q_src.select(
         F.explode("cells").alias("bucket"),
         F.col("id").alias("query_id"),
         F.col("arr").alias("__q"),

@@ -677,9 +677,18 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk, ivf_topk
 
     e = _load_keyed(spark, sf_dir, "embeddings", ("vec_id",))
+    # query_pred replaces the old post-filter on query_id (r10): the
+    # declared metric only ranks the 100 query vectors, so the probe
+    # cogroup no longer ships/scores the other ~95% of the corpus as
+    # queries — per-query top-k is independent, result identical
     approx = ivf_topk(
-        e, k=5, n_probe=2, dim=64, centroids=np.asarray(_RECALL_CENTROIDS)
-    ).filter(F.col("query_id") < 100)
+        e,
+        k=5,
+        n_probe=2,
+        dim=64,
+        centroids=np.asarray(_RECALL_CENTROIDS),
+        query_pred=F.col("id") < 100,
+    )
     queries = e.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -6812,17 +6821,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orientations + e1/e2/e3) scan edges inside one job — lazy-persist
     # fills racily and each branch can replay the full pair kernel
     # (same defect collapsed_degree_nodes documents); the pair set is
-    # output-bounded, so one materialization job is the cheap side
-    edges = _checkpoint(rep_pairs.select("id_a", "id_b"))
-    m_of = lambda alias_: surv.select(  # noqa: E731 - tiny local renamer
-        F.col("id").alias(alias_), F.col("m").alias(f"m_{alias_}")
-    )
+    # output-bounded, so one materialization job is the cheap side.
+    # Edges carry the kernel's (m_a, m_b) multiplicities (r10), so the
+    # four per-endpoint joins against surv the old shape needed — one
+    # for nbr, three for the triangle corners — vanish (guide §2.4)
+    edges = _checkpoint(rep_pairs.select("id_a", "id_b", "m_a", "m_b"))
     # neighbor-multiplicity sums over the symmetric rep adjacency:
     # S1(g) = sum of m_h over neighbors h; S2(g) = sum of C(m_h, 2)
     nbr = (
-        edges.select(F.col("id_a").alias("g"), F.col("id_b").alias("h"))
-        .unionAll(edges.select(F.col("id_b").alias("g"), F.col("id_a").alias("h")))
-        .join(m_of("h"), "h")
+        edges.select(F.col("id_a").alias("g"), F.col("m_b").alias("m_h"))
+        .unionAll(
+            edges.select(F.col("id_b").alias("g"), F.col("m_a").alias("m_h"))
+        )
         .groupBy("g")
         .agg(
             F.sum("m_h").alias("s1"),
@@ -6831,16 +6841,27 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rep triangles, each enumerated once (a < b < c ordered two-hop);
     # triangle (a,b,c) contributes m_b*m_c cross-group triangles to
-    # every member of a, etc.
-    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    # every member of a, etc. Corner multiplicities come off the edges
+    # themselves: e1 = (a,b) carries m_a/m_b, e2 = (b,c) carries m_c
     tris = (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"])
-        .join(m_of("a"), "a")
-        .join(m_of("b"), "b")
-        .join(m_of("c"), "c")
+        edges.select(
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+            F.col("m_a").alias("m_a"),
+            F.col("m_b").alias("m_b"),
+        )
+        .join(
+            edges.select(
+                F.col("id_a").alias("b"),
+                F.col("id_b").alias("c"),
+                F.col("m_b").alias("m_c"),
+            ),
+            "b",
+        )
+        .join(
+            edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
+            ["a", "c"],
+        )
     )
     wsum = (
         tris.select(
