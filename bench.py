@@ -162,6 +162,25 @@ def main() -> int:
         per_execs[name] = execs
         per_query[name] = min(execs)
 
+    # Mid-run throttle self-adjudication (r11, VERDICT r10 item 8): the
+    # pre/post probe pair brackets the LOOP, but a throttle window in
+    # the middle of it still poisons whichever queries it covered — the
+    # r10 driver artifact read mmr_rerank at 31.9 s vs 0.7-2.4 s in
+    # every other same-HEAD artifact, and PERF called that a
+    # regression. After the main loop, the N slowest queries get ONE
+    # more execution each and per-query time stays the min over ALL
+    # recorded executions (the same min-over-execs methodology, one
+    # more sample exactly where a throttle window does damage). Every
+    # execution time is still recorded in "execs"; "retimed" names the
+    # queries that got the extra pass.
+    retimed = sorted(per_query, key=lambda n: -per_query[n])[:10]
+    for name in retimed:
+        t0 = time.time()
+        run_full(qs[name].fn(spark, args.sf))
+        per_execs[name].append(round(time.time() - t0, 3))
+        drop_leaked_blocks()
+        per_query[name] = min(per_execs[name])
+
     total = round(sum(per_query.values()), 3)
     sf_label = os.path.basename(os.path.normpath(args.sf))
     # measured AFTER the queries so the pre/post pair brackets the loop
@@ -200,6 +219,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": per_query,
                 "execs": per_execs,
+                "retimed": retimed,
                 "sf": sf_label,
                 "n_queries": len(per_query),
                 "gemm_gflops": gflops,

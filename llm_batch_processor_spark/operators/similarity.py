@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import embeddable
+from .cachereg import register as _reg_cache
 
 # Size gate for query-time candidate generation (VERDICT r04 stretch
 # item): below this corpus size the exact brute-force kernel is cheaper
@@ -39,6 +40,14 @@ from ..functions.vectors import embeddable
 ANN_CANDIDATE_GATE = 200_000
 ANN_N_PLANES = 8
 ANN_N_FLIP = 2  # recall knob at scale; n_flip = n_planes -> exact
+
+# Hard cap on the query rows brute_force_topk collects to the driver
+# (r11, VERDICT r10 item 6 / ADVICE r10): "a top-k request is small by
+# definition" used to be a docstring contract, not a gate — a caller
+# passing an unbounded query frame got a silent driver OOM instead of
+# an error. 100k x (64 f64 + id) is ~60 MB on the driver and in every
+# task closure — the same order the old broadcast build admitted.
+BRUTE_QUERY_MAX_ROWS = 100_000
 
 
 def brute_force_topk(
@@ -58,17 +67,29 @@ def brute_force_topk(
     unembeddable — dropped at entry on both sides (null-, non-finite-
     and ragged-dim-sweep contract, shared by every kernel here: cosine
     needs a direction, ANSI division would otherwise raise on a zero
-    norm, and a mismatched-length pair has no dot product). Pass the
-    schema-declared ``dim`` to skip the modal-dim inference scan (what
-    the oracle-twinned queries do); ``dim=None`` infers it from the
-    corpus side.
+    norm, and a mismatched-length pair has no dot product). NULL ids
+    are dropped on both sides too (r11, ADVICE r10: the pre-r10 SQL
+    exclusion ``neighbor_id != query_id`` evaluated NULL and dropped
+    them; the numpy mask kept them — this restores that contract).
+    Pass the schema-declared ``dim`` to skip the modal-dim inference
+    scan (what the oracle-twinned queries do); ``dim=None`` infers it
+    from the corpus side.
+
+    Note: constructing the result runs one Spark job at CALL time (the
+    bounded query side is collected and shipped in the task closures);
+    query frames beyond ``BRUTE_QUERY_MAX_ROWS`` raise instead of
+    exhausting the driver.
     """
     if dim is None:
         from ..functions.vectors import modal_dim
 
         dim = modal_dim(vectors, vec_col)
-    vectors = vectors.filter(embeddable(F.col(vec_col), dim))
-    queries = queries.filter(embeddable(F.col(vec_col), dim))
+    vectors = vectors.filter(
+        embeddable(F.col(vec_col), dim) & F.col(id_col).isNotNull()
+    )
+    queries = queries.filter(
+        embeddable(F.col(vec_col), dim) & F.col(query_id_col).isNotNull()
+    )
     id_dtype = _id_dtype(vectors, id_col)
 
     # r10 per-task-work rewrite (guide §4.2): the old shape scored
@@ -92,9 +113,19 @@ def brute_force_topk(
     # output, and numpy's sum order is already the graded fp precedent
     # (_grouped_topk scores sim_ann_lsh_exact's oracle-hash-checked
     # ranks the same way).
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__q")
-    ).collect()
+    q_rows = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__q")
+        )
+        .limit(BRUTE_QUERY_MAX_ROWS + 1)
+        .collect()
+    )
+    if len(q_rows) > BRUTE_QUERY_MAX_ROWS:
+        raise ValueError(
+            f"brute_force_topk: query side exceeds {BRUTE_QUERY_MAX_ROWS} "
+            "rows — it rides the driver and every task closure; route a "
+            "corpus-sized query set through the LSH/IVF kernels instead"
+        )
     spark = vectors.sparkSession
     if not q_rows:
         return spark.createDataFrame(
@@ -261,12 +292,15 @@ def ivf_topk(
     """All-pairs approximate top-k via an IVF (inverted-file) index.
 
     ``query_pred`` (r10, guide §1.2 "don't compute things you throw
-    away"): an optional Column over the internal ``id`` alias (e.g.
-    ``F.col("id") < 100``) restricting which vectors act as QUERIES.
-    The member/assignment side — and the recall of the kept queries —
-    is unaffected: per-query top-k is independent, so this is exactly
-    equivalent to post-filtering the result on query_id, except the
-    probed-cell cogroup never ships or scores the dropped queries.
+    away"): an optional Column over the caller's ``id_col`` (e.g.
+    ``F.col("vec_id") < 100`` — r11, ADVICE r10: the predicate used to
+    be written against the internal ``id`` projection alias, coupling
+    callers to a private name) restricting which vectors act as
+    QUERIES. The member/assignment side — and the recall of the kept
+    queries — is unaffected: per-query top-k is independent, so this
+    is exactly equivalent to post-filtering the result on query_id,
+    except the probed-cell cogroup never ships or scores the dropped
+    queries.
 
     1. Train a coarse quantizer: seeded KMeans on a sample (here: the
        column itself; at 100 TB train on ~1M sampled rows — centroids
@@ -310,7 +344,7 @@ def ivf_topk(
         centroids = np.asarray(centroids, dtype=np.float64)
         return _ivf_probe_topk(
             feats, centroids, k, n_probe, _id_dtype(vectors, id_col),
-            query_pred=query_pred,
+            query_pred=query_pred, id_col=id_col,
         )
     max_train = 65536
     n_vecs = feats.count()
@@ -343,7 +377,7 @@ def ivf_topk(
 
     return _ivf_probe_topk(
         feats, centroids, k, n_probe, _id_dtype(vectors, id_col),
-        query_pred=query_pred,
+        query_pred=query_pred, id_col=id_col,
     )
 
 
@@ -354,6 +388,7 @@ def _ivf_probe_topk(
     n_probe: int,
     id_dtype: str,
     query_pred=None,
+    id_col: str = "id",
 ) -> DataFrame:
     """Assignment + probe + exact rerank for a GIVEN codebook (the
     shared tail of :func:`ivf_topk`; see its docstring)."""
@@ -374,14 +409,24 @@ def _ivf_probe_topk(
     # persist + EAGER fill: the cogroup's two consumers scan sig inside
     # one job, and a lazy persist races — each side replays the probe
     # GEMM over the full corpus
-    sig = feats.withColumn("cells", probe_udf("arr")).persist()
+    sig = _reg_cache(feats.withColumn("cells", probe_udf("arr")).persist())
     sig.count()
     assigned = sig.select(
         F.element_at("cells", 1).alias("bucket"),
         F.col("id").alias("neighbor_id"),
         F.col("arr").alias("__v"),
     )
-    q_src = sig if query_pred is None else sig.filter(query_pred)
+    if query_pred is None:
+        q_src = sig
+    else:
+        # the predicate is written over the CALLER's id column name
+        # (ADVICE r10); evaluate it under that name, then restore the
+        # internal alias — both renames are no-ops when id_col == "id"
+        q_src = (
+            sig.withColumnRenamed("id", id_col)
+            .filter(query_pred)
+            .withColumnRenamed(id_col, "id")
+        )
     queries = q_src.select(
         F.explode("cells").alias("bucket"),
         F.col("id").alias("query_id"),
@@ -442,11 +487,13 @@ def lsh_query_topk(
     # that runs before the main stages and fills the cache (a separate
     # job, not two racing branches of one job — the r5 defect class
     # does not apply).
-    sig_m = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__v"),
-        signature_col(vec_col, planes).alias("sig"),
-    ).persist()
+    sig_m = _reg_cache(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__v"),
+            signature_col(vec_col, planes).alias("sig"),
+        ).persist()
+    )
     n_sub = F.ceil(F.count("*") / F.lit(bucket_cap)).cast("int")
     sizes = sig_m.groupBy("sig").agg(n_sub.alias("__nsub"))
     members = sig_m.join(F.broadcast(sizes), "sig").select(
@@ -567,9 +614,12 @@ def lsh_bucket_topk(
     entry (unembeddable; the dim contract is the plane dim)."""
     vectors = vectors.filter(embeddable(F.col(vec_col), dim))
     planes = _planes(n_planes, dim, seed)
-    sig = vectors.select(
-        F.col(id_col), F.col(vec_col), signature_col(vec_col, planes).alias("bucket")
-    ).persist()
+    sig = _reg_cache(
+        vectors.select(
+            F.col(id_col), F.col(vec_col),
+            signature_col(vec_col, planes).alias("bucket"),
+        ).persist()
+    )
     n_sub = F.ceil(F.count("*") / F.lit(bucket_cap)).cast("int")
     sizes = sig.groupBy("bucket").agg(n_sub.alias("__nsub"))
     sig2 = sig.join(F.broadcast(sizes), "bucket")

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.cachereg import register as _reg_cache
+
 from ..functions.text import (
     DUCKDB_FINGERPRINT,
     duckdb_lang_id,
@@ -687,7 +689,7 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         dim=64,
         centroids=np.asarray(_RECALL_CENTROIDS),
-        query_pred=F.col("id") < 100,
+        query_pred=F.col("vec_id") < 100,
     )
     queries = e.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -3721,7 +3723,7 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 40)
         .select("tok")
     )
-    post = tf.join(rare, "tok").persist()
+    post = _reg_cache(tf.join(rare, "tok").persist())
     # eager fill: norms + both posting sides scan post inside one job;
     # a lazy persist races and replays the tf/df lineage per branch
     post.count()
@@ -3861,7 +3863,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches of the one final job — a lazy persist races and replays
     # the ext aggregation per branch (ADVICE r05; same defect class as
     # the sig kernels)
-    nodes = nodes.persist()
+    nodes = _reg_cache(nodes.persist())
     nodes.count()
     # own-mass as weighted SELF-EDGES (r10): each node's (m-1)*c
     # intra-group mass is exactly an adjacency row (g, g, m_h=m-1), so
@@ -3988,6 +3990,20 @@ def compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # r11 note (VERDICT r10 item 5 "share the token-count exchange"):
+    # examined and left at the r10 shape. The static plan prints 7
+    # Exchanges because `explain` re-prints the dt subtree per
+    # consumer, but the EXECUTED plan (plans/r11/
+    # perplexity_unigram_before_final.txt) materializes only FOUR
+    # shuffles — (doc_id,tok) rollup, corpus tok rollup, the 1-row
+    # total, the per-doc fold — with the duplicates served by AQE
+    # stage reuse (2 ReusedExchange). An explicit repartition("tok")
+    # meant to share the corpus/join exchanges was built and measured:
+    # ColumnPruning specializes the corpus branch BELOW the
+    # repartition (its copy aggregates to [tok, c] while the join's
+    # keeps doc_id), so the two repartition stages are not canonically
+    # equal, nothing reuses, and the runtime shuffle count got WORSE
+    # (5 materialized vs 4) for a within-noise A/B delta — reverted.
     dt = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -4059,30 +4075,78 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="market-basket association mining (support / confidence / lift "
     "over item pairs co-purchased in an order) with the Apriori "
     "monotonicity prune: items below min-support (15 orders) are "
-    "dropped BEFORE pair generation, so the per-basket self-join "
-    "explodes only frequent items and is bounded by basket size "
-    "squared, never catalog size squared. All counts are integers; "
+    "dropped BEFORE pair generation, and pairs are generated PER "
+    "BASKET from the sorted frequent-item list (i<j combinations via "
+    "a row-local transform), never by a self-join on l_orderkey — the "
+    "r10 verdict's skew hazard: a hot order (the basket analogue of "
+    "the boilerplate clique) made one join key quadratic with no cap, "
+    "and the join paid its own exchanges. Per-row work is bounded by "
+    "the frequent-item basket width squared. All counts are integers; "
     "support/confidence/lift are single divisions of exact integer "
-    "products, ROUND(6). Shapes: one shuffle for baskets, one for "
-    "item counts (small -> broadcast back), the pair self-join "
-    "co-partitions on l_orderkey, the metric joins broadcast the "
+    "products, ROUND(6). Shapes: ONE shuffle to the per-order grain "
+    "(collect_set = the DISTINCT), one for item counts (small -> "
+    "broadcast back; the frequent filter re-uses the order "
+    "partitioning, so the re-group after it is exchange-free), one "
+    "for the pair rollup, and the metric joins broadcast the "
     "frequent-item table and the 1-row order total.",
 )
 def basket_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    tot = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    # one exchange to the per-order grain; collect_set IS the old
+    # SELECT DISTINCT (l_orderkey, l_partkey) — per-order dedup rides
+    # the same shuffle. NULL semantics match the old join shape:
+    # collect_set drops NULL partkeys (they never survived the
+    # equi-joins), the NULL-orderkey group is excluded from tot
+    # (COUNT(DISTINCT l_orderkey) skipped NULLs) and from pair
+    # generation (the orderkey self-join dropped it) but its items DO
+    # feed the item counts, exactly like the old basket frame.
+    orders = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
+    tot = orders.agg(F.count("l_orderkey").alias("n_orders"))
     item = (
-        basket.groupBy("l_partkey")
+        orders.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 15)
     )
-    freq = basket.join(F.broadcast(item.select("l_partkey")), "l_partkey")
-    a = freq.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = freq.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    # drop infrequent items inside each basket: explode rides the
+    # order partitioning, the broadcast join preserves it, and the
+    # re-group needs NO new exchange (hashpartitioning(l_orderkey)
+    # satisfies the grouping). No NULL-orderkey filter HERE: a filter
+    # on the grouping key would push below the rollup into the scan
+    # and specialize this branch's subtree away from item's, breaking
+    # the shared (l_orderkey) exchange (AQE stage reuse keys on the
+    # canonical subtree) — the NULL basket is excluded inside the
+    # pair expression below instead.
+    baskets = (
+        orders.select("l_orderkey", F.explode("items").alias("l_partkey"))
+        .join(F.broadcast(item.select("l_partkey")), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("items"))
+    )
+    # i<j pair combinations per basket, row-locally: items is sorted
+    # ascending and distinct, so pairing each element with its suffix
+    # enumerates exactly the part_a < part_b pairs the self-join
+    # built. The NULL-orderkey basket (which the old equi-join
+    # excluded) yields a NULL array, which explode drops.
+    pair_structs = F.when(
+        F.col("l_orderkey").isNotNull(),
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                    lambda y: F.struct(
+                        x.alias("part_a"), y.alias("part_b")
+                    ),
+                ),
+            )
+        ),
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= 3)
@@ -4521,10 +4585,12 @@ def weighted_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wrapped inside a larger one, which symmetric Jaccard "
     "(dedup_ngram_jaccard) dilutes away when the host is much "
     "longer. Same scale skeleton as sparse_cosine_pairs: distinct "
-    "bigram postings, hot shingles (df > 40) dropped to bound every "
-    "posting list, candidates from the inverted-index self-join "
-    "(never doc-by-doc pairs), and the 0.6 threshold decided by the "
-    "INTEGER identity i*10 >= |A|*6 — no float membership. The "
+    "bigram postings (deduped row-locally per doc — no distinct "
+    "exchange), hot shingles (df > 40) dropped by a count-only "
+    "rollup to bound every posting list, candidate pairs generated "
+    "row-locally inside each bounded posting list (never doc-by-doc "
+    "pairs, and no posting self-join), and the 0.6 threshold decided "
+    "by the INTEGER identity i*10 >= |A|*6 — no float membership. The "
     "reported containment is one division, ROUND(4). Directed "
     "output: (a,b) and (b,a) are judged independently.",
 )
@@ -4538,23 +4604,43 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("sp", 1, F.size("sp") - 1),
         lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("sp"), i + 2)),
     )
-    sh = sp.select("doc_id", F.explode(grams).alias("g")).distinct()
+    # r11 (guide §2.4/§2.5): the old shape exploded raw grams and paid
+    # a dedicated DISTINCT exchange on (doc_id, g); a doc's grams all
+    # live in one row here, so array_distinct IS that distinct,
+    # row-locally, and the posting stream leaves the scan already
+    # unique. The df rollup stays count-only (partial agg — a hot
+    # boilerplate gram never ships its posting list), rare postings
+    # then group per gram ONCE (the join lands them on g, so the
+    # collect needs no new exchange) and the directed pairs are
+    # generated row-locally from each <=40-id list instead of the
+    # posting self-join — same bounded pair set, no join machinery,
+    # and no persist + eager-count job (the two consumers share the
+    # g exchange via plan-level exchange reuse).
+    sh = sp.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     rare = (
         sh.groupBy("g")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= 40)
         .select("g")
     )
-    post = sh.join(rare, "g").persist()
-    # eager fill: sizes + both posting sides scan post inside one job;
-    # a lazy persist races and replays the shingle/df lineage per branch
-    post.count()
+    post = sh.join(rare, "g")
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = post.select(F.col("g"), F.col("doc_id").alias("id_a"))
-    b = post.select(F.col("g"), F.col("doc_id").alias("id_b"))
+    posts = post.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
+    # all ordered pairs (x, y), x != y, within one rare gram's posting
+    # list — ids are unique within a gram (sh is distinct) and bounded
+    # by the df <= 40 filter, so this is <= 40*39 structs per row
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y != x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "g")
-        .filter(F.col("id_a") != F.col("id_b"))
+        posts.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("i"))
     )
@@ -6837,30 +6923,65 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("m_h").alias("s1"),
             F.sum(F.expr("m_h * (m_h - 1) div 2")).alias("s2"),
+            # rep degree, for the wedge orientation below — rides the
+            # aggregation the neighbor sums already pay (r11)
+            F.count(F.lit(1)).alias("deg"),
         )
     )
-    # rep triangles, each enumerated once (a < b < c ordered two-hop);
-    # triangle (a,b,c) contributes m_b*m_c cross-group triangles to
-    # every member of a, etc. Corner multiplicities come off the edges
-    # themselves: e1 = (a,b) carries m_a/m_b, e2 = (b,c) carries m_c
+    # rep triangles, each enumerated once. r11 (guide §2.5 skew / §3):
+    # the r10 two-hop join keyed wedges on the middle vertex of the
+    # ID order (e1.b = e2.b with a < b < c), so a high-degree rep — a
+    # near-dup hub with many DISTINCT neighbors, which the set-identity
+    # collapse cannot absorb — fanned out as deg^2 wedge rows on one
+    # key. Classic fix: orient every edge from its lower-(deg, id)
+    # endpoint to the higher one; each triangle is then enumerated
+    # exactly once at its minimum-(deg, id) corner, and a vertex only
+    # ever wedges neighbors of HIGHER degree, bounding the per-key fan
+    # to O(sqrt(edges)) rows (arboricity argument). The deg attach is
+    # two linear equi-joins against the bounded per-rep aggregate —
+    # AQE broadcasts them at bench scale and falls back to shuffle
+    # joins at 100 TB. Corner multiplicities still ride the edges.
+    dd = nbr.select("g", "deg")
+    ed = edges.join(
+        dd.select(F.col("g").alias("id_a"), F.col("deg").alias("deg_a")),
+        "id_a",
+    ).join(
+        dd.select(F.col("g").alias("id_b"), F.col("deg").alias("deg_b")),
+        "id_b",
+    )
+    # canonical edges have id_a < id_b, so the (deg, id) tie-break
+    # keeps the a-side first on equal degrees
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("x"),
+        F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("y"),
+        F.when(a_first, F.col("m_a")).otherwise(F.col("m_b")).alias("m_x"),
+        F.when(a_first, F.col("m_b")).otherwise(F.col("m_a")).alias("m_y"),
+    )
+    # wedge at the minimum-(deg, id) corner x over its out-neighbor
+    # pairs {y1 < y2}; the closing edge (y1, y2) is looked up in the
+    # canonical edge set (y1 < y2 means it is stored exactly so)
     tris = (
-        edges.select(
-            F.col("id_a").alias("a"),
-            F.col("id_b").alias("b"),
-            F.col("m_a").alias("m_a"),
-            F.col("m_b").alias("m_b"),
+        oriented.select(
+            "x",
+            F.col("y").alias("y1"),
+            "m_x",
+            F.col("m_y").alias("m_y1"),
         )
+        .join(
+            oriented.select(
+                "x", F.col("y").alias("y2"), F.col("m_y").alias("m_y2")
+            ),
+            "x",
+        )
+        .filter(F.col("y1") < F.col("y2"))
         .join(
             edges.select(
-                F.col("id_a").alias("b"),
-                F.col("id_b").alias("c"),
-                F.col("m_b").alias("m_c"),
+                F.col("id_a").alias("y1"), F.col("id_b").alias("y2")
             ),
-            "b",
-        )
-        .join(
-            edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
-            ["a", "c"],
+            ["y1", "y2"],
         )
     )
     wsum = (
@@ -6868,16 +6989,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.array(
                     F.struct(
-                        F.col("a").alias("g"),
-                        (F.col("m_b") * F.col("m_c")).alias("w"),
+                        F.col("x").alias("g"),
+                        (F.col("m_y1") * F.col("m_y2")).alias("w"),
                     ),
                     F.struct(
-                        F.col("b").alias("g"),
-                        (F.col("m_a") * F.col("m_c")).alias("w"),
+                        F.col("y1").alias("g"),
+                        (F.col("m_x") * F.col("m_y2")).alias("w"),
                     ),
                     F.struct(
-                        F.col("c").alias("g"),
-                        (F.col("m_a") * F.col("m_b")).alias("w"),
+                        F.col("y2").alias("g"),
+                        (F.col("m_x") * F.col("m_y1")).alias("w"),
                     ),
                 )
             ).alias("x")

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.cachereg import register as _reg_cache
+
 from ..tables import load
 from . import Registry
 
@@ -3686,7 +3688,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 104-stage plan. cust is persisted so the probe job fills the
     # cache and the orders rollup runs exactly once; the cumsums then
     # receive their bounds and stay fully lazy until the final action.
-    cust = cust.withColumn("m_d", F.col("monetary").cast("double")).persist()
+    cust = _reg_cache(
+        cust.withColumn("m_d", F.col("monetary").cast("double")).persist()
+    )
     probe = cust.agg(
         F.min("last_day").alias("r_lo"), F.max("last_day").alias("r_hi"),
         F.min("freq").alias("f_lo"), F.max("freq").alias("f_hi"),
@@ -6074,8 +6078,12 @@ def split_time_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "choice): each lag's Pearson r over (x_t, x_{t-lag}) pairs is "
     "computed from exact INTEGER moments — only the final sqrt and "
     "one division touch floats (rolling_corr_daily's discipline). "
-    "The distributed stage is the daily rollup; the lag fan-out and "
-    "correlation run over a days-bounded series (5x ~days rows).",
+    "The distributed stage is the daily rollup; all five lag columns "
+    "come from ONE window pass over the days-bounded series and "
+    "unpivot row-locally (r11, guide §2.4 — the old five-branch "
+    "union re-ran the daily rollup and its global sort per lag: "
+    "10+ exchanges for one ~days-row series), then one bounded "
+    "per-lag rollup.",
 )
 def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -6083,14 +6091,33 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("x")
     )
     wd = Window.orderBy("day")
-    lagged = None
-    for lag in (1, 2, 3, 4, 5):
-        part = daily.select(
-            F.lit(lag).alias("lag"),
+    lags = (1, 2, 3, 4, 5)
+    # one window pass computes all five lag columns (the series is
+    # days-bounded, so the single-task global sort is the same one
+    # each of the old five branches paid); the (lag, y) unpivot is a
+    # row-local explode — per-lag rows and moments are identical to
+    # the old per-branch windows
+    wide = daily.select(
+        "x", *[F.lag("x", k).over(wd).alias(f"__y{k}") for k in lags]
+    )
+    lagged = (
+        wide.select(
             "x",
-            F.lag("x", lag).over(wd).alias("y"),
-        ).filter(F.col("y").isNotNull())
-        lagged = part if lagged is None else lagged.unionAll(part)
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col(f"__y{k}").alias("y"),
+                        )
+                        for k in lags
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
     m = lagged.groupBy("lag").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),

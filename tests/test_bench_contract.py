@@ -79,8 +79,16 @@ def test_bench_emits_driver_contract_json():
     assert isinstance(full["contended_start"], bool)
     # ... and per-query execution PAIRS: a cold/contended first
     # execution self-adjudicates when the second lands at the usual
-    # level, so the full artifact records every execution time
+    # level, so the full artifact records every execution time. The
+    # slowest <=10 queries additionally get ONE post-loop retime pass
+    # (r11, VERDICT r10 item 8: a mid-run throttle window poisoned
+    # mmr_rerank to 31.9 s in the r10 driver artifact) — execs records
+    # that extra sample too and per-query time is min over all of them
     assert set(full["execs"]) == set(full["queries"])
+    assert set(full["retimed"]) <= set(full["queries"])
+    assert len(full["retimed"]) <= 10
     for name, execs in full["execs"].items():
-        assert isinstance(execs, list) and len(execs) == 1  # --repeat 1
+        # --repeat 1, +1 only for the retimed tail
+        expected = 2 if name in full["retimed"] else 1
+        assert isinstance(execs, list) and len(execs) == expected
         assert min(execs) == full["queries"][name]

@@ -125,7 +125,7 @@ def test_ivf_query_pred_equals_post_filter(spark):
             n_probe=2,
             dim=64,
             centroids=cents,
-            query_pred=F.col("id") < 10,
+            query_pred=F.col("vec_id") < 10,
         ).collect()
     }
     assert pushed == full
