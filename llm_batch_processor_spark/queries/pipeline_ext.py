@@ -3723,24 +3723,49 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 40)
         .select("tok")
     )
+    # r11 (guide §2.4/§2.5, the dedup_containment shape): rare tokens
+    # carry <= 40 postings, so the i<j pairs generate ROW-LOCALLY from
+    # each token's sorted (doc_id, tf) posting list instead of the
+    # posting self-join — no second posting shuffle, no join machinery,
+    # and only the i<j half is ever produced (the join emitted all
+    # ordered pairs and filtered half away). The posting-list rollup
+    # reuses the tok partitioning the rare join already established.
+    # The persist STAYS: norms and the posting-list rollup both
+    # consume post, and the executed plan shows exchange reuse does
+    # NOT unify the two branches (filter pushdown specializes one tf
+    # subtree — the perplexity_unigram trap), so without the cache the
+    # tf rollup would run twice.
     post = _reg_cache(tf.join(rare, "tok").persist())
-    # eager fill: norms + both posting sides scan post inside one job;
-    # a lazy persist races and replays the tf/df lineage per branch
+    # eager fill: both consumers scan post inside one job; a lazy
+    # persist races and replays the tf/df lineage per branch
     post.count()
     norms = post.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("s2")
     )
-    a = post.select(
-        F.col("tok"), F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
+    plist = post.groupBy("tok").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("ps")
     )
-    b = post.select(
-        F.col("tok"), F.col("doc_id").alias("id_b"), F.col("tf").alias("tf_b")
+    # all i<j pairs within one posting list: doc_ids are unique within
+    # a token (tf is grouped on (doc_id, tok)) and sort_array orders by
+    # doc_id, so suffix pairing yields exactly the id_a < id_b set
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    (x["tf"] * y["tf"]).alias("p"),
+                ),
+            ),
+        )
     )
     dots = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
+        plist.select(F.explode(pair_structs).alias("q"))
+        .select("q.id_a", "q.id_b", "q.p")
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+        .agg(F.sum("p").cast("bigint").alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("id_a"), F.col("s2").alias("s2_a"))
     nb = norms.select(F.col("doc_id").alias("id_b"), F.col("s2").alias("s2_b"))

@@ -5381,8 +5381,7 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         )
 
-    tot = li.agg((F.count("*").cast("double") / 32).alias("ideal"))
-    return (
+    per_bucket = (
         li.select(
             ((16 * hexpos(1) + hexpos(2)) % 32).alias("bucket"),
             "l_orderkey",
@@ -5392,15 +5391,24 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.countDistinct("l_orderkey").alias("n_keys"),
         )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            "n_rows",
-            "n_keys",
-            F.round(F.col("n_rows").cast("double") / F.col("ideal"), 4).alias(
-                "skew_ratio"
-            ),
-        )
+    )
+    # r11 (guide §1.2): ideal = COUNT(*)/32 derives from the bucket
+    # rollup itself — every lineitem row lands in exactly one bucket
+    # (md5 of a NULL key just makes a NULL bucket group), so
+    # SUM(n_rows) == COUNT(*) and the dedicated full-table count scan
+    # is gone (2 lineitem scans -> 1). The total rides a 32-row
+    # single-partition window instead of a broadcast of a re-aggregated
+    # branch, which ColumnPruning would specialize (n_keys pruned)
+    # into a non-reusable second scan — the perplexity_unigram trap.
+    w_all = Window.partitionBy()
+    ideal = F.sum("n_rows").over(w_all).cast("double") / 32
+    return per_bucket.select(
+        "bucket",
+        "n_rows",
+        "n_keys",
+        F.round(F.col("n_rows").cast("double") / ideal, 4).alias(
+            "skew_ratio"
+        ),
     )
 
 
@@ -6734,7 +6742,18 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)
         ).alias("y"),
     )
-    grouped = fp.groupBy("event_type").agg(
+    # r11 (guide §2.4): ROLLUP computes the per-segment moments and the
+    # pooled row in ONE aggregation pass — the old shape unioned
+    # `grouped` with a second single-partition re-aggregation of it
+    # (extra exchange + final-agg job on top of the shared subtree).
+    # Exact sums of integer moments are associative, so the rollup
+    # grand-total row is bit-identical to the old sum-of-group-sums
+    # (SUM skips NULL group moments exactly as it skips NULL x/y).
+    # grouping()=1 marks the total row -> 'ALL'; a genuine NULL
+    # event_type group keeps grouping()=0 and stays NULL, exactly as
+    # the old union emitted it.
+    grouped = fp.rollup("event_type").agg(
+        F.grouping("event_type").alias("gid"),
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
@@ -6742,18 +6761,12 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    pooled = grouped.agg(
-        F.sum("n").cast("bigint").alias("n"),
-        F.sum("sx").cast("bigint").alias("sx"),
-        F.sum("sy").cast("bigint").alias("sy"),
-        F.sum("sxy").cast("bigint").alias("sxy"),
-        F.sum("sxx").cast("bigint").alias("sxx"),
-        F.sum("syy").cast("bigint").alias("syy"),
-    ).select(F.lit("ALL").alias("event_type"), "n", "sx", "sy", "sxy",
-             "sxx", "syy")
     unioned = grouped.select(
-        "event_type", "n", "sx", "sy", "sxy", "sxx", "syy"
-    ).unionAll(pooled)
+        F.when(F.col("gid") == 1, F.lit("ALL"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "n", "sx", "sy", "sxy", "sxx", "syy",
+    )
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")

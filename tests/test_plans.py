@@ -273,6 +273,10 @@ _SINGLE_PARTITION_WINDOW_ALLOWED = {
     # analogy)
     "pareto_frontier", "embedding_power_iteration",
     "embedding_analogy",
+    # -- r11: skew_audit's total rides a window over the 32-row bucket
+    # rollup (fixed 32-key space at any sf) instead of a second
+    # full-table count scan — the window input is bucket-bounded
+    "skew_audit",
 }
 
 
