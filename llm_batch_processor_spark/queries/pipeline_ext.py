@@ -4648,7 +4648,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 40)
         .select("g")
     )
-    post = sh.join(rare, "g")
+    # r11 follow-up (sf1 ladder): the persist is BACK. The batch-1
+    # shape relied on plan-level exchange reuse to serve the two post
+    # consumers, but at sf1 AQE broadcasts the rare side and the
+    # runtime plan materializes the gram explode THREE times and the
+    # df rollup twice (plans/r11/dedup_containment_sf1_diag.txt) —
+    # 26 s vs the old persisted shape's 4.3 s on 10x data. One cache
+    # fill (2 explodes + 1 df rollup in one job) serves sizes and the
+    # posting-list rollup.
+    post = _reg_cache(sh.join(rare, "g").persist())
+    # eager fill: sizes + the posting rollup scan post inside one job;
+    # a lazy persist races and replays the shingle/df lineage per branch
+    post.count()
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("sz"))
     posts = post.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
     # all ordered pairs (x, y), x != y, within one rare gram's posting
